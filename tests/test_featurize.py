@@ -1,0 +1,126 @@
+"""Featurize-layer tests: stable ordering, gaps, sessions, runs, rolling
+stats, backfill, and the per-turn text-equality invariant (SURVEY.md §5.2
+Tier 3)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from fastselect_spark.data.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    generate_transcripts_pandas,
+)
+from fastselect_spark.featurize.windows import featurize_transcripts
+
+
+@pytest.fixture(scope="module")
+def transcripts_pdf() -> pd.DataFrame:
+    return generate_transcripts_pandas(n_convs=40, seed=42)
+
+
+@pytest.fixture(scope="module")
+def feat_pdf(spark, transcripts_pdf) -> pd.DataFrame:
+    df = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPT_SCHEMA)
+    return featurize_transcripts(df).toPandas()
+
+
+def test_generator_deterministic():
+    a = generate_transcripts_pandas(n_convs=10, seed=42)
+    b = generate_transcripts_pandas(n_convs=10, seed=42)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_text_equality_invariant(transcripts_pdf, feat_pdf):
+    """Per-turn text byte-equality under stable (conv_id, turn_idx) order."""
+    src = transcripts_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    out = feat_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(src) == len(out)
+    assert (src["text"].values == out["text"].values).all()
+    assert (src["conv_id"].values == out["conv_id"].values).all()
+    assert (src["turn_idx"].values == out["turn_idx"].values).all()
+
+
+def test_stable_order_and_turn_seq(feat_pdf):
+    g = feat_pdf.sort_values(["conv_id", "turn_idx"]).groupby("conv_id")
+    for _, grp in g:
+        assert (grp["turn_seq"].values == range(1, len(grp) + 1)).all()
+
+
+def test_turn_gap(feat_pdf):
+    grp = feat_pdf[feat_pdf.conv_id == feat_pdf.conv_id.iloc[0]].sort_values("turn_idx")
+    ts = grp["ts"].astype("int64") / 1e9
+    expect = ts.diff().fillna(0.0)
+    # unix_timestamp truncates to seconds
+    assert (abs(grp["turn_gap_s"].values - expect.round(0).values) <= 1.0).all()
+    assert grp["turn_gap_s"].iloc[0] == 0.0
+
+
+def test_sessions_monotone_and_gap_driven(feat_pdf):
+    for _, grp in feat_pdf.sort_values(["conv_id", "turn_idx"]).groupby("conv_id"):
+        sid = grp["session_id"].values
+        assert sid[0] == 0
+        assert ((sid[1:] - sid[:-1]) >= 0).all()
+        assert ((sid[1:] - sid[:-1]) <= 1).all()
+        gaps = grp["turn_gap_s"].values
+        # a new session exactly when gap > 300s
+        starts = (sid[1:] - sid[:-1]) == 1
+        assert (starts == (gaps[1:] > 300.0)).all()
+
+
+def test_role_runs(feat_pdf):
+    for _, grp in feat_pdf.sort_values(["conv_id", "turn_idx"]).groupby("conv_id"):
+        roles = grp["role"].values
+        run_len = grp["role_run_len"].values
+        expect, cur = [], 0
+        for i, r in enumerate(roles):
+            cur = cur + 1 if i > 0 and roles[i - 1] == r else 1
+            expect.append(cur)
+        assert (run_len == expect).all()
+
+
+def test_rolling_token_stats(feat_pdf):
+    grp = (
+        feat_pdf[feat_pdf.conv_id == feat_pdf.conv_id.iloc[0]]
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    n = grp["n_tokens"]
+    assert (n.values == grp["text"].str.split().str.len().values).all()
+    roll = n.rolling(6, min_periods=1)
+    assert abs(grp["tokens_sum_5"] - roll.sum()).max() < 1e-9
+    assert abs(grp["tokens_avg_5"] - roll.mean()).max() < 1e-9
+
+
+def test_backfill_and_tool_counts(feat_pdf):
+    for _, grp in feat_pdf.sort_values(["conv_id", "turn_idx"]).groupby("conv_id"):
+        tools = grp["tool"].values
+        cum = 0
+        for i in range(len(tools)):
+            cum += tools[i] is not None and not pd.isna(tools[i])
+            assert grp["tool_calls_so_far"].values[i] == cum
+
+
+def test_no_lookahead_in_features(spark, transcripts_pdf):
+    """Leakage canary: truncating the future must not change past features."""
+    df_full = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPT_SCHEMA)
+    full = featurize_transcripts(df_full).toPandas()
+    cutoff = transcripts_pdf["ts"].quantile(0.5)
+    past_pdf = transcripts_pdf[transcripts_pdf.ts <= cutoff]
+    past = featurize_transcripts(
+        spark.createDataFrame(past_pdf, schema=TRANSCRIPT_SCHEMA)
+    ).toPandas()
+    key = ["conv_id", "turn_idx"]
+    cols = [
+        "turn_gap_s",
+        "session_id",
+        "role_run_len",
+        "n_tokens",
+        "tokens_sum_5",
+        "tool_calls_so_far",
+        "label",
+    ]
+    m = full.merge(past, on=key, suffixes=("_f", "_p"))
+    assert len(m) == len(past)
+    for c in cols:
+        assert (m[f"{c}_f"].values == m[f"{c}_p"].values).all(), c
