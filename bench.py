@@ -1,0 +1,218 @@
+"""Benchmark harness.
+
+Default mode (what the driver runs per round): executes the headline
+pipeline + representative operator queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line:
+  {"metric": "...", "value": <end-to-end sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "turns_per_sec": ...}
+
+``--scaling`` mode: runs the identical pipeline at two parallelism levels
+(local[8] = N, local[32] = 4N; fresh JVM each) on identical input, >=3 timed
+runs after a warm-up, reports median throughput at both plus
+``scaling_efficiency = tp32 / (4 * tp8)`` and writes BENCH/BASELINE.md
+(protocol: /root/repo/BASELINE.md §2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _pipeline(spark, sf_dir: str, transcripts_parquet: str | None = None) -> tuple[int, dict[str, float]]:
+    """The headline pipeline: transcripts -> featurize -> as-of join ->
+    code matrix -> chi2 + MI relevance + mRMR. Returns (n_turns, timings).
+
+    Input is the events-derived transcripts at ``sf_dir`` by default, or a
+    pre-written transcripts parquet (scaling mode's multi-million-turn
+    generated table)."""
+    from pyspark.sql import functions as F
+
+    from fastselect_spark.data.transcripts import transcripts_from_events
+    from fastselect_spark.featurize import asof_join, featurize_transcripts
+    from fastselect_spark.select import chi2, mi_matrices
+    from fastselect_spark.select.mrmr import mrmr_greedy
+
+    # Warm-up: spin up Python workers + Arrow serializers before the clock
+    # starts (mirrors the reference's JIT warm-up discipline — its benchmarks
+    # exclude Numba compile time, benchmarking/benchmarking.py:74-87).
+    spark.range(1024).repartition(int(CPUS)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+
+    timings: dict[str, float] = {}
+    t0 = time.perf_counter()
+    if transcripts_parquet:
+        tr = spark.read.parquet(transcripts_parquet)
+    else:
+        tr = transcripts_from_events(spark, sf_dir)
+
+    t = time.perf_counter()
+    feat = featurize_transcripts(tr)
+    feat = feat.persist()
+    n_turns = feat.count()
+    timings["featurize"] = time.perf_counter() - t
+
+    t = time.perf_counter()
+    sess = feat.groupBy("conv_id", "session_id").agg(
+        F.max("ts").alias("ts"), F.avg("n_tokens").alias("sess_avg_tokens")
+    )
+    mat = asof_join(
+        feat, sess.select("conv_id", "ts", "sess_avg_tokens"), strategy="window"
+    )
+    codes = mat.select(
+        F.least(F.col("session_id"), F.lit(7)).cast("int").alias("c_session"),
+        F.least(F.col("role_run_len"), F.lit(5)).cast("int").alias("c_runlen"),
+        F.least(F.floor(F.col("turn_gap_s") / 60.0), F.lit(10)).cast("int").alias("c_gap"),
+        F.least(F.floor(F.col("sess_avg_tokens_asof")), F.lit(10)).cast("int").alias("c_stok"),
+        F.col("n_tokens").cast("int").alias("c_ntok"),
+        F.col("label").cast("int").alias("label"),
+    ).persist()
+    codes.count()
+    timings["asof_matrix"] = time.perf_counter() - t
+
+    fcols = ["c_session", "c_runlen", "c_gap", "c_stok", "c_ntok"]
+    t = time.perf_counter()
+    chi2(codes, fcols, "label")
+    timings["chi2"] = time.perf_counter() - t
+
+    t = time.perf_counter()
+    rel, red = mi_matrices(codes, fcols, "label")
+    mrmr_greedy(rel, red, 3, "MID")
+    timings["mi_mrmr"] = time.perf_counter() - t
+
+    timings["total"] = time.perf_counter() - t0
+    feat.unpersist()
+    codes.unpersist()
+    return n_turns, timings
+
+
+def run_once(master: str, sf_dir: str, transcripts_parquet: str | None = None) -> dict:
+    from fastselect_spark.runtime.session import get_spark
+
+    spark = get_spark(app_name="fastselect-bench", master=master)
+    try:
+        n_turns, timings = _pipeline(spark, sf_dir, transcripts_parquet)
+        return {"n_turns": n_turns, "timings": timings}
+    finally:
+        spark.stop()
+
+
+def prepare_scaling_input(n_convs: int) -> str:
+    """Generate (cluster-side, deterministic) and write the multi-million-
+    turn transcripts table once; both parallelism levels read the same
+    files."""
+    path = f"/tmp/fastselect_bench/transcripts_{n_convs}.parquet"
+    if os.path.exists(path):
+        return path
+    from fastselect_spark.data.transcripts import generate_transcripts_distributed
+    from fastselect_spark.runtime.session import get_spark
+
+    spark = get_spark(app_name="fastselect-bench-gen", master=f"local[{CPUS}]")
+    try:
+        generate_transcripts_distributed(spark, n_convs).write.mode(
+            "overwrite"
+        ).parquet(path)
+    finally:
+        spark.stop()
+    return path
+
+
+def default_mode() -> None:
+    res = run_once(f"local[{CPUS}]", SF_DIR)
+    total = res["timings"]["total"]
+    out = {
+        "metric": "asof+featurize+MI/mRMR pipeline end-to-end wall-time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in res["timings"].items() if k != "total"},
+        "sf": SF_DIR,
+        "turns": res["n_turns"],
+        "turns_per_sec": round(res["n_turns"] / total, 1),
+    }
+    print(json.dumps(out))
+
+
+def _subprocess_run(master: str, sf_dir: str, transcripts_parquet: str | None) -> dict:
+    """Fresh JVM per measurement (fair per-level comparison)."""
+    code = (
+        "import json,sys; sys.path.insert(0, %r); import bench; "
+        "print('RESULT::'+json.dumps(bench.run_once(%r, %r, %r)))"
+        % (REPO, master, sf_dir, transcripts_parquet)
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT::"):
+            return json.loads(line[len("RESULT::"):])
+    raise RuntimeError(f"no result line; stderr tail: {proc.stderr[-2000:]}")
+
+
+def scaling_mode(repeats: int = 3) -> None:
+    n_convs = int(os.environ.get("FASTSELECT_SCALING_CONVS", "200000"))
+    tp_path = prepare_scaling_input(n_convs)
+    levels = {"local[8]": 8, "local[32]": 32}
+    results: dict[str, list[dict]] = {}
+    for master in levels:
+        _subprocess_run(master, SF_DIR, tp_path)  # warm-up (JIT/page-cache)
+        results[master] = [
+            _subprocess_run(master, SF_DIR, tp_path) for _ in range(repeats)
+        ]
+
+    report: dict[str, dict] = {}
+    for master, runs in results.items():
+        totals = [r["timings"]["total"] for r in runs]
+        n = runs[0]["n_turns"]
+        med = statistics.median(totals)
+        report[master] = {
+            "n_turns": n,
+            "wall_sec_runs": [round(t, 3) for t in totals],
+            "wall_sec_median": round(med, 3),
+            "turns_per_sec": round(n / med, 1),
+            "stage_medians": {
+                k: round(statistics.median([r["timings"][k] for r in runs]), 3)
+                for k in runs[0]["timings"]
+            },
+        }
+    tp8 = report["local[8]"]["turns_per_sec"]
+    tp32 = report["local[32]"]["turns_per_sec"]
+    eff = tp32 / (4 * tp8)
+    summary = {
+        "throughput_8": tp8,
+        "throughput_32": tp32,
+        "scaling_efficiency": round(eff, 3),
+        "pass": eff >= 0.8,
+        "input": tp_path,
+        "n_convs": n_convs,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("# BENCH/BASELINE — scaling evidence (local[8] vs local[32])\n\n")
+        f.write(
+            "Protocol per /root/repo/BASELINE.md §2: identical pipeline, identical\n"
+            "input, two parallelism levels as the sandbox stand-in for N vs 4N\n"
+            "executors; fresh JVM per run; median of "
+            f"{repeats} timed runs after one warm-up.\n\n"
+        )
+        f.write("```json\n" + json.dumps(report, indent=2) + "\n```\n\n")
+        f.write("```json\n" + json.dumps(summary, indent=2) + "\n```\n")
+    print(json.dumps({**summary, "detail": report}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling_mode()
+    else:
+        default_mode()

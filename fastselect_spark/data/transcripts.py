@@ -121,6 +121,76 @@ def generate_transcripts(
     return df
 
 
+def _gen_conv_block(conv_ids: np.ndarray, seed: int) -> pd.DataFrame:
+    """Generate the turns of a block of conversations, one independent
+    deterministic RNG stream per conversation (seeded by (seed, conv id)),
+    so output is identical no matter how conversations are partitioned."""
+    frames = []
+    for cid in conv_ids:
+        rng = np.random.default_rng((int(seed) << 32) ^ int(cid))
+        l = int(min(2 + rng.geometric(0.08), 400))
+        turn_idx = np.arange(l, dtype=np.int32)
+        base_role = np.where(turn_idx % 2 == 0, "user", "assistant").astype(object)
+        repeat = rng.random(l) < 0.10
+        prev_role = np.roll(base_role, 1)
+        role = np.where(repeat & (turn_idx > 0), prev_role, base_role).astype(object)
+        tool_draw = rng.random(l)
+        tool_choice = rng.integers(0, 4, size=l)
+        tool_names = np.array(["search", "code", "browse", "none"], dtype=object)
+        tool = np.where(
+            (tool_draw < 0.20) & (role == "assistant"), tool_names[tool_choice], None
+        )
+        tok_counts = 1 + rng.poisson(20, size=l)
+        text = [
+            " ".join(f"tok{(int(cid) * 131 + i * 7 + j) % 997}" for j in range(c))
+            for i, c in enumerate(tok_counts)
+        ]
+        start = int(rng.integers(0, 90 * 24 * 3600))
+        incr = 1.0 + rng.exponential(30.0, size=l)
+        incr = np.where(rng.random(l) < 0.03, incr + 600.0, incr)
+        offs = np.cumsum(incr)
+        ts = (
+            _EPOCH
+            + np.timedelta64(start, "s")
+            + (offs * 1e6).astype("timedelta64[us]")
+        )
+        frames.append(
+            pd.DataFrame(
+                {
+                    "conv_id": f"conv{int(cid):08d}",
+                    "turn_idx": turn_idx,
+                    "role": role,
+                    "text": text,
+                    "tool": tool,
+                    "ts": ts,
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def generate_transcripts_distributed(
+    spark: SparkSession, n_convs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Cluster-side transcripts generation: ``spark.range(n_convs)`` fanned
+    out with ``mapInPandas`` — the generation path that holds at 10^12-turn
+    design scale (the driver never materializes the table). Deterministic:
+    per-conversation RNG streams keyed by (seed, conv_id)."""
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield _gen_conv_block(pdf["id"].to_numpy(), seed)
+
+    return (
+        spark.range(n_convs)
+        .repartition(partitions)
+        .mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
+    )
+
+
 # Shared Spark/DuckDB SQL: derive a transcripts-shaped table from `events`.
 # Uses only functions with identical semantics in both engines.
 TRANSCRIPTS_FROM_EVENTS_SQL = """

@@ -1,0 +1,132 @@
+"""Distributed discrete mutual information (reference O6/O7/O12,
+/root/reference/src/fast_select/mutual_information.py:117-196, mRMR.py:9-27).
+
+Strategy (SURVEY.md §2.2 O7): ONE vectorized pass over the data builds, per
+partition, integer joint-count histograms for every (feature, label) pair and
+every (feature_i, feature_j) i<j pair — ``np.bincount`` on fused codes inside
+Arrow batches — merged by the tree reduction in ``_agg.py``. Because the
+accumulators are exact integer counts, the merged histograms (and therefore
+the MI values) are bit-identical regardless of partitioning. MI arithmetic
+runs on the driver over the tiny merged tables with the reference's exact
+eps placement.
+
+Encoding mirrors the reference's shared X∪y vocabulary
+(mRMR.py:90, ``np.searchsorted``): a global distinct-union is collected once
+(``collect_set`` per column — bounded by cardinality, not rows) and
+broadcast into the kernel closure.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastselect_spark.select._agg import tree_reduce_ndarrays
+from fastselect_spark.select._stats import mi_from_contingency
+
+MAX_STATES = 512
+
+
+def shared_vocabulary(
+    df: DataFrame, cols: list[str]
+) -> np.ndarray:
+    """Sorted global distinct-union of all values in ``cols`` (the
+    reference's ``np.unique(concat(unique(X), unique(y)))``, mRMR.py:90)."""
+    row = df.agg(
+        *[F.collect_set(F.col(c).cast("double")).alias(c) for c in cols]
+    ).collect()[0]
+    vals = np.unique(np.concatenate([np.asarray(row[c], dtype=np.float64) for c in cols]))
+    return vals
+
+
+def _pair_index(p: int) -> list[tuple[int, int]]:
+    return [(i, j) for i in range(p) for j in range(i + 1, p)]
+
+
+def mi_matrices(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    unit: str = "bit",
+    vocab: np.ndarray | None = None,
+    compute_redundancy: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Return (relevance[p], redundancy[p, p]) in the requested unit.
+
+    relevance[f] = I(X_f; y); redundancy[i, j] = I(X_i; X_j), symmetric,
+    zero diagonal — matching ``calculate_mi_matrices``
+    (mutual_information.py:158-196).
+    """
+    p = len(feature_cols)
+    cols = list(feature_cols) + [label_col]
+    if vocab is None:
+        vocab = shared_vocabulary(df, cols)
+    k = len(vocab)
+    if k > MAX_STATES:
+        raise ValueError(
+            f"shared vocabulary has {k} states (> {MAX_STATES}); "
+            "discretize/bin continuous features before MI scoring"
+        )
+    vocab = np.asarray(vocab, dtype=np.float64)
+    pairs = _pair_index(p) if compute_redundancy else []
+
+    proj = df.select(*[F.col(c).cast("double") for c in cols])
+
+    def partial(batches: Iterator[pd.DataFrame]) -> dict[str, np.ndarray]:
+        rel = np.zeros((p, k, k), dtype=np.int64)
+        red = np.zeros((len(pairs), k, k), dtype=np.int64) if pairs else None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.searchsorted(vocab, pdf.to_numpy(dtype=np.float64))
+            y = codes[:, p]
+            for f in range(p):
+                np.add.at(rel[f].reshape(-1), codes[:, f] * k + y, 1)
+            for idx, (i, j) in enumerate(pairs):
+                np.add.at(red[idx].reshape(-1), codes[:, i] * k + codes[:, j], 1)
+        out = {"rel": rel}
+        if red is not None:
+            out["red"] = red
+        return out
+
+    merged = tree_reduce_ndarrays(proj, partial)
+    rel_tables = merged["rel"]
+    relevance = np.array(
+        [mi_from_contingency(rel_tables[f], unit=unit) for f in range(p)]
+    )
+    redundancy = np.zeros((p, p), dtype=np.float64)
+    if pairs:
+        red_tables = merged["red"]
+        for idx, (i, j) in enumerate(pairs):
+            mi = mi_from_contingency(red_tables[idx], unit=unit)
+            redundancy[i, j] = mi
+            redundancy[j, i] = mi
+    return relevance, redundancy
+
+
+def mi_pair(
+    df: DataFrame, col_a: str, col_b: str, unit: str = "bit"
+) -> float:
+    """I(a;b) for two discrete columns via one ``groupBy(a, b).count()`` —
+    the pure-relational form of ``calculate_mi_single_pair``
+    (mutual_information.py:117-155)."""
+    rows = (
+        df.groupBy(
+            F.col(col_a).cast("double").alias("__a"),
+            F.col(col_b).cast("double").alias("__b"),
+        )
+        .count()
+        .collect()
+    )
+    a_vals = sorted({r["__a"] for r in rows})
+    b_vals = sorted({r["__b"] for r in rows})
+    ai = {v: i for i, v in enumerate(a_vals)}
+    bi = {v: i for i, v in enumerate(b_vals)}
+    table = np.zeros((len(a_vals), len(b_vals)), dtype=np.float64)
+    for r in rows:
+        table[ai[r["__a"]], bi[r["__b"]]] = r["count"]
+    return mi_from_contingency(table, unit=unit)
