@@ -1,0 +1,282 @@
+"""Correlation-based Feature Selection (reference O9–O10,
+/root/reference/src/fast_select/CFS.py:246-429).
+
+Distributed part: discretize/encode columns (uniform binning from one
+min/max agg; per-column distinct vocab for non-float columns) and build ALL
+feature-class + feature-feature joint histograms in one vectorized pass
+(flat-packed int64 count arrays merged by the tree reduction). Driver part:
+symmetrical uncertainty, best-first search with the 0.1 relevance floor,
+redundancy pruning, merit — exactly the reference's search semantics
+(CFS.py:114-162, 106-112, 11-23).
+
+Reference numeric details reproduced:
+- continuous = "column dtype is floating", not cardinality (CFS.py:320);
+- uniform binning = sklearn KBinsDiscretizer semantics: edges
+  linspace(min, max, n_bins+1), zero-width bins (<=1e-8) removed, codes via
+  searchsorted(edges[1:-1], x, side='right');
+- n_states for binned columns is n_bins regardless of occupancy;
+- CFS's MI variant uses log2 with p_x/p_y > eps guards and NO +eps in the
+  denominator (CFS.py:44-64) — different from mutual_information.py;
+- SU = 2*I/(H_x+H_y), 0 when H_x+H_y < 1e-12;
+- selected indices sorted ascending; merit of the empty set = 0;
+- 'quantile' strategy uses exact quantiles at test scale (approxQuantile
+  with relativeError=0); 'kmeans' is not supported (documented divergence,
+  SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fastselect_spark.select._agg import tree_reduce_ndarrays
+
+
+def cfs_merit(sum_r_cf: float, k: int, sum_r_ff: float) -> float:
+    if k == 0:
+        return 0.0
+    r_cf_avg = sum_r_cf / k
+    r_ff_avg = (2.0 * sum_r_ff) / (k * (k - 1)) if k > 1 else 0.0
+    denom = math.sqrt(k + k * (k - 1) * r_ff_avg)
+    return (k * r_cf_avg / denom) if denom > 1e-12 else 0.0
+
+
+def _entropy(counts: np.ndarray) -> float:
+    n = counts.sum()
+    if n == 0:
+        return 0.0
+    p = counts / n
+    p = p[p > 1e-12]
+    return float(-(p * np.log2(p)).sum())
+
+
+def _mi_log2(table: np.ndarray) -> float:
+    n = table.sum()
+    if n == 0:
+        return 0.0
+    p = table / n
+    px = p.sum(axis=1)
+    py = p.sum(axis=0)
+    mask = (p > 1e-12) & (px[:, None] > 1e-12) & (py[None, :] > 1e-12)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        contrib = p * np.log2(p / (px[:, None] * py[None, :]))
+    return float(contrib[mask].sum())
+
+
+def symmetrical_uncertainty(table: np.ndarray) -> float:
+    h_x = _entropy(table.sum(axis=1))
+    h_y = _entropy(table.sum(axis=0))
+    if h_x + h_y < 1e-12:
+        return 0.0
+    return 2.0 * _mi_log2(table) / (h_x + h_y)
+
+
+def best_first_search(
+    n_features: int, r_cf: np.ndarray, r_ff: np.ndarray, min_r_cf: float = 0.1
+) -> list[int]:
+    """Greedy forward hill-climb maximizing merit (CFS.py:114-162)."""
+    first = int(np.argmax(r_cf))
+    if r_cf[first] < min_r_cf:
+        return []
+    selected = [first]
+    current_best = float(r_cf[first])
+    while True:
+        best_i, best_merit = -1, current_best
+        for i in range(n_features):
+            if i in selected or r_cf[i] < min_r_cf:
+                continue
+            k = len(selected) + 1
+            sum_r_cf = float(r_cf[selected].sum() + r_cf[i])
+            sum_r_ff = 0.0
+            for ai, a in enumerate(selected):
+                for b in selected[ai + 1 :]:
+                    sum_r_ff += r_ff[a, b]
+            for sel in selected:
+                sum_r_ff += r_ff[i, sel]
+            merit = cfs_merit(sum_r_cf, k, sum_r_ff)
+            if merit > best_merit:
+                best_merit, best_i = merit, i
+        if best_i != -1:
+            selected.append(best_i)
+            current_best = best_merit
+        else:
+            break
+    return selected
+
+
+def prune_redundant(selected, r_cf, r_ff) -> list[int]:
+    """Drop features whose correlation to a kept feature >= their own
+    relevance, visiting in descending relevance (CFS.py:106-112)."""
+    kept: list[int] = []
+    for idx in sorted(selected, key=lambda i: -r_cf[i]):
+        if not any(r_ff[idx, j] >= r_cf[idx] for j in kept):
+            kept.append(idx)
+    return kept
+
+
+class CFSSelector:
+    def __init__(self, n_bins: int = 10, strategy: str = "uniform") -> None:
+        if strategy not in ("uniform", "quantile"):
+            raise ValueError(
+                "strategy must be 'uniform' or 'quantile' "
+                "('kmeans' is not supported by the Spark engine)"
+            )
+        self.n_bins = n_bins
+        self.strategy = strategy
+
+    def fit(
+        self, df: DataFrame, feature_cols: list[str], label_col: str = "label"
+    ) -> "CFSSelector":
+        self.feature_cols_ = list(feature_cols)
+        p = len(feature_cols)
+        self.n_features_in_ = p
+
+        # --- column typing: floating dtype => binned; else unique-coded ---
+        is_cont = np.array(
+            [
+                isinstance(df.schema[c].dataType, (T.FloatType, T.DoubleType))
+                for c in feature_cols
+            ]
+        )
+
+        # bin edges for continuous columns
+        edges: dict[int, np.ndarray] = {}
+        cont_idx = np.where(is_cont)[0]
+        if len(cont_idx):
+            if self.strategy == "uniform":
+                aggs = []
+                for i in cont_idx:
+                    c = feature_cols[i]
+                    aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+                row = df.agg(*aggs).collect()[0]
+                for i in cont_idx:
+                    c = feature_cols[i]
+                    e = np.linspace(row[f"__mn_{c}"], row[f"__mx_{c}"], self.n_bins + 1)
+                    # sklearn removes zero-width bins (<=1e-8)
+                    mask = np.ediff1d(e, to_begin=np.inf) > 1e-8
+                    edges[i] = e[mask]
+            else:  # exact quantiles (relativeError=0) — parity-scale only
+                for i in cont_idx:
+                    c = feature_cols[i]
+                    qs = df.stat.approxQuantile(
+                        c, list(np.linspace(0, 1, self.n_bins + 1)), 0.0
+                    )
+                    e = np.array(qs)
+                    mask = np.ediff1d(e, to_begin=np.inf) > 1e-8
+                    edges[i] = e[mask]
+
+        # vocab for discrete columns
+        vocabs: dict[int, np.ndarray] = {}
+        disc_idx = np.where(~is_cont)[0]
+        if len(disc_idx):
+            row = df.agg(
+                *[
+                    F.collect_set(F.col(feature_cols[i]).cast("double")).alias(
+                        feature_cols[i]
+                    )
+                    for i in disc_idx
+                ]
+            ).collect()[0]
+            for i in disc_idx:
+                vocabs[i] = np.unique(np.asarray(row[feature_cols[i]], dtype=np.float64))
+
+        y_vocab = np.unique(
+            np.asarray(
+                df.agg(F.collect_set(F.col(label_col).cast("double"))).collect()[0][0],
+                dtype=np.float64,
+            )
+        )
+        n_states = np.empty(p, dtype=np.int64)
+        for i in range(p):
+            n_states[i] = self.n_bins if is_cont[i] else len(vocabs[i])
+        n_y = len(y_vocab)
+
+        # --- flat-packed histogram layout ---
+        pairs = [(i, j) for i in range(p) for j in range(i + 1, p)]
+        cf_sizes = [int(n_states[i] * n_y) for i in range(p)]
+        ff_sizes = [int(n_states[i] * n_states[j]) for i, j in pairs]
+        cf_off = np.concatenate([[0], np.cumsum(cf_sizes)])
+        ff_off = np.concatenate([[0], np.cumsum(ff_sizes)])
+        total_cf, total_ff = int(cf_off[-1]), int(ff_off[-1])
+
+        proj = df.select(
+            *[F.col(c).cast("double") for c in feature_cols],
+            F.col(label_col).cast("double"),
+        )
+        n_bins_cfg = self.n_bins
+
+        def partial(batches: Iterator[pd.DataFrame]) -> dict[str, np.ndarray]:
+            cf = np.zeros(total_cf, dtype=np.int64)
+            ff = np.zeros(total_ff, dtype=np.int64)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                arr = pdf.to_numpy(dtype=np.float64)
+                codes = np.empty((len(arr), p), dtype=np.int64)
+                for i in range(p):
+                    if is_cont[i]:
+                        e = edges[i]
+                        codes[:, i] = np.clip(
+                            np.searchsorted(e[1:-1], arr[:, i], side="right"),
+                            0,
+                            max(len(e) - 2, 0),
+                        )
+                    else:
+                        codes[:, i] = np.searchsorted(vocabs[i], arr[:, i])
+                yc = np.searchsorted(y_vocab, arr[:, p])
+                for i in range(p):
+                    np.add.at(
+                        cf,
+                        cf_off[i] + codes[:, i] * n_y + yc,
+                        1,
+                    )
+                for pi, (i, j) in enumerate(pairs):
+                    np.add.at(
+                        ff,
+                        ff_off[pi] + codes[:, i] * n_states[j] + codes[:, j],
+                        1,
+                    )
+            return {"cf": cf, "ff": ff}
+
+        merged = tree_reduce_ndarrays(proj, partial)
+        cf, ff = merged["cf"], merged["ff"]
+
+        r_cf = np.zeros(p, dtype=np.float64)
+        for i in range(p):
+            table = cf[cf_off[i] : cf_off[i + 1]].reshape(n_states[i], n_y)
+            r_cf[i] = symmetrical_uncertainty(table)
+        r_ff = np.zeros((p, p), dtype=np.float64)
+        for pi, (i, j) in enumerate(pairs):
+            table = ff[ff_off[pi] : ff_off[pi + 1]].reshape(n_states[i], n_states[j])
+            su = symmetrical_uncertainty(table)
+            r_ff[i, j] = r_ff[j, i] = su
+
+        self.r_cf_ = r_cf
+        self.r_ff_ = r_ff
+        selected = sorted(best_first_search(p, r_cf, r_ff))
+        selected = sorted(prune_redundant(selected, r_cf, r_ff))
+        self.selected_indices_ = np.array(selected, dtype=int)
+        self.support_mask_ = np.zeros(p, dtype=bool)
+        if selected:
+            self.support_mask_[self.selected_indices_] = True
+        k = len(selected)
+        if k == 0:
+            self.merit_ = 0.0
+        else:
+            sum_r_cf = float(r_cf[self.selected_indices_].sum())
+            sub = r_ff[np.ix_(self.selected_indices_, self.selected_indices_)]
+            sum_r_ff = float(np.triu(sub, k=1).sum())
+            self.merit_ = cfs_merit(sum_r_cf, k, sum_r_ff)
+        self.selected_cols_ = [feature_cols[i] for i in self.selected_indices_]
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if not hasattr(self, "selected_indices_"):
+            raise RuntimeError("CFSSelector is not fitted")
+        return df.select(*self.selected_cols_)

@@ -1,0 +1,382 @@
+"""Relief-family scorers: ReliefF, SURF/SURF*, MultiSURF/MultiSURF*
+(reference O1–O3, /root/reference/src/fast_select/{ReliefF,SURF,MultiSURF}.py).
+
+Physical strategy (SURVEY.md §2.2 O1): these are all-pairs neighbor-margin
+scores — O(n²·p) by definition, with no relational equivalent. The sample
+matrix is broadcast to executors and the PER-SAMPLE outer loop is distributed
+over row blocks (``spark.range(n)`` + ``mapInPandas``); each task computes
+vectorized NumPy distance blocks against the broadcast matrix and emits a
+per-feature partial score vector, merged by summation (the distributed
+equivalent of the reference's thread-private ``temp[n, p]`` accumulator,
+ReliefF.py:141,219-220). At cluster scale the same kernel tiles column
+blocks too (the reference's GPU ``MAX_F_TILE`` idea across executors).
+
+Numeric parity notes (the allclose traps, SURVEY.md §2.2):
+- mixed distance: discrete -> indicator diff; continuous -> |xi-xj| * recip
+  where recip = 1/(max-min), zero-range -> 1; ReliefF/SURF also force
+  discrete ranges -> 1 but MultiSURF does NOT (MultiSURF.py:410-412) —
+  reproduced as-is.
+- ReliefF: per-miss-class weight P(c)/(1-P(class_i)) with single-class
+  denom guard; hit term divides by hits FOUND, miss term always by k;
+  distances float32; CPU kernel semantics (the documented one) is the oracle.
+- SURF: neighborhood = dist < mean(dists)/(n-1) with self-distance 0
+  included in the mean; strict <; SURF* adds far-zone with inverted sign.
+- MultiSURF: threshold mu_i - 0.5*sigma_i (variance clamped >= 0); near
+  hit/miss diffs averaged by their counts; star subtracts far-miss diffs
+  but still normalizes by the NEAR miss count (MultiSURF.py:237-251).
+- final scores divided by n_samples; top = argsort(scores)[::-1][:n_select].
+"""
+
+from __future__ import annotations
+
+import warnings
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _preflight(df: DataFrame, feature_cols: list[str], discrete_limit: int):
+    """One combined agg job: exact distinct counts + min/max per feature
+    (reference fit-time metadata, ReliefF.py:366-380)."""
+    aggs = []
+    for c in feature_cols:
+        aggs += [
+            F.countDistinct(c).alias(f"__d_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    is_discrete = np.array(
+        [row[f"__d_{c}"] <= discrete_limit for c in feature_cols], dtype=bool
+    )
+    ranges = np.array(
+        [(row[f"__mx_{c}"] or 0.0) - (row[f"__mn_{c}"] or 0.0) for c in feature_cols]
+    )
+    return is_discrete, ranges
+
+
+def _collect_matrix(df: DataFrame, feature_cols: list[str], label_col: str):
+    pdf = df.select(*feature_cols, label_col).toPandas()
+    X = pdf[feature_cols].to_numpy(dtype=np.float64)
+    y = pdf[label_col].to_numpy()
+    return X, y
+
+
+def _dist_block(
+    Xb: np.ndarray, X: np.ndarray, recip: np.ndarray, is_disc: np.ndarray
+) -> np.ndarray:
+    """Mixed-metric distances from each row of Xb to every row of X
+    (float64 accumulation, like the kernels' scalar ``d``)."""
+    D = np.zeros((Xb.shape[0], X.shape[0]), dtype=np.float64)
+    for f in range(X.shape[1]):
+        if is_disc[f]:
+            D += (Xb[:, f : f + 1] != X[None, :, f]).astype(np.float64)
+        else:
+            D += np.abs(Xb[:, f : f + 1] - X[None, :, f]) * recip[f]
+    return D
+
+
+def _feature_diffs(
+    Xi: np.ndarray, Xj: np.ndarray, recip: np.ndarray, is_disc: np.ndarray
+) -> np.ndarray:
+    """Per-feature mixed diffs between one row Xi (p,) and rows Xj (m, p)."""
+    out = np.empty_like(Xj, dtype=np.float64)
+    disc = is_disc
+    out[:, disc] = (Xj[:, disc] != Xi[disc]).astype(np.float64)
+    cont = ~disc
+    out[:, cont] = np.abs(Xj[:, cont] - Xi[cont]) * recip[cont]
+    return out
+
+
+def _distribute_row_blocks(df_spark_session, n: int, partial_fn) -> np.ndarray:
+    """Distribute the per-sample loop over row-index blocks; sum partials."""
+    spark = df_spark_session
+    parts = max(spark.sparkContext.defaultParallelism, 4)
+    idx_df = spark.range(n).repartition(parts)
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        total = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            part = partial_fn(pdf["id"].to_numpy(dtype=np.int64))
+            total = part if total is None else total + part
+        if total is not None:
+            yield pd.DataFrame({"data": [total.tobytes()]})
+
+    rows = idx_df.mapInPandas(mapper, schema="data binary").collect()
+    out = None
+    for r in rows:
+        arr = np.frombuffer(r["data"], dtype=np.float64)
+        out = arr.copy() if out is None else out + arr
+    return out
+
+
+def _resolve_n_select(n_features_to_select, p: int) -> int:
+    """int = exact count; float in (0,1] = fraction -> max(1, int(frac*p))
+    (ReliefF.py:319-333)."""
+    v = n_features_to_select
+    if isinstance(v, float):
+        if not (0 < v <= 1):
+            raise ValueError("n_features_to_select as float must be in (0, 1].")
+        return max(1, int(v * p))
+    if not (0 < int(v) <= p):
+        raise ValueError("n_features_to_select out of range.")
+    return int(v)
+
+
+class _ReliefBase:
+    def __init__(
+        self,
+        n_features_to_select=0.2,
+        discrete_limit: int = 10,
+        verbose: bool = False,
+    ) -> None:
+        self.n_features_to_select = n_features_to_select
+        self.discrete_limit = discrete_limit
+        self.verbose = verbose
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if not hasattr(self, "top_features_"):
+            raise RuntimeError("estimator is not fitted")
+        return df.select(*[self.feature_cols_[i] for i in self.top_features_])
+
+    def _finalize(self, scores: np.ndarray, n_select: int) -> None:
+        self.feature_importances_ = scores
+        self.top_features_ = np.argsort(scores, kind="stable")[::-1][:n_select]
+
+
+class ReliefFSelector(_ReliefBase):
+    """Distributed ReliefF with the reference's CPU-kernel semantics
+    (ReliefF.py:137-220; CPU is the documented oracle, SURVEY.md §2.2)."""
+
+    def __init__(
+        self,
+        n_features_to_select=0.2,
+        n_neighbors: int = 3,
+        discrete_limit: int = 10,
+        verbose: bool = False,
+    ) -> None:
+        super().__init__(n_features_to_select, discrete_limit, verbose)
+        self.n_neighbors = n_neighbors
+
+    def fit(
+        self, df: DataFrame, feature_cols: list[str], label_col: str = "label"
+    ) -> "ReliefFSelector":
+        self.feature_cols_ = list(feature_cols)
+        p = len(feature_cols)
+        self.n_features_in_ = p
+        X, y = _collect_matrix(df, feature_cols, label_col)
+        n = len(y)
+        n_select = _resolve_n_select(self.n_features_to_select, p)
+
+        classes, y_enc = np.unique(y, return_inverse=True)
+        if len(classes) < 2:
+            self.feature_importances_ = np.zeros(p, dtype=np.float64)
+            self.top_features_ = np.arange(n_select)
+            return self
+        min_class = np.bincount(y_enc).min()
+        if self.n_neighbors >= min_class:
+            warnings.warn(
+                f"n_neighbors ({self.n_neighbors}) is greater than or equal to "
+                f"the smallest class size ({min_class}).",
+                UserWarning,
+            )
+
+        is_disc, ranges = _preflight(df, feature_cols, self.discrete_limit)
+        self.is_discrete_ = is_disc
+        ranges = ranges.copy()
+        ranges[is_disc] = 1.0
+        ranges[ranges == 0] = 1.0
+        recip = 1.0 / ranges
+
+        # ReliefF kernel operates on float32 data (ReliefF.py:398-401).
+        X32 = X.astype(np.float32)
+        class_probs = np.bincount(y_enc) / n
+        k = self.n_neighbors
+        K = len(classes)
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(
+            (X32, y_enc.astype(np.int32), recip, is_disc, class_probs)
+        )
+
+        def partial(idx: np.ndarray) -> np.ndarray:
+            Xb, yb, rc, dc, probs = bc.value
+            acc = np.zeros(p, dtype=np.float64)
+            D = _dist_block(Xb[idx].astype(np.float64), Xb.astype(np.float64), rc, dc)
+            D = D.astype(np.float32)
+            for bi, i in enumerate(idx):
+                d = D[bi].copy()
+                d[i] = np.inf
+                order = np.argsort(d, kind="stable")
+                lbl = yb[i]
+                olab = yb[order]
+                hits = order[olab == lbl][:k]
+                h_found = len(hits)
+                denom = 1.0 - probs[lbl]
+                if denom == 0:
+                    denom = 1.0
+                update = np.zeros(p, dtype=np.float64)
+                if h_found > 0:
+                    hd = _feature_diffs(
+                        Xb[i].astype(np.float64), Xb[hits].astype(np.float64), rc, dc
+                    )
+                    update -= hd.sum(axis=0) / h_found
+                miss_sum = np.zeros(p, dtype=np.float64)
+                for c in range(K):
+                    if c == lbl:
+                        continue
+                    mc = order[olab == c][:k]
+                    if len(mc):
+                        md = _feature_diffs(
+                            Xb[i].astype(np.float64), Xb[mc].astype(np.float64), rc, dc
+                        )
+                        miss_sum += (probs[c] / denom) * md.sum(axis=0)
+                update += miss_sum / k
+                acc += update
+            return acc
+
+        scores = _distribute_row_blocks(spark, n, partial) / n
+        self._finalize(scores, n_select)
+        return self
+
+
+class SURFSelector(_ReliefBase):
+    """Distributed SURF / SURF* (SURF.py:131-218)."""
+
+    def __init__(
+        self,
+        n_features_to_select=0.2,
+        use_star: bool = False,
+        discrete_limit: int = 10,
+        verbose: bool = False,
+    ) -> None:
+        super().__init__(n_features_to_select, discrete_limit, verbose)
+        self.use_star = use_star
+
+    def fit(
+        self, df: DataFrame, feature_cols: list[str], label_col: str = "label"
+    ) -> "SURFSelector":
+        self.feature_cols_ = list(feature_cols)
+        p = len(feature_cols)
+        self.n_features_in_ = p
+        X, y = _collect_matrix(df, feature_cols, label_col)
+        n = len(y)
+        n_select = _resolve_n_select(self.n_features_to_select, p)
+
+        is_disc, ranges = _preflight(df, feature_cols, self.discrete_limit)
+        self.is_discrete_ = is_disc
+        ranges = ranges.copy()
+        ranges[is_disc] = 1.0
+        ranges[ranges == 0] = 1.0
+        recip = 1.0 / ranges
+
+        _, y_enc = np.unique(y, return_inverse=True)
+        use_star = self.use_star
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast((X, y_enc.astype(np.int32), recip, is_disc))
+
+        def partial(idx: np.ndarray) -> np.ndarray:
+            Xb, yb, rc, dc = bc.value
+            acc = np.zeros(p, dtype=np.float64)
+            D = _dist_block(Xb[idx], Xb, rc, dc).astype(np.float32)
+            for bi, i in enumerate(idx):
+                d = D[bi].copy()
+                d[i] = 0.0  # self-distance counted as 0 in the mean
+                avg = d.sum() / (len(yb) - 1)
+                diffs = _feature_diffs(Xb[i], Xb, rc, dc)
+                hit = yb == yb[i]
+                near = d < avg
+                near[i] = False
+                far = ~near
+                far[i] = False
+                upd = diffs[near & ~hit].sum(axis=0) - diffs[near & hit].sum(axis=0)
+                if use_star:
+                    upd += diffs[far & hit].sum(axis=0) - diffs[far & ~hit].sum(axis=0)
+                acc += upd
+            return acc
+
+        scores = _distribute_row_blocks(spark, n, partial) / n
+        self._finalize(scores, n_select)
+        return self
+
+
+class MultiSURFSelector(_ReliefBase):
+    """Distributed MultiSURF / MultiSURF* (MultiSURF.py:165-253).
+
+    Note the reference divergence reproduced here: feature ranges are NOT
+    forced to 1 for discrete features (only zero ranges are), and the data
+    dtype is float32 (MultiSURF.py:384-386, 409-412)."""
+
+    def __init__(
+        self,
+        n_features_to_select=0.2,
+        use_star: bool = False,
+        discrete_limit: int = 10,
+        verbose: bool = False,
+    ) -> None:
+        super().__init__(n_features_to_select, discrete_limit, verbose)
+        self.use_star = use_star
+
+    def fit(
+        self, df: DataFrame, feature_cols: list[str], label_col: str = "label"
+    ) -> "MultiSURFSelector":
+        self.feature_cols_ = list(feature_cols)
+        p = len(feature_cols)
+        self.n_features_in_ = p
+        X, y = _collect_matrix(df, feature_cols, label_col)
+        n = len(y)
+        n_select = _resolve_n_select(self.n_features_to_select, p)
+
+        is_disc, ranges = _preflight(df, feature_cols, self.discrete_limit)
+        self.is_discrete_ = is_disc
+        ranges = ranges.copy()
+        ranges[ranges == 0] = 1.0  # no discrete override (MultiSURF.py:410-412)
+        recip = 1.0 / ranges
+
+        _, y_enc = np.unique(y, return_inverse=True)
+        use_star = self.use_star
+        X32 = X.astype(np.float32).astype(np.float64)
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast((X32, y_enc.astype(np.int32), recip, is_disc))
+
+        def partial(idx: np.ndarray) -> np.ndarray:
+            Xb, yb, rc, dc = bc.value
+            nn = len(yb)
+            acc = np.zeros(p, dtype=np.float64)
+            D = _dist_block(Xb[idx], Xb, rc, dc)
+            for bi, i in enumerate(idx):
+                d = D[bi].copy()
+                d[i] = 0.0
+                sum_d = d.sum()
+                sum_d2 = (d * d).sum()
+                mu = sum_d / (nn - 1)
+                var = max(0.0, sum_d2 / (nn - 1) - mu * mu)
+                thresh = mu - 0.5 * np.sqrt(var)
+                diffs = _feature_diffs(Xb[i], Xb, rc, dc)
+                hit = yb == yb[i]
+                near = d < thresh
+                near[i] = False
+                nh = near & hit
+                nm = near & ~hit
+                n_hits = int(nh.sum())
+                n_miss = int(nm.sum())
+                hit_diffs = diffs[nh].sum(axis=0)
+                miss_diffs = diffs[nm].sum(axis=0)
+                if use_star:
+                    fm = (~near) & (~hit)
+                    fm[i] = False
+                    miss_diffs -= diffs[fm].sum(axis=0)
+                if n_hits > 0:
+                    hit_diffs = hit_diffs / n_hits
+                if n_miss > 0:
+                    miss_diffs = miss_diffs / n_miss
+                acc += miss_diffs - hit_diffs
+            return acc
+
+        scores = _distribute_row_blocks(spark, n, partial) / n
+        self._finalize(scores, n_select)
+        return self
