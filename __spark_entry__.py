@@ -169,6 +169,155 @@ def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fisher_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastselect_spark.select import fisher_score
+
+    _register(spark, sf_dir, "lineitem")
+    m = spark.sql(_LINEITEM_CODES_SQL)
+    scores = fisher_score(m, _MI_FEATURES, "y")
+    return spark.createDataFrame(
+        [(f, round(float(s), 6)) for f, s in zip(_MI_FEATURES, scores)],
+        schema="feature string, fisher double",
+    )
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastselect_spark.text import add_quality_score, add_token_count
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    out = add_quality_score(add_token_count(docs))
+    return out.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("int").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("int").alias("n_bpe_tokens"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+def _q_lang_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastselect_spark.text import add_quality_score
+
+    _register(spark, sf_dir, "documents")
+    out = add_quality_score(spark.table("documents"))
+    return out.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastselect_spark.text import add_fingerprint
+
+    _register(spark, sf_dir, "documents")
+    return add_fingerprint(spark.table("documents")).select("doc_id", "fp_exact")
+
+
+def _q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastselect_spark.dedup import exact_duplicate_groups
+
+    _register(spark, sf_dir, "documents")
+    return exact_duplicate_groups(spark.table("documents")).select(
+        "fp_exact", "keep_id", F.col("n_copies").cast("long").alias("n_copies")
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastselect_spark.dedup import ngram_jaccard_pairs
+
+    _register(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        spark.table("documents"), shingle_k=3, threshold=0.12
+    )
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastselect_spark.similarity import cosine_topk
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries_df, k=5)
+
+
+def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastselect_spark.dedup import minhash_near_duplicates
+
+    _register(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        spark.table("documents"), threshold=0.5, num_hashes=64, bands=16
+    )
+
+
+def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastselect_spark.dedup import simhash_near_duplicates
+
+    _register(spark, sf_dir, "documents")
+    return simhash_near_duplicates(spark.table("documents"), max_hamming=8)
+
+
+def _q_relieff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastselect_spark.select import ReliefFSelector
+
+    _register(spark, sf_dir, "lineitem")
+    m = (
+        spark.sql(_LINEITEM_CODES_SQL)
+        .orderBy("y", "f_line", "f_qty", "f_disc", "f_tax")
+        .limit(1500)
+    )
+    sel = ReliefFSelector(n_features_to_select=2, n_neighbors=3).fit(
+        m, _MI_FEATURES, "y"
+    )
+    return spark.createDataFrame(
+        [
+            (f, round(float(s), 6))
+            for f, s in zip(_MI_FEATURES, sel.feature_importances_)
+        ],
+        schema="feature string, relieff double",
+    )
+
+
+def _q_cfs_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastselect_spark.select import CFSSelector
+
+    _register(spark, sf_dir, "lineitem")
+    m = spark.sql(_LINEITEM_CODES_SQL)
+    sel = CFSSelector(n_bins=10).fit(m, _MI_FEATURES, "y")
+    return spark.createDataFrame(
+        [(f, bool(s)) for f, s in zip(_MI_FEATURES, sel.support_mask_)],
+        schema="feature string, selected boolean",
+    )
+
+
+def _q_mdr_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastselect_spark.select import MDRClassifier
+
+    _register(spark, sf_dir, "lineitem")
+    m = spark.sql(
+        """
+        SELECT CAST(l_linenumber % 3 AS INT) AS g0,
+               CAST(CAST(FLOOR(l_quantity / 10) AS INT) % 3 AS INT) AS g1,
+               CAST(CAST(ROUND(l_discount * 100) AS INT) % 3 AS INT) AS g2,
+               CAST(CAST(ROUND(l_tax * 100) AS INT) % 3 AS INT) AS g3,
+               CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+        """
+    )
+    clf = MDRClassifier(k=2, cv=3).fit(m, ["g0", "g1", "g2", "g3"], "y")
+    return spark.createDataFrame(
+        [
+            (
+                int(clf.best_interaction_[0]),
+                int(clf.best_interaction_[1]),
+                int(clf.best_cvc_),
+                round(float(clf.best_mean_testing_ba_), 6),
+            )
+        ],
+        schema="f_a int, f_b int, cvc int, mean_test_ba double",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts_derive": _q_transcripts_derive,
@@ -179,6 +328,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_scores": _q_chi2_scores,
         "mi_relevance": _q_mi_relevance,
         "mrmr_selection": _q_mrmr_selection,  # greedy loop: rows-only check
+        "fisher_scores": _q_fisher_scores,
+        "relieff_scores": _q_relieff_scores,  # O(n^2) kernel: rows-only
+        "cfs_selection": _q_cfs_selection,  # best-first search: rows-only
+        "mdr_interaction": _q_mdr_interaction,  # CV vote: rows-only
+        "fingerprints": _q_fingerprints,
+        "text_stats": _q_text_stats,
+        "lang_quality_by_source": _q_lang_quality_by_source,
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_near_dups": _q_minhash_near_dups,  # hash family: rows-only
+        "simhash_near_dups": _q_simhash_near_dups,  # hash family: rows-only
+        "embedding_topk": _q_embedding_topk,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "top_customers": _q_top_customers,
     }
@@ -263,8 +424,126 @@ GROUP BY c.feature
 """
 
 
+_FISHER_ORACLE = f"""
+WITH m AS ({_LINEITEM_CODES_SQL}),
+long AS (
+    SELECT 'f_line' AS feature, CAST(f_line AS DOUBLE) AS v, y FROM m UNION ALL
+    SELECT 'f_qty', f_qty, y FROM m UNION ALL
+    SELECT 'f_disc', f_disc, y FROM m UNION ALL
+    SELECT 'f_tax', f_tax, y FROM m
+),
+cls AS (
+    SELECT feature, y, COUNT(*) AS n_c, SUM(v) AS s, SUM(v * v) AS q
+    FROM long GROUP BY 1, 2
+),
+tot AS (SELECT feature, SUM(n_c) AS n, SUM(s) AS st FROM cls GROUP BY 1),
+per AS (
+    SELECT c.feature,
+           SUM(c.n_c * POW(c.s / c.n_c - t.st / t.n, 2)) AS between_v,
+           SUM(c.n_c * GREATEST(c.q / c.n_c - POW(c.s / c.n_c, 2), 0)) AS within_v
+    FROM cls c JOIN tot t USING (feature) GROUP BY 1
+)
+SELECT feature,
+       ROUND(CASE WHEN within_v > 0 THEN between_v / within_v ELSE 0 END, 6) AS fisher
+FROM per
+"""
+
+_QUALITY_EXPR = """
+(0.4 * LEAST(LENGTH(text) / 500.0, 1.0)
+ + 0.4 * (LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) * 1.0
+          / GREATEST(LENGTH(text), 1))
+ + 0.2 * (1.0 - LEAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\\s]', '', 'g'))
+                      * 5.0 / GREATEST(LENGTH(text), 1), 1.0)))
+"""
+
+_NGRAM_ORACLE = """
+WITH norm AS (
+    SELECT doc_id,
+           STRING_SPLIT(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, UNNEST(toks) AS tok, UNNEST(RANGE(1, LEN(toks) + 1)) AS pos
+    FROM norm
+),
+sh AS (
+    SELECT doc_id,
+           tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+cnt AS (SELECT doc_id, COUNT(*) AS c FROM shd GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM shd a JOIN shd b USING (shingle)
+    WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(i * 1.0 / (ca.c + cb.c - i), 6) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.12
+"""
+
+_EMBED_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+z AS (
+    SELECT query_id, neighbor_id, UNNEST(qe) AS x, UNNEST(ce) AS y
+    FROM q, c WHERE query_id <> neighbor_id
+),
+s AS (
+    SELECT query_id, neighbor_id,
+           SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+           / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+              * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS cosine
+    FROM z GROUP BY 1, 2
+),
+r AS (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM s
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "fisher_scores": _FISHER_ORACLE,
+        "text_stats": f"""
+        SELECT doc_id,
+               CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS INT) AS n_ws_tokens,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens,
+               ROUND({_QUALITY_EXPR}, 6) AS quality_score
+        FROM documents
+        """,
+        "lang_quality_by_source": f"""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               ROUND(AVG({_QUALITY_EXPR}), 6) AS avg_quality,
+               ROUND(AVG(LENGTH(text)), 4) AS avg_chars
+        FROM documents GROUP BY lang, source
+        """,
+        "fingerprints": """
+        SELECT doc_id,
+               MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp_exact
+        FROM documents
+        """,
+        "dedup_exact_groups": """
+        WITH fp AS (
+            SELECT doc_id,
+                   MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp_exact
+            FROM documents
+        )
+        SELECT fp_exact, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM fp GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "ngram_jaccard": _NGRAM_ORACLE,
+        "embedding_topk": _EMBED_TOPK_ORACLE,
         "transcripts_derive": TRANSCRIPTS_FROM_EVENTS_SQL,
         "featurize_sessions": _FEATURIZE_BASE
         + """

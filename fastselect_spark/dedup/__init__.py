@@ -1,0 +1,8 @@
+from fastselect_spark.dedup.exact import dedup_exact, exact_duplicate_groups  # noqa: F401
+from fastselect_spark.dedup.minhash import (  # noqa: F401
+    add_minhash_signature,
+    minhash_near_duplicates,
+)
+from fastselect_spark.dedup.simhash import add_simhash, simhash_near_duplicates  # noqa: F401
+from fastselect_spark.dedup.ngram import ngram_jaccard_pairs  # noqa: F401
+from fastselect_spark.dedup.embedding import embedding_near_duplicates  # noqa: F401

@@ -1,0 +1,41 @@
+"""Exact deduplication: hash-groupBy on a normalized-content fingerprint.
+
+One shuffle on the fingerprint; the canonical survivor per group is the
+minimum id (deterministic). Scales as a plain hash aggregation — this is
+the baseline every near-dup method is measured against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fastselect_spark.text.analysis import add_fingerprint
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(fingerprint, keep_id, n_copies) for every group with > 1 copy."""
+    fp = add_fingerprint(df, text_col)
+    return (
+        fp.groupBy("fp_exact")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one row (min id) per normalized-content fingerprint."""
+    fp = add_fingerprint(df, text_col)
+    w = Window.partitionBy("fp_exact").orderBy(id_col)
+    return (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "fp_exact", "fp_rolling")
+    )

@@ -1,0 +1,6 @@
+from fastselect_spark.multimodal.binary import (  # noqa: F401
+    MEDIA_SCHEMA,
+    decode_and_featurize,
+    sample_frames,
+    synthesize_media_table,
+)

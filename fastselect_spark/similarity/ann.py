@@ -1,0 +1,156 @@
+"""Approximate-nearest-neighbor search over an ``array<float>`` embedding
+column.
+
+- :func:`cosine_topk` — brute-force exact baseline: the query set is
+  collected (it is small by definition), L2-normalized, broadcast, and every
+  corpus partition computes one NumPy matmul per Arrow batch, emitting its
+  LOCAL top-k per query; the global top-k is a tiny groupBy merge. The
+  corpus is never collected and never shuffled — this is the
+  map-side-combine shape of distributed top-k.
+- :func:`cosine_topk_lsh` — the scale path: random-hyperplane bucket join
+  (IVF-style candidate pruning) before exact scoring; multi-probe by
+  flipping each signature bit for recall.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fastselect_spark.dedup.embedding import _cosine_col, _lsh_signature_udf
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return M / norms
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus (self-matches by
+    id are excluded). Returns (query_id, neighbor_id, cosine, rank)."""
+    qpdf = queries.select(id_col, emb_col).toPandas()
+    q_ids = qpdf[id_col].to_numpy()
+    Q = _normalize(np.stack(qpdf[emb_col].to_numpy()).astype(np.float64))
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, Q))
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, Qm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = _normalize(np.stack(pdf[emb_col].to_numpy()).astype(np.float64))
+            c_ids = pdf[id_col].to_numpy()
+            sims = Qm @ C.T  # (nq, batch)
+            rows = []
+            for qi in range(len(ids_q)):
+                s = sims[qi]
+                mask = c_ids != ids_q[qi]
+                sm, cm = s[mask], c_ids[mask]
+                if not len(sm):
+                    continue
+                top = np.argsort(-sm, kind="stable")[:k]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": ids_q[qi],
+                            "neighbor_id": cm[top],
+                            "cosine": sm[top],
+                        }
+                    )
+                )
+            if rows:
+                yield pd.concat(rows, ignore_index=True)
+
+    partial = corpus.select(id_col, emb_col).mapInPandas(
+        local_topk, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 10,
+    n_tables: int = 4,
+    multiprobe: bool = True,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the queries' LSH buckets
+    across ``n_tables`` independent hash tables (OR-amplification), each
+    optionally multi-probed with one-bit flips; then exact cosine + windowed
+    top-k. Recall/candidate-count tuned by (n_planes, n_tables, multiprobe):
+    more tables or fewer planes => higher recall, bigger buckets."""
+    if dim is None:
+        dim = int(corpus.select(F.size(emb_col).alias("d")).first()["d"])
+    c_parts, q_parts = [], []
+    for t in range(n_tables):
+        sig = _lsh_signature_udf(dim, n_planes, seed + 7919 * t)
+        c_parts.append(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(emb_col).alias("e_c"),
+                F.lit(t).alias("table"),
+                sig(F.col(emb_col)).alias("bucket"),
+            )
+        )
+        qt = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(emb_col).alias("e_q"),
+            F.lit(t).alias("table"),
+            sig(F.col(emb_col)).alias("__sig"),
+        )
+        if multiprobe:
+            probes = F.array(
+                F.col("__sig"),
+                *[
+                    F.col("__sig").bitwiseXOR(F.lit(1 << b)).alias(f"__p{b}")
+                    for b in range(n_planes)
+                ],
+            )
+            qt = qt.select(
+                "query_id", "e_q", "table", F.explode(probes).alias("bucket")
+            )
+        else:
+            qt = qt.select("query_id", "e_q", "table", F.col("__sig").alias("bucket"))
+        q_parts.append(qt)
+    c = c_parts[0]
+    for part in c_parts[1:]:
+        c = c.unionByName(part)
+    q = q_parts[0]
+    for part in q_parts[1:]:
+        q = q.unionByName(part)
+    cand = (
+        q.join(c, ["table", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cosine", _cosine_col(F.col("e_q"), F.col("e_c")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

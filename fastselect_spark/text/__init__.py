@@ -1,0 +1,6 @@
+from fastselect_spark.text.analysis import (  # noqa: F401
+    add_language_id,
+    add_quality_score,
+    add_token_count,
+    add_fingerprint,
+)

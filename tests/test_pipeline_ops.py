@@ -1,0 +1,291 @@
+"""Training-data pipeline operators: text analysis, dedup family,
+similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fastselect_spark.dedup import (
+    dedup_exact,
+    embedding_near_duplicates,
+    exact_duplicate_groups,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from fastselect_spark.multimodal import (
+    decode_and_featurize,
+    sample_frames,
+    synthesize_media_table,
+)
+from fastselect_spark.multimodal.binary import (
+    FEATURE_DIM,
+    deterministic_fake_decoder,
+    unavailable_decoder,
+)
+from fastselect_spark.similarity import cosine_topk, cosine_topk_lsh
+from fastselect_spark.text import (
+    add_fingerprint,
+    add_language_id,
+    add_quality_score,
+    add_token_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ---------- text analysis ----------
+
+def test_token_counts(documents):
+    out = add_token_count(documents).select("doc_id", "text", "n_ws_tokens", "n_bpe_tokens").toPandas()
+    expect = out["text"].str.split().str.len()
+    assert (out["n_ws_tokens"] == expect).all()
+    assert (out["n_bpe_tokens"] >= out["n_ws_tokens"]).all()
+
+
+def test_quality_score_bounds(documents):
+    out = add_quality_score(documents).select("quality_score").toPandas()
+    assert out["quality_score"].between(0, 1).all()
+
+
+def test_language_id_markers(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the cat sat on the mat and it is nice",
+                "el gato se sienta en la alfombra y es un gato",
+                "der hund ist nicht ein katze und das ist gut",
+                "zzz qqq xxx",
+            ],
+        }
+    )
+    out = (
+        add_language_id(spark.createDataFrame(pdf))
+        .orderBy("doc_id")
+        .select("lang_pred")
+        .toPandas()["lang_pred"]
+        .tolist()
+    )
+    assert out == ["en", "es", "de", "und"]
+
+
+def test_fingerprint_normalization(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["Hello   World", "hello world", "different text"],
+        }
+    )
+    out = add_fingerprint(spark.createDataFrame(pdf)).orderBy("doc_id").toPandas()
+    assert out["fp_exact"][0] == out["fp_exact"][1]
+    assert out["fp_exact"][0] != out["fp_exact"][2]
+    assert out["fp_rolling"][0] == out["fp_rolling"][1]
+    assert out["fp_rolling"][0] != out["fp_rolling"][2]
+
+
+# ---------- dedup ----------
+
+@pytest.fixture(scope="module")
+def near_dup_corpus(spark):
+    """50 base docs + exact dups of 0..4 + near dups (1 token changed) of 5..9."""
+    rng = np.random.default_rng(7)
+    base = [
+        " ".join(f"w{rng.integers(0, 400)}" for _ in range(40)) for _ in range(50)
+    ]
+    texts = list(base)
+    ids = list(range(50))
+    nid = 100
+    for i in range(5):  # exact duplicates
+        texts.append(base[i])
+        ids.append(nid)
+        nid += 1
+    for i in range(5, 10):  # near duplicates: replace last token
+        toks = base[i].split()
+        toks[-1] = "CHANGED"
+        texts.append(" ".join(toks))
+        ids.append(nid)
+        nid += 1
+    return spark.createDataFrame(pd.DataFrame({"doc_id": ids, "text": texts}))
+
+
+def test_exact_dedup(near_dup_corpus):
+    groups = exact_duplicate_groups(near_dup_corpus).toPandas()
+    assert len(groups) == 5
+    assert sorted(groups["keep_id"]) == [0, 1, 2, 3, 4]
+    assert (groups["n_copies"] == 2).all()
+    deduped = dedup_exact(near_dup_corpus)
+    assert deduped.count() == 55
+    # survivors are the min ids
+    assert deduped.where(F.col("doc_id").isin([100, 101, 102, 103, 104])).count() == 0
+
+
+def test_minhash_near_duplicates(near_dup_corpus):
+    pairs = minhash_near_duplicates(
+        near_dup_corpus, threshold=0.6, num_hashes=64, bands=16
+    ).toPandas()
+    got = {tuple(sorted(t)) for t in zip(pairs["id_a"], pairs["id_b"])}
+    # exact dups (jaccard 1.0) must all be found
+    for i in range(5):
+        assert (i, 100 + i) in got
+    # near dups (1 of 40 tokens changed -> shingle jaccard ~0.86) found
+    found_near = sum((i, 100 + i) in got for i in range(5, 10))
+    assert found_near >= 4
+    # verified jaccard values are sane
+    assert (pairs["jaccard"] >= 0.6).all() and (pairs["jaccard"] <= 1.0).all()
+
+
+def test_simhash_near_duplicates(near_dup_corpus):
+    pairs = simhash_near_duplicates(near_dup_corpus, max_hamming=3).toPandas()
+    got = {tuple(sorted(t)) for t in zip(pairs["id_a"], pairs["id_b"])}
+    for i in range(5):  # identical docs -> hamming 0
+        assert (i, 100 + i) in got
+    assert (pairs["hamming"] <= 3).all()
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, near_dup_corpus):
+    pairs = ngram_jaccard_pairs(near_dup_corpus, threshold=0.5).toPandas()
+    got = {
+        (a, b): j
+        for a, b, j in zip(pairs["id_a"], pairs["id_b"], pairs["jaccard"])
+    }
+    # brute-force numpy oracle
+    pdf = near_dup_corpus.toPandas()
+    def sh(t):
+        toks = " ".join(t.lower().split()).split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))}
+    docs = {r.doc_id: sh(r.text) for r in pdf.itertuples()}
+    expect = {}
+    keys = sorted(docs)
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            inter = len(docs[a] & docs[b])
+            if inter == 0:
+                continue
+            j = inter / len(docs[a] | docs[b])
+            if j >= 0.5:
+                expect[(a, b)] = round(j, 6)
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def planted_embeddings(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((60, 32)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(60)]
+    # plant 10 near-identical copies of vectors 0..9
+    for i in range(10):
+        v = base[i] + rng.standard_normal(32).astype(np.float32) * 0.01
+        rows.append({"vec_id": 200 + i, "embedding": v.tolist()})
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_embedding_near_duplicates_bruteforce(planted_embeddings):
+    pairs = embedding_near_duplicates(
+        planted_embeddings, threshold=0.99, brute_force=True
+    ).toPandas()
+    got = {tuple(sorted(t)) for t in zip(pairs["id_a"], pairs["id_b"])}
+    assert got == {(i, 200 + i) for i in range(10)}
+
+
+def test_embedding_near_duplicates_lsh_recall(planted_embeddings):
+    pairs = embedding_near_duplicates(
+        planted_embeddings, threshold=0.99, n_planes=10, seed=42
+    ).toPandas()
+    got = {tuple(sorted(t)) for t in zip(pairs["id_a"], pairs["id_b"])}
+    exact = {(i, 200 + i) for i in range(10)}
+    assert got <= exact
+    assert len(got & exact) >= 8  # recall >= 0.8 with 10 planes on ~1deg pairs
+
+
+# ---------- similarity search ----------
+
+def test_cosine_topk_matches_numpy(embeddings):
+    queries = embeddings.where(F.col("vec_id") < 3)
+    out = cosine_topk(embeddings, queries, k=5).toPandas()
+    pdf = embeddings.toPandas()
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    for q in range(3):
+        qv = M[ids == q][0]
+        sims = M @ qv
+        mask = ids != q
+        order = np.argsort(-sims[mask], kind="stable")[:5]
+        expect_ids = ids[mask][order]
+        got = out[out.query_id == q].sort_values("rank")
+        assert got["neighbor_id"].tolist() == expect_ids.tolist()
+        np.testing.assert_allclose(
+            got["cosine"].to_numpy(), np.round(sims[mask][order], 6), atol=2e-6
+        )
+
+
+def test_cosine_topk_lsh_recall(planted_embeddings):
+    """On clustered data (planted near-identical pairs) LSH must place the
+    true top-1 in the candidate set for nearly every query; approximate
+    results are always a subset of exact candidates."""
+    queries = planted_embeddings.where(F.col("vec_id") < 10)
+    approx = cosine_topk_lsh(
+        planted_embeddings, queries, k=1, n_planes=10, n_tables=4, seed=42
+    ).toPandas()
+    top1 = {r.query_id: r.neighbor_id for r in approx.itertuples()}
+    hits = sum(top1.get(i) == 200 + i for i in range(10))
+    assert hits >= 9
+
+
+def test_cosine_topk_lsh_subset_of_exact(embeddings):
+    """Approximate neighbors are real corpus rows with correct cosines:
+    every (q, n, cosine) triple must appear in the exact brute-force scores."""
+    queries = embeddings.where(F.col("vec_id") < 5)
+    approx = cosine_topk_lsh(
+        embeddings, queries, k=3, n_planes=8, n_tables=2, seed=42
+    ).toPandas()
+    exact = cosine_topk(embeddings, queries, k=embeddings.count()).toPandas()
+    escore = {(r.query_id, r.neighbor_id): r.cosine for r in exact.itertuples()}
+    for r in approx.itertuples():
+        assert abs(escore[(r.query_id, r.neighbor_id)] - r.cosine) < 2e-6
+
+
+# ---------- multimodal ----------
+
+def test_multimodal_fake_decoder_end_to_end(spark):
+    media = synthesize_media_table(spark, n=50, seed=42)
+    feats = decode_and_featurize(media, decoder=deterministic_fake_decoder).toPandas()
+    assert len(feats) == 50
+    assert all(len(f) == FEATURE_DIM for f in feats["features"])
+    # deterministic across runs
+    feats2 = decode_and_featurize(media, decoder=deterministic_fake_decoder).toPandas()
+    a = feats.sort_values("media_id").reset_index(drop=True)
+    b = feats2.sort_values("media_id").reset_index(drop=True)
+    assert all(np.allclose(x, y) for x, y in zip(a["features"], b["features"]))
+
+
+def test_multimodal_default_decoder_raises(spark):
+    media = synthesize_media_table(spark, n=3, seed=1)
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        decode_and_featurize(media, decoder=unavailable_decoder).collect()
+
+
+def test_sample_frames_counts(spark):
+    media = synthesize_media_table(spark, n=60, seed=42)
+    frames = sample_frames(media, every_ms=5000, decoder=deterministic_fake_decoder)
+    fp = frames.toPandas()
+    vids = media.where(F.col("kind") == "video").toPandas()
+    expect = sum(int(d) // 5000 + 1 for d in vids["duration_ms"])
+    assert len(fp) == expect
+    assert all(len(f) == FEATURE_DIM for f in fp["features"])
