@@ -19,8 +19,8 @@ from pyspark.sql import functions as F
 
 from fastselect_spark.data.transcripts import TRANSCRIPTS_FROM_EVENTS_SQL
 from fastselect_spark.featurize import asof_join, featurize_transcripts
-from fastselect_spark.select import chi2, mi_matrices
-from fastselect_spark.select.mrmr import MRMRSelector
+from fastselect_spark.selection import chi2, mi_matrices
+from fastselect_spark.selection.mrmr import MRMRSelector
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -170,7 +170,7 @@ def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_fisher_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastselect_spark.select import fisher_score
+    from fastselect_spark.selection import fisher_score
 
     _register(spark, sf_dir, "lineitem")
     m = spark.sql(_LINEITEM_CODES_SQL)
@@ -258,7 +258,7 @@ def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_relieff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastselect_spark.select import ReliefFSelector
+    from fastselect_spark.selection import ReliefFSelector
 
     _register(spark, sf_dir, "lineitem")
     m = (
@@ -279,7 +279,7 @@ def _q_relieff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cfs_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastselect_spark.select import CFSSelector
+    from fastselect_spark.selection import CFSSelector
 
     _register(spark, sf_dir, "lineitem")
     m = spark.sql(_LINEITEM_CODES_SQL)
@@ -291,7 +291,7 @@ def _q_cfs_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_mdr_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastselect_spark.select import MDRClassifier
+    from fastselect_spark.selection import MDRClassifier
 
     _register(spark, sf_dir, "lineitem")
     m = spark.sql(

@@ -41,8 +41,8 @@ def _pipeline(spark, sf_dir: str, transcripts_parquet: str | None = None) -> tup
 
     from fastselect_spark.data.transcripts import transcripts_from_events
     from fastselect_spark.featurize import asof_join, featurize_transcripts
-    from fastselect_spark.select import chi2, mi_matrices
-    from fastselect_spark.select.mrmr import mrmr_greedy
+    from fastselect_spark.selection import chi2, mi_matrices
+    from fastselect_spark.selection.mrmr import mrmr_greedy
 
     # Warm-up: spin up Python workers + Arrow serializers before the clock
     # starts (mirrors the reference's JIT warm-up discipline — its benchmarks

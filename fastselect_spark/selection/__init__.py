@@ -1,0 +1,12 @@
+from fastselect_spark.selection.chi2 import chi2  # noqa: F401
+from fastselect_spark.selection.mi import mi_matrices, mi_pair  # noqa: F401
+from fastselect_spark.selection.mrmr import MRMRSelector, mrmr_select  # noqa: F401
+from fastselect_spark.selection.relief import (  # noqa: F401
+    MultiSURFSelector,
+    ReliefFSelector,
+    SURFSelector,
+)
+from fastselect_spark.selection.cfs import CFSSelector  # noqa: F401
+from fastselect_spark.selection.mdr import MDRClassifier  # noqa: F401
+from fastselect_spark.selection.turf import TuRFSelector  # noqa: F401
+from fastselect_spark.selection.fisher import fisher_score  # noqa: F401

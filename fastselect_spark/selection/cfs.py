@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from fastselect_spark.select._agg import tree_reduce_ndarrays
+from fastselect_spark.selection._agg import tree_reduce_ndarrays
 
 
 def cfs_merit(sum_r_cf: float, k: int, sum_r_ff: float) -> float:

@@ -22,7 +22,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fastselect_spark.select._stats import chi2_sf, chi2_stats_from_observed
+from fastselect_spark.selection._stats import chi2_sf, chi2_stats_from_observed
 
 
 def chi2(

@@ -25,8 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fastselect_spark.select._agg import tree_reduce_ndarrays
-from fastselect_spark.select._stats import mi_from_contingency
+from fastselect_spark.selection._agg import tree_reduce_ndarrays
+from fastselect_spark.selection._stats import mi_from_contingency
 
 MAX_STATES = 512
 

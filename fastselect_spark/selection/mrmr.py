@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 
-from fastselect_spark.select.mi import mi_matrices
+from fastselect_spark.selection.mi import mi_matrices
 
 
 def mrmr_greedy(

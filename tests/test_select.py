@@ -7,9 +7,9 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from fastselect_spark.select import chi2, mi_matrices, mi_pair, mrmr_select
-from fastselect_spark.select._stats import chi2_sf, chi2_stats_from_observed
-from fastselect_spark.select.mrmr import MRMRSelector, mrmr_greedy
+from fastselect_spark.selection import chi2, mi_matrices, mi_pair, mrmr_select
+from fastselect_spark.selection._stats import chi2_sf, chi2_stats_from_observed
+from fastselect_spark.selection.mrmr import MRMRSelector, mrmr_greedy
 from tests.oracle_numpy import chi2_oracle, mi_matrices_oracle, mi_oracle
 
 

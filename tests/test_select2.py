@@ -9,7 +9,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from fastselect_spark.select import (
+from fastselect_spark.selection import (
     CFSSelector,
     MDRClassifier,
     MultiSURFSelector,
@@ -18,7 +18,7 @@ from fastselect_spark.select import (
     TuRFSelector,
     fisher_score,
 )
-from fastselect_spark.select.mdr import stratified_kfold_assign
+from fastselect_spark.selection.mdr import stratified_kfold_assign
 
 
 def _to_df(spark, X, y, partitions=4):
