@@ -261,10 +261,12 @@ def _q_relieff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastselect_spark.selection import ReliefFSelector
 
     _register(spark, sf_dir, "lineitem")
-    m = (
-        spark.sql(_LINEITEM_CODES_SQL)
-        .orderBy("y", "f_line", "f_qty", "f_disc", "f_tax")
-        .limit(1500)
+    # deterministic sample: order by the table's unique key before limit
+    m = spark.sql(
+        _LINEITEM_CODES_SQL.replace(
+            "FROM lineitem",
+            "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1500",
+        )
     )
     sel = ReliefFSelector(n_features_to_select=2, n_neighbors=3).fit(
         m, _MI_FEATURES, "y"
@@ -318,6 +320,57 @@ def _q_mdr_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUPPLIER_PART_SQL = """
+SELECT p.p_brand, s.s_nationkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lines,
+       ROUND(STDDEV_SAMP(l.l_quantity), 6) AS qty_std
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+GROUP BY p.p_brand, s.s_nationkey
+HAVING COUNT(*) > 10
+ORDER BY revenue DESC, p_brand, s_nationkey
+LIMIT 20
+"""
+
+_SET_OPS_SQL = """
+SELECT n_name FROM nation
+WHERE n_nationkey IN (SELECT DISTINCT c_nationkey FROM customer)
+INTERSECT
+SELECT n_name FROM nation
+WHERE n_nationkey IN (SELECT DISTINCT s_nationkey FROM supplier)
+ORDER BY n_name
+"""
+
+_EVENTS_DAILY_SQL = """
+SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+           AS purchase_value,
+       ROUND(AVG(LENGTH(COALESCE(props, ''))), 6) AS avg_props_len
+FROM events
+GROUP BY 1
+"""
+
+
+def _q_supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(_SUPPLIER_PART_SQL)
+
+
+def _q_nations_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "nation", "customer", "supplier")
+    return spark.sql(_SET_OPS_SQL)
+
+
+def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "events")
+    return spark.sql(_EVENTS_DAILY_SQL)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts_derive": _q_transcripts_derive,
@@ -342,6 +395,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "top_customers": _q_top_customers,
+        "supplier_part_revenue": _q_supplier_part_revenue,
+        "nations_set_ops": _q_nations_set_ops,
+        "events_daily": _q_events_daily,
     }
 
 
@@ -609,6 +665,9 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY revenue DESC, c_custkey
         LIMIT 10
         """,
+        "supplier_part_revenue": _SUPPLIER_PART_SQL,
+        "nations_set_ops": _SET_OPS_SQL,
+        "events_daily": _EVENTS_DAILY_SQL,
     }
 
 

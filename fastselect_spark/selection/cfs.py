@@ -231,16 +231,14 @@ class CFSSelector:
                         codes[:, i] = np.searchsorted(vocabs[i], arr[:, i])
                 yc = np.searchsorted(y_vocab, arr[:, p])
                 for i in range(p):
-                    np.add.at(
-                        cf,
-                        cf_off[i] + codes[:, i] * n_y + yc,
-                        1,
+                    size = int(cf_off[i + 1] - cf_off[i])
+                    cf[cf_off[i] : cf_off[i + 1]] += np.bincount(
+                        codes[:, i] * n_y + yc, minlength=size
                     )
                 for pi, (i, j) in enumerate(pairs):
-                    np.add.at(
-                        ff,
-                        ff_off[pi] + codes[:, i] * n_states[j] + codes[:, j],
-                        1,
+                    size = int(ff_off[pi + 1] - ff_off[pi])
+                    ff[ff_off[pi] : ff_off[pi + 1]] += np.bincount(
+                        codes[:, i] * n_states[j] + codes[:, j], minlength=size
                     )
             return {"cf": cf, "ff": ff}
 
@@ -280,3 +278,8 @@ class CFSSelector:
         if not hasattr(self, "selected_indices_"):
             raise RuntimeError("CFSSelector is not fitted")
         return df.select(*self.selected_cols_)
+
+    def fit_transform(
+        self, df: DataFrame, feature_cols: list[str], label_col: str = "label"
+    ) -> DataFrame:
+        return self.fit(df, feature_cols, label_col).transform(df)

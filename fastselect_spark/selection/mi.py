@@ -54,12 +54,19 @@ def mi_matrices(
     unit: str = "bit",
     vocab: np.ndarray | None = None,
     compute_redundancy: bool = True,
+    impl: str = "auto",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Return (relevance[p], redundancy[p, p]) in the requested unit.
 
     relevance[f] = I(X_f; y); redundancy[i, j] = I(X_i; X_j), symmetric,
     zero diagonal — matching ``calculate_mi_matrices``
     (mutual_information.py:158-196).
+
+    ``impl``: 'arrow' = the vectorized treeAggregate kernel (works for any
+    value domain); 'sql' = pure-JVM melt + hash aggregation (requires a
+    contiguous 0..k-1 integer code domain; fastest and stays entirely in
+    whole-stage codegen); 'auto' picks 'sql' when the domain allows it.
+    Both produce identical integer contingency tables.
     """
     p = len(feature_cols)
     cols = list(feature_cols) + [label_col]
@@ -74,7 +81,22 @@ def mi_matrices(
     vocab = np.asarray(vocab, dtype=np.float64)
     pairs = _pair_index(p) if compute_redundancy else []
 
-    proj = df.select(*[F.col(c).cast("double") for c in cols])
+    coded = bool(
+        k > 0 and vocab[0] == 0.0 and vocab[-1] == k - 1 and np.all(np.diff(vocab) == 1.0)
+    )
+    if impl == "auto":
+        impl = "sql" if coded else "arrow"
+    if impl == "sql":
+        if not coded:
+            raise ValueError("impl='sql' requires contiguous 0..k-1 integer codes")
+        return _mi_matrices_sql(df, feature_cols, label_col, unit, k, pairs, p)
+
+    # Arrow treeAggregate kernel. Fast path: a contiguous 0..k-1 integer
+    # vocabulary means the values ARE the codes — skip the float64
+    # conversion + searchsorted per batch.
+    already_coded = coded
+    cast_type = "long" if already_coded else "double"
+    proj = df.select(*[F.col(c).cast(cast_type) for c in cols])
 
     def partial(batches: Iterator[pd.DataFrame]) -> dict[str, np.ndarray]:
         rel = np.zeros((p, k, k), dtype=np.int64)
@@ -82,12 +104,21 @@ def mi_matrices(
         for pdf in batches:
             if pdf.empty:
                 continue
-            codes = np.searchsorted(vocab, pdf.to_numpy(dtype=np.float64))
+            if already_coded:
+                codes = pdf.to_numpy(dtype=np.int64)
+            else:
+                codes = np.searchsorted(vocab, pdf.to_numpy(dtype=np.float64))
             y = codes[:, p]
+            kk = k * k
+            # np.bincount on fused codes is ~10x faster than np.add.at
             for f in range(p):
-                np.add.at(rel[f].reshape(-1), codes[:, f] * k + y, 1)
+                rel[f] += np.bincount(
+                    codes[:, f] * k + y, minlength=kk
+                ).reshape(k, k)
             for idx, (i, j) in enumerate(pairs):
-                np.add.at(red[idx].reshape(-1), codes[:, i] * k + codes[:, j], 1)
+                red[idx] += np.bincount(
+                    codes[:, i] * k + codes[:, j], minlength=kk
+                ).reshape(k, k)
         out = {"rel": rel}
         if red is not None:
             out["red"] = red
@@ -105,6 +136,57 @@ def mi_matrices(
             mi = mi_from_contingency(red_tables[idx], unit=unit)
             redundancy[i, j] = mi
             redundancy[j, i] = mi
+    return relevance, redundancy
+
+
+def _mi_matrices_sql(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    unit: str,
+    k: int,
+    pairs: list[tuple[int, int]],
+    p: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-JVM contingency build: every (feature, y) and (i, j) pair gets a
+    slot; rows are melted to (slot, fused_code) with ``explode`` and counted
+    by ONE hash aggregation (partial+final, whole-stage codegen, zero Python
+    in the data path). Output is <= n_slots * k^2 tiny rows."""
+    y = F.col(label_col).cast("long")
+    slots = []
+    for f, c in enumerate(feature_cols):
+        slots.append(
+            F.struct(
+                F.lit(f).alias("slot"),
+                (F.col(c).cast("long") * k + y).alias("code"),
+            )
+        )
+    for idx, (i, j) in enumerate(pairs):
+        slots.append(
+            F.struct(
+                F.lit(p + idx).alias("slot"),
+                (
+                    F.col(feature_cols[i]).cast("long") * k
+                    + F.col(feature_cols[j]).cast("long")
+                ).alias("code"),
+            )
+        )
+    melted = df.select(F.explode(F.array(*slots)).alias("x")).select(
+        F.col("x.slot").alias("slot"), F.col("x.code").alias("code")
+    )
+    rows = melted.groupBy("slot", "code").count().collect()
+    tables = np.zeros((p + len(pairs), k, k), dtype=np.int64)
+    for r in rows:
+        s, code = int(r["slot"]), int(r["code"])
+        tables[s, code // k, code % k] = r["count"]
+    relevance = np.array(
+        [mi_from_contingency(tables[f], unit=unit) for f in range(p)]
+    )
+    redundancy = np.zeros((p, p), dtype=np.float64)
+    for idx, (i, j) in enumerate(pairs):
+        mi = mi_from_contingency(tables[p + idx], unit=unit)
+        redundancy[i, j] = mi
+        redundancy[j, i] = mi
     return relevance, redundancy
 
 

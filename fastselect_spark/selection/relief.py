@@ -144,6 +144,11 @@ class _ReliefBase:
             raise RuntimeError("estimator is not fitted")
         return df.select(*[self.feature_cols_[i] for i in self.top_features_])
 
+    def fit_transform(
+        self, df: DataFrame, feature_cols: list[str], label_col: str = "label"
+    ) -> DataFrame:
+        return self.fit(df, feature_cols, label_col).transform(df)
+
     def _finalize(self, scores: np.ndarray, n_select: int) -> None:
         self.feature_importances_ = scores
         self.top_features_ = np.argsort(scores, kind="stable")[::-1][:n_select]

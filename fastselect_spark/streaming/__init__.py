@@ -1,0 +1,5 @@
+from fastselect_spark.streaming.sessions import (  # noqa: F401
+    read_transcripts_stream,
+    streaming_session_stats,
+    streaming_token_rates,
+)

@@ -1,0 +1,90 @@
+"""Structured Streaming tests: session windows and windowed rates driven
+with availableNow triggers over staged parquet chunks; streamed session
+aggregates must agree with the batch sessionizer."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fastselect_spark.data.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    generate_transcripts_pandas,
+)
+from fastselect_spark.featurize import featurize_transcripts
+from fastselect_spark.streaming import (
+    read_transcripts_stream,
+    streaming_session_stats,
+    streaming_token_rates,
+)
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    """Transcripts written as two parquet chunks (simulated arrivals)."""
+    root = tmp_path_factory.mktemp("stream_src")
+    pdf = generate_transcripts_pandas(n_convs=30, seed=42)
+    half = len(pdf) // 2
+    df1 = spark.createDataFrame(pdf.iloc[:half], schema=TRANSCRIPT_SCHEMA)
+    df2 = spark.createDataFrame(pdf.iloc[half:], schema=TRANSCRIPT_SCHEMA)
+    df1.write.mode("append").parquet(str(root / "in"))
+    df2.write.mode("append").parquet(str(root / "in"))
+    return str(root / "in"), str(root), pdf
+
+
+def _run_stream(spark, out_df, root, name):
+    q = (
+        out_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{root}/ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).toPandas()
+
+
+def test_streaming_sessions_match_batch(spark, staged):
+    path, root, pdf = staged
+    stream = read_transcripts_stream(spark, path)
+    got = _run_stream(
+        spark, streaming_session_stats(stream, gap_seconds=300), root, "sess_stats"
+    )
+    # batch oracle: featurize sessionizer aggregated per (conv, session)
+    batch = featurize_transcripts(
+        spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+    )
+    expect = (
+        batch.groupBy("conv_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .toPandas()
+    )
+    # same number of sessions per conversation and same turn totals
+    g1 = got.groupby("conv_id")["n_turns"].agg(["count", "sum"]).sort_index()
+    g2 = expect.groupby("conv_id")["n_turns"].agg(["count", "sum"]).sort_index()
+    assert (g1["sum"] == g2["sum"]).all()  # every turn in exactly one session
+    assert (g1["count"] == g2["count"]).all()  # same session segmentation
+    assert (got["n_turns"] >= 1).all()
+    tot1 = got.groupby("conv_id")["total_tokens"].sum().sort_index()
+    tot2 = expect.groupby("conv_id")["total_tokens"].sum().sort_index()
+    assert np.allclose(tot1.values, tot2.values)
+
+
+def test_streaming_token_rates(spark, staged):
+    path, root, pdf = staged
+    stream = read_transcripts_stream(spark, path)
+    got = _run_stream(
+        spark, streaming_token_rates(stream, window="1 hour"), root, "tok_rates"
+    )
+    assert set(got["role"].unique()) <= {"user", "assistant", "tool"}
+    # totals conserved
+    assert got["n_turns"].sum() == len(pdf)
+    expect_tokens = pdf["text"].str.split().str.len().sum()
+    assert got["total_tokens"].sum() == expect_tokens
+    # windows are aligned hour buckets
+    assert (got["window_start"].dt.minute == 0).all()

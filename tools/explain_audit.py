@@ -1,0 +1,89 @@
+"""Physical-plan audit: prints the executed plans of the engine's key
+operators and checks the properties the scale design promises —
+filter/column pushdown into the parquet scan, a single exchange feeding the
+featurize window stack, whole-stage codegen coverage, and broadcast joins
+for small dimensions.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fastselect_spark.data.transcripts import transcripts_from_events  # noqa: E402
+from fastselect_spark.featurize import asof_join, featurize_transcripts  # noqa: E402
+from fastselect_spark.runtime.session import get_spark  # noqa: E402
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def check(name: str, ok: bool, detail: str = "") -> bool:
+    print(f"{'PASS' if ok else 'FAIL'}  {name}  {detail}")
+    return ok
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="explain-audit", master="local[4]", shuffle_partitions=8)
+    failures = 0
+
+    # 1. featurize: exactly one exchange for the whole window stack
+    feat = featurize_transcripts(transcripts_from_events(spark, sf_dir))
+    p = plan_of(feat)
+    n_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    failures += not check(
+        "featurize window stack shares one conv_id exchange",
+        n_ex <= 2,  # one for events->transcripts row_number, one for conv_id
+        f"(exchanges={n_ex})",
+    )
+    failures += not check(
+        "featurize stays in whole-stage codegen",
+        "WholeStageCodegen" in p,
+    )
+
+    # 2. filter + column pruning reach the parquet scan
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = ev.where(F.col("event_type") == "purchase").select("user_id", "value")
+    p = plan_of(q)
+    failures += not check(
+        "predicate pushdown into parquet scan",
+        "PushedFilters: [" in p and "event_type" in p.split("PushedFilters")[1][:200],
+    )
+    rs = re.search(r"ReadSchema: ([^\n]+)", p)
+    failures += not check(
+        "column pruning (ReadSchema only needs 3 cols)",
+        rs is not None and rs.group(1).count(":") <= 4,
+        rs.group(1)[:120] if rs else "",
+    )
+
+    # 3. small-dimension join broadcasts
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    p = plan_of(j)
+    failures += not check("small-dim join is broadcast", "BroadcastHashJoin" in p)
+
+    # 4. as-of join window strategy: one exchange on the key, no cross join
+    tr = transcripts_from_events(spark, sf_dir)
+    right = tr.groupBy("conv_id").agg(F.max("ts").alias("ts"), F.count(F.lit(1)).alias("v"))
+    a = asof_join(tr.select("conv_id", "turn_idx", "ts"), right, value_cols=["v"])
+    p = plan_of(a)
+    failures += not check(
+        "as-of join has no cartesian/broadcast-nested-loop",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+    )
+
+    print(f"\n{'ALL CHECKS PASS' if not failures else f'{failures} CHECK(S) FAILED'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
