@@ -181,6 +181,18 @@ def _q_fisher_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jmi_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastselect_spark.selection import jmi_select
+
+    _register(spark, sf_dir, "lineitem")
+    m = spark.sql(_LINEITEM_CODES_SQL)
+    idx = jmi_select(m, _MI_FEATURES, "y", n_select=3)
+    return spark.createDataFrame(
+        [(r, _MI_FEATURES[i]) for r, i in enumerate(idx)],
+        schema="rank int, feature string",
+    )
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastselect_spark.text import add_quality_score, add_token_count
 
@@ -382,6 +394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mi_relevance": _q_mi_relevance,
         "mrmr_selection": _q_mrmr_selection,  # greedy loop: rows-only check
         "fisher_scores": _q_fisher_scores,
+        "jmi_selection": _q_jmi_selection,  # greedy loop: rows-only
+
         "relieff_scores": _q_relieff_scores,  # O(n^2) kernel: rows-only
         "cfs_selection": _q_cfs_selection,  # best-first search: rows-only
         "mdr_interaction": _q_mdr_interaction,  # CV vote: rows-only

@@ -10,3 +10,4 @@ from fastselect_spark.selection.cfs import CFSSelector  # noqa: F401
 from fastselect_spark.selection.mdr import MDRClassifier  # noqa: F401
 from fastselect_spark.selection.turf import TuRFSelector  # noqa: F401
 from fastselect_spark.selection.fisher import fisher_score  # noqa: F401
+from fastselect_spark.selection.jmi import JMISelector, jmi_select  # noqa: F401

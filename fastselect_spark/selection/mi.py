@@ -85,7 +85,14 @@ def mi_matrices(
         k > 0 and vocab[0] == 0.0 and vocab[-1] == k - 1 and np.all(np.diff(vocab) == 1.0)
     )
     if impl == "auto":
-        impl = "sql" if coded else "arrow"
+        impl = "cube" if coded else "arrow"
+    if impl == "cube":
+        if not coded:
+            raise ValueError("impl='cube' requires contiguous 0..k-1 integer codes")
+        res = _mi_matrices_cube(df, feature_cols, label_col, unit, k, pairs, p)
+        if res is not None:
+            return res
+        impl = "sql"  # cube too large -> melt fallback
     if impl == "sql":
         if not coded:
             raise ValueError("impl='sql' requires contiguous 0..k-1 integer codes")
@@ -136,6 +143,54 @@ def mi_matrices(
             mi = mi_from_contingency(red_tables[idx], unit=unit)
             redundancy[i, j] = mi
             redundancy[j, i] = mi
+    return relevance, redundancy
+
+
+_CUBE_CELL_CAP = 2_000_000
+
+
+def _mi_matrices_cube(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    unit: str,
+    k: int,
+    pairs: list[tuple[int, int]],
+    p: int,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Cheapest contingency build when the joint value cube is small: ONE
+    ``groupBy(all code columns).count()`` over the data (a single partial+
+    final hash aggregation — the same shape and cost as chi2), then every
+    relevance/redundancy table is a weighted-bincount MARGINALIZATION of the
+    tiny cube on the driver. Returns None when the cube exceeds the cap
+    (caller falls back to the melt implementation)."""
+    cols = list(feature_cols) + [label_col]
+    cube = (
+        df.groupBy(*[F.col(c).cast("long").alias(c) for c in cols])
+        .count()
+        .limit(_CUBE_CELL_CAP + 1)
+        .collect()
+    )
+    if len(cube) > _CUBE_CELL_CAP:
+        return None
+    arr = np.array([[r[c] for c in cols] + [r["count"]] for r in cube], dtype=np.int64)
+    codes, counts = arr[:, :-1], arr[:, -1]
+    y = codes[:, p]
+    kk = k * k
+    relevance = np.empty(p, dtype=np.float64)
+    for f in range(p):
+        table = np.bincount(
+            codes[:, f] * k + y, weights=counts, minlength=kk
+        ).reshape(k, k)
+        relevance[f] = mi_from_contingency(table, unit=unit)
+    redundancy = np.zeros((p, p), dtype=np.float64)
+    for i, j in pairs:
+        table = np.bincount(
+            codes[:, i] * k + codes[:, j], weights=counts, minlength=kk
+        ).reshape(k, k)
+        mi = mi_from_contingency(table, unit=unit)
+        redundancy[i, j] = mi
+        redundancy[j, i] = mi
     return relevance, redundancy
 
 
