@@ -111,10 +111,25 @@ def run_once(
     sf_dir: str,
     transcripts_parquet: str | None = None,
     warm_in_jvm: bool = False,
+    pin_jvm_cores: bool = False,
 ) -> dict:
     from fastselect_spark.runtime.session import get_spark
 
-    spark = get_spark(app_name="fastselect-bench", master=master)
+    extra_conf = {}
+    if pin_jvm_cores and master.startswith("local[") and master[6:-1].isdigit():
+        # Fair N-core-executor emulation: without this, the single local-mode
+        # JVM sizes its GC / JIT-compiler / netty pools from the machine's 32
+        # hyperthreads at BOTH parallelism levels, silently granting the small
+        # level ~20 extra cores of background work and understating scaling
+        # efficiency. ActiveProcessorCount is the JVM's own mechanism for
+        # emulating a smaller machine.
+        n_cores = master[6:-1]
+        extra_conf["spark.driver.extraJavaOptions"] = (
+            f"-XX:ActiveProcessorCount={n_cores}"
+        )
+    spark = get_spark(
+        app_name="fastselect-bench", master=master, extra_conf=extra_conf
+    )
     try:
         if warm_in_jvm:
             # full-pipeline pass over ~2.5% of conversations: compiles the
@@ -171,7 +186,8 @@ def _subprocess_run(master: str, sf_dir: str, transcripts_parquet: str | None) -
     """Fresh JVM per measurement (fair per-level comparison)."""
     code = (
         "import json,sys; sys.path.insert(0, %r); import bench; "
-        "print('RESULT::'+json.dumps(bench.run_once(%r, %r, %r, warm_in_jvm=True)))"
+        "print('RESULT::'+json.dumps(bench.run_once(%r, %r, %r, warm_in_jvm=True, "
+        "pin_jvm_cores=True)))"
         % (REPO, master, sf_dir, transcripts_parquet)
     )
     proc = subprocess.run(

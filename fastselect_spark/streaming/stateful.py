@@ -96,7 +96,8 @@ def _progress_fn(gap_seconds: float, state_ttl_minutes: int):
                 rows["tool_calls_so_far"].append(tool_calls)
             out.append(pd.DataFrame(rows))
         state.update((last_ts_us, session_id, turns, tokens, tool_calls))
-        state.setTimeoutDuration(f"{state_ttl_minutes} minutes")
+        # Spark 4 requires an int duration in ms (string forms raise NOT_INT)
+        state.setTimeoutDuration(int(state_ttl_minutes) * 60_000)
         if out:
             yield pd.concat(out, ignore_index=True)
 
