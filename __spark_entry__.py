@@ -108,6 +108,45 @@ def _q_asof_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same point-in-time semantics as asof_session_stats, but through the
+    salted two-pass strategy (hot-key time-slice split + parallel-prefix
+    carry) — the oracle proves all strategies agree."""
+    feat = featurize_transcripts(_transcripts(spark, sf_dir))
+    right = feat.groupBy("conv_id", "session_id").agg(
+        F.max("ts").alias("ts"),
+        F.round(F.avg("n_tokens"), 6).alias("sess_avg_tokens"),
+        F.count(F.lit(1)).cast("long").alias("sess_n_turns"),
+    )
+    joined = asof_join(
+        feat.select("conv_id", "turn_idx", "ts"),
+        right.select("conv_id", "ts", "sess_avg_tokens", "sess_n_turns"),
+        strategy="salted_window",
+        salt_slice_seconds=600.0,
+    )
+    return joined.select(
+        "conv_id", "turn_idx", "sess_avg_tokens_asof", "sess_n_turns_asof"
+    )
+
+
+def _q_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the cogrouped merge_asof strategy (Arrow-batched)."""
+    feat = featurize_transcripts(_transcripts(spark, sf_dir))
+    right = feat.groupBy("conv_id", "session_id").agg(
+        F.max("ts").alias("ts"),
+        F.round(F.avg("n_tokens"), 6).alias("sess_avg_tokens"),
+        F.count(F.lit(1)).cast("long").alias("sess_n_turns"),
+    )
+    joined = asof_join(
+        feat.select("conv_id", "turn_idx", "ts"),
+        right.select("conv_id", "ts", "sess_avg_tokens", "sess_n_turns"),
+        strategy="pandas",
+    )
+    return joined.select(
+        "conv_id", "turn_idx", "sess_avg_tokens_asof", "sess_n_turns_asof"
+    )
+
+
 def _q_chi2_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, "lineitem")
     m = spark.sql(_LINEITEM_CODES_SQL)
@@ -269,19 +308,161 @@ def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(spark.table("documents"), max_hamming=8)
 
 
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastselect_spark.text import add_language_id
+
+    _register(spark, sf_dir, "documents")
+    return add_language_id(spark.table("documents")).select("doc_id", "lang_pred")
+
+
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (brute-force) embedding-cosine near-duplicate pairs — the
+    oracle-checkable baseline for the LSH scale path."""
+    from fastselect_spark.dedup import embedding_near_duplicates
+
+    _register(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        spark.table("embeddings"), threshold=0.42, brute_force=True
+    )
+
+
+def _q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed variant (random-hyperplane signatures): candidates only
+    from same-signature buckets — approximate recall, rows-only check."""
+    from fastselect_spark.dedup import embedding_near_duplicates
+
+    _register(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        spark.table("embeddings"), threshold=0.42, n_planes=6
+    )
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table multiprobe LSH ANN top-k (the IVF-style scale path for
+    embedding_topk) — approximate, rows-only check."""
+    from fastselect_spark.similarity import cosine_topk_lsh
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    return cosine_topk_lsh(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns -> batched decode/featurize via mapInPandas
+    (codec stubbed behind a deterministic fake; plumbing is real)."""
+    from fastselect_spark.multimodal import (
+        decode_and_featurize,
+        deterministic_fake_decoder,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, n=60, seed=42)
+    feats = decode_and_featurize(media, decoder=deterministic_fake_decoder)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(
+            F.aggregate(
+                "features", F.lit(0.0).cast("double"), lambda a, v: a + v * v
+            ),
+            6,
+        ).alias("feat_sq_norm"),
+    )
+
+
+def _q_video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled timestamp per video."""
+    from fastselect_spark.multimodal import (
+        deterministic_fake_decoder,
+        sample_frames,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, n=60, seed=42)
+    frames = sample_frames(media, every_ms=5000, decoder=deterministic_fake_decoder)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.round(F.sum(F.element_at("features", 1)), 6).alias("f0_sum"),
+    )
+
+
+def _run_available_now(spark: SparkSession, out_df: DataFrame, name: str) -> DataFrame:
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix=f"fs_ckpt_{name}_")
+    q = (
+        out_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def _staged_transcripts_path(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="fs_stream_src_") + "/transcripts"
+    _transcripts(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming session windows (native F.session_window with
+    watermark), driven availableNow over the staged transcripts — complete
+    mode emits every session, so the batch SQL oracle applies exactly."""
+    from fastselect_spark.streaming import (
+        read_transcripts_stream,
+        streaming_session_stats,
+    )
+
+    path = _staged_transcripts_path(spark, sf_dir)
+    stream = read_transcripts_stream(spark, path)
+    out = _run_available_now(
+        spark, streaming_session_stats(stream, gap_seconds=300), "fs_sess_stats"
+    )
+    return out.select(
+        "conv_id",
+        "session_start",
+        "session_end",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.round("total_tokens", 6).alias("total_tokens"),
+        F.col("n_tool_calls").cast("long").alias("n_tool_calls"),
+    )
+
+
+def _q_streaming_token_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation over the transcript stream."""
+    from fastselect_spark.streaming import (
+        read_transcripts_stream,
+        streaming_token_rates,
+    )
+
+    path = _staged_transcripts_path(spark, sf_dir)
+    stream = read_transcripts_stream(spark, path)
+    out = _run_available_now(
+        spark, streaming_token_rates(stream, window="5 minutes"), "fs_token_rates"
+    )
+    return out.select(
+        "window_start",
+        "window_end",
+        "role",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.round("total_tokens", 6).alias("total_tokens"),
+    )
+
+
 def _q_relieff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastselect_spark.selection import ReliefFSelector
 
     _register(spark, sf_dir, "lineitem")
-    # deterministic sample: order by the table's unique key before limit
-    m = spark.sql(
-        _LINEITEM_CODES_SQL.replace(
-            "FROM lineitem",
-            "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1500",
-        )
-    )
     sel = ReliefFSelector(n_features_to_select=2, n_neighbors=3).fit(
-        m, _MI_FEATURES, "y"
+        _sampled_lineitem_codes(spark), _MI_FEATURES, "y"
     )
     return spark.createDataFrame(
         [
@@ -289,6 +470,63 @@ def _q_relieff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f, s in zip(_MI_FEATURES, sel.feature_importances_)
         ],
         schema="feature string, relieff double",
+    )
+
+
+def _sampled_lineitem_codes(spark: SparkSession) -> DataFrame:
+    # deterministic sample: order by the table's unique key before limit
+    return spark.sql(
+        _LINEITEM_CODES_SQL.replace(
+            "FROM lineitem",
+            "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1500",
+        )
+    )
+
+
+def _q_surf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastselect_spark.selection import SURFSelector
+
+    _register(spark, sf_dir, "lineitem")
+    sel = SURFSelector(n_features_to_select=2).fit(
+        _sampled_lineitem_codes(spark), _MI_FEATURES, "y"
+    )
+    return spark.createDataFrame(
+        [
+            (f, round(float(s), 6))
+            for f, s in zip(_MI_FEATURES, sel.feature_importances_)
+        ],
+        schema="feature string, surf double",
+    )
+
+
+def _q_multisurf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastselect_spark.selection import MultiSURFSelector
+
+    _register(spark, sf_dir, "lineitem")
+    sel = MultiSURFSelector(n_features_to_select=2).fit(
+        _sampled_lineitem_codes(spark), _MI_FEATURES, "y"
+    )
+    return spark.createDataFrame(
+        [
+            (f, round(float(s), 6))
+            for f, s in zip(_MI_FEATURES, sel.feature_importances_)
+        ],
+        schema="feature string, multisurf double",
+    )
+
+
+def _q_turf_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastselect_spark.selection import ReliefFSelector, TuRFSelector
+
+    _register(spark, sf_dir, "lineitem")
+    sel = TuRFSelector(
+        ReliefFSelector(n_features_to_select=2, n_neighbors=3),
+        n_features_to_select=2,
+        pct_remove=0.25,
+    ).fit(_sampled_lineitem_codes(spark), _MI_FEATURES, "y")
+    return spark.createDataFrame(
+        [(int(i), _MI_FEATURES[i]) for i in sel.top_features_],
+        schema="feature_idx int, feature string",
     )
 
 
@@ -390,6 +628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "featurize_rolling": _q_featurize_rolling,
         "backfill_last_tool": _q_backfill_last_tool,
         "asof_session_stats": _q_asof_session_stats,
+        "asof_salted": _q_asof_salted,
+        "asof_pandas": _q_asof_pandas,
         "chi2_scores": _q_chi2_scores,
         "mi_relevance": _q_mi_relevance,
         "mrmr_selection": _q_mrmr_selection,  # greedy loop: rows-only check
@@ -397,9 +637,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jmi_selection": _q_jmi_selection,  # greedy loop: rows-only
 
         "relieff_scores": _q_relieff_scores,  # O(n^2) kernel: rows-only
+        "surf_scores": _q_surf_scores,  # O(n^2) kernel: rows-only
+        "multisurf_scores": _q_multisurf_scores,  # O(n^2) kernel: rows-only
+        "turf_selection": _q_turf_selection,  # iterative wrapper: rows-only
         "cfs_selection": _q_cfs_selection,  # best-first search: rows-only
         "mdr_interaction": _q_mdr_interaction,  # CV vote: rows-only
         "fingerprints": _q_fingerprints,
+        "lang_id": _q_lang_id,
         "text_stats": _q_text_stats,
         "lang_quality_by_source": _q_lang_quality_by_source,
         "dedup_exact_groups": _q_dedup_exact_groups,
@@ -407,6 +651,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,  # hash family: rows-only
         "simhash_near_dups": _q_simhash_near_dups,  # hash family: rows-only
         "embedding_topk": _q_embedding_topk,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,  # approx: rows-only
+        "ann_lsh_topk": _q_ann_lsh_topk,  # approx: rows-only
+        "multimodal_features": _q_multimodal_features,  # synth media: rows-only
+        "video_frame_sampling": _q_video_frame_sampling,  # synth media: rows-only
+        "streaming_sessions": _q_streaming_sessions,
+        "streaming_token_rates": _q_streaming_token_rates,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "top_customers": _q_top_customers,
         "supplier_part_revenue": _q_supplier_part_revenue,
@@ -556,6 +807,112 @@ JOIN cnt cb ON cb.doc_id = id_b
 WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.12
 """
 
+_ASOF_ORACLE = (
+    _FEATURIZE_BASE
+    + """
+, sess AS (
+    SELECT conv_id, session_id, MAX(ts) AS ts,
+           ROUND(AVG(n_tokens), 6) AS sess_avg_tokens,
+           CAST(COUNT(*) AS BIGINT) AS sess_n_turns
+    FROM feat GROUP BY conv_id, session_id
+)
+SELECT f.conv_id, f.turn_idx,
+       s.sess_avg_tokens AS sess_avg_tokens_asof,
+       s.sess_n_turns    AS sess_n_turns_asof
+FROM feat f ASOF LEFT JOIN sess s
+    ON f.conv_id = s.conv_id AND f.ts >= s.ts
+"""
+)
+
+_LANG_ID_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS t
+    FROM documents
+),
+sc AS (
+    SELECT doc_id,
+        LEN(LIST_INTERSECT(t, ['the','and','of','to','is','in','that','it'])) AS s_en,
+        LEN(LIST_INTERSECT(t, ['el','la','de','que','y','los','se','un'])) AS s_es,
+        LEN(LIST_INTERSECT(t, ['der','die','und','das','ist','nicht','ein','zu'])) AS s_de,
+        LEN(LIST_INTERSECT(t, ['le','la','et','les','des','est','une','dans'])) AS s_fr,
+        LEN(LIST_INTERSECT(t, ['的','是','了','在','我','有'])) AS s_zh
+    FROM toks
+)
+SELECT doc_id,
+    CASE WHEN GREATEST(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+         WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+         WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+         WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+         WHEN s_fr = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+         ELSE 'zh' END AS lang_pred
+FROM sc
+"""
+
+_EMBED_NEAR_DUP_ORACLE = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+z AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+),
+s AS (
+    SELECT id_a, id_b,
+           SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+           / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+              * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS cosine
+    FROM z GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM s WHERE cosine >= 0.42
+"""
+
+# Streaming oracles: complete-mode availableNow emits ALL windows/sessions,
+# so the batch SQL over the same transcripts is exact. session_window range
+# is [first_ts, last_ts + gap) => a new session starts when gap >= 300s.
+_STREAM_SESSIONS_ORACLE = f"""
+WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+g AS (
+    SELECT *, EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY conv_id ORDER BY ts))
+        AS gap
+    FROM transcripts
+),
+f AS (
+    SELECT *, CASE WHEN gap IS NULL OR gap >= 300.0 THEN 1 ELSE 0 END AS st
+    FROM g
+),
+s AS (
+    SELECT *, SUM(st) OVER (PARTITION BY conv_id ORDER BY ts
+        ROWS UNBOUNDED PRECEDING) AS sid
+    FROM f
+)
+SELECT conv_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 300 SECOND AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       ROUND(SUM(CAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS DOUBLE)), 6)
+           AS total_tokens,
+       CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tool_calls
+FROM s GROUP BY conv_id, sid
+"""
+
+_STREAM_RATES_ORACLE = f"""
+WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+w AS (
+    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 300) * 300) AS TIMESTAMP)
+               AS window_start,
+           role,
+           CAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS DOUBLE) AS toks
+    FROM transcripts
+)
+SELECT window_start,
+       window_start + INTERVAL 300 SECOND AS window_end,
+       role,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       ROUND(SUM(toks), 6) AS total_tokens
+FROM w GROUP BY 1, 3
+"""
+
 _EMBED_TOPK_ORACLE = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
@@ -644,20 +1001,13 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS tool_ffill
         FROM transcripts
         """,
-        "asof_session_stats": _FEATURIZE_BASE
-        + """
-        , sess AS (
-            SELECT conv_id, session_id, MAX(ts) AS ts,
-                   ROUND(AVG(n_tokens), 6) AS sess_avg_tokens,
-                   CAST(COUNT(*) AS BIGINT) AS sess_n_turns
-            FROM feat GROUP BY conv_id, session_id
-        )
-        SELECT f.conv_id, f.turn_idx,
-               s.sess_avg_tokens AS sess_avg_tokens_asof,
-               s.sess_n_turns    AS sess_n_turns_asof
-        FROM feat f ASOF LEFT JOIN sess s
-            ON f.conv_id = s.conv_id AND f.ts >= s.ts
-        """,
+        "asof_session_stats": _ASOF_ORACLE,
+        "asof_salted": _ASOF_ORACLE,
+        "asof_pandas": _ASOF_ORACLE,
+        "lang_id": _LANG_ID_ORACLE,
+        "embedding_near_dups": _EMBED_NEAR_DUP_ORACLE,
+        "streaming_sessions": _STREAM_SESSIONS_ORACLE,
+        "streaming_token_rates": _STREAM_RATES_ORACLE,
         "chi2_scores": _CHI2_ORACLE,
         "mi_relevance": _MI_ORACLE,
         "q1_pricing_summary": """
