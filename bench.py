@@ -167,6 +167,25 @@ def prepare_scaling_input(n_convs: int) -> str:
     return path
 
 
+def _last_scaling_summary() -> dict | None:
+    """The most recent --scaling result (BENCH/BASELINE.md's summary JSON),
+    so the per-round bench line also carries the 40M-turn throughput and
+    N->4N efficiency evidence."""
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    try:
+        blocks = open(path).read().split("```json")
+        summary = json.loads(blocks[-1].split("```")[0])
+        return {
+            k: summary[k]
+            for k in (
+                "level_n", "level_4n", "throughput_n", "throughput_4n",
+                "scaling_efficiency", "pass",
+            )
+        }
+    except Exception:
+        return None
+
+
 def default_mode() -> None:
     res = run_once(f"local[{CPUS}]", SF_DIR)
     total = res["timings"]["total"]
@@ -179,6 +198,9 @@ def default_mode() -> None:
         "turns": res["n_turns"],
         "turns_per_sec": round(res["n_turns"] / total, 1),
     }
+    scaling = _last_scaling_summary()
+    if scaling:
+        out["scaling_40M_turns"] = scaling
     print(json.dumps(out))
 
 

@@ -21,8 +21,17 @@ from fastselect_spark.featurize import asof_join, featurize_transcripts  # noqa:
 from fastselect_spark.runtime.session import get_spark  # noqa: E402
 
 
-def plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+def plan_of(df, execute: bool = False) -> str:
+    """Executed-plan string. ``execute=True`` runs the frame first so AQE
+    finalizes it — before execution an AdaptiveSparkPlan shows
+    ``isFinalPlan=false`` with no WholeStageCodegen nodes materialized."""
+    if execute:
+        df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    # A finalized AdaptiveSparkPlan prints "Final Plan" AND "Initial Plan"
+    # sections — audit only the final one (the initial would double-count
+    # exchanges).
+    return s.split("== Initial Plan ==")[0]
 
 
 def check(name: str, ok: bool, detail: str = "") -> bool:
@@ -37,7 +46,7 @@ def main() -> int:
 
     # 1. featurize: exactly one exchange for the whole window stack
     feat = featurize_transcripts(transcripts_from_events(spark, sf_dir))
-    p = plan_of(feat)
+    p = plan_of(feat, execute=True)
     n_ex = len(re.findall(r"Exchange hashpartitioning", p))
     failures += not check(
         "featurize window stack shares one conv_id exchange",
@@ -46,7 +55,8 @@ def main() -> int:
     )
     failures += not check(
         "featurize stays in whole-stage codegen",
-        "WholeStageCodegen" in p,
+        # codegen stages print as "*(n) Project/Sort/..." in plan strings
+        re.search(r"\*\(\d+\) ", p) is not None,
     )
 
     # 2. filter + column pruning reach the parquet scan
