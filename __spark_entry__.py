@@ -457,6 +457,49 @@ def _q_streaming_token_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastselect_spark.featurize import add_lag_lead
+
+    tr = _transcripts(spark, sf_dir)
+    return add_lag_lead(tr, ["role"], offsets=(1, 2)).select(
+        "conv_id", "turn_idx", "role_lag1", "role_lead1", "role_lag2", "role_lead2"
+    )
+
+
+def _q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-turn running
+    conversation features with explicit keyed state — append mode emits one
+    row per turn, so the batch cumulative-window SQL oracle applies."""
+    from fastselect_spark.streaming import (
+        read_transcripts_stream,
+        stateful_conversation_progress,
+    )
+    import tempfile
+
+    path = _staged_transcripts_path(spark, sf_dir)
+    stream = read_transcripts_stream(spark, path)
+    out = stateful_conversation_progress(stream, gap_seconds=300)
+    ckpt = tempfile.mkdtemp(prefix="fs_ckpt_stateful_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fs_stateful_progress")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = spark.table("fs_stateful_progress")
+    return res.select(
+        "conv_id",
+        "turn_idx",
+        "session_id",
+        "turns_so_far",
+        F.round("tokens_so_far", 6).alias("tokens_so_far"),
+        "tool_calls_so_far",
+    )
+
+
 def _q_relieff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastselect_spark.selection import ReliefFSelector
 
@@ -570,6 +613,28 @@ def _q_mdr_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mdr_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDR broadcast-LUT prediction (the only predict-capable estimator,
+    MDR.py:336-344): distributed confusion counts of the fitted model."""
+    from fastselect_spark.selection import MDRClassifier
+
+    _register(spark, sf_dir, "lineitem")
+    m = spark.sql(
+        """
+        SELECT CAST(l_linenumber % 3 AS INT) AS g0,
+               CAST(CAST(FLOOR(l_quantity / 10) AS INT) % 3 AS INT) AS g1,
+               CAST(CAST(ROUND(l_discount * 100) AS INT) % 3 AS INT) AS g2,
+               CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+        """
+    )
+    clf = MDRClassifier(k=2, cv=3).fit(m, ["g0", "g1", "g2"], "y")
+    pred = clf.predict(m)
+    return pred.groupBy("y", "prediction").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
 _SUPPLIER_PART_SQL = """
 SELECT p.p_brand, s.s_nationkey,
        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
@@ -627,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "featurize_sessions": _q_featurize_sessions,
         "featurize_rolling": _q_featurize_rolling,
         "backfill_last_tool": _q_backfill_last_tool,
+        "lag_lead": _q_lag_lead,
         "asof_session_stats": _q_asof_session_stats,
         "asof_salted": _q_asof_salted,
         "asof_pandas": _q_asof_pandas,
@@ -642,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turf_selection": _q_turf_selection,  # iterative wrapper: rows-only
         "cfs_selection": _q_cfs_selection,  # best-first search: rows-only
         "mdr_interaction": _q_mdr_interaction,  # CV vote: rows-only
+        "mdr_predictions": _q_mdr_predictions,  # LUT predict: rows-only
         "fingerprints": _q_fingerprints,
         "lang_id": _q_lang_id,
         "text_stats": _q_text_stats,
@@ -658,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sampling": _q_video_frame_sampling,  # synth media: rows-only
         "streaming_sessions": _q_streaming_sessions,
         "streaming_token_rates": _q_streaming_token_rates,
+        "streaming_stateful_progress": _q_streaming_stateful,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "top_customers": _q_top_customers,
         "supplier_part_revenue": _q_supplier_part_revenue,
@@ -913,6 +981,33 @@ SELECT window_start,
 FROM w GROUP BY 1, 3
 """
 
+_STREAM_STATEFUL_ORACLE = f"""
+WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+o AS (
+    SELECT *, FLOOR(EPOCH(ts)) AS es,
+        CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0
+             ELSE CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS DOUBLE)
+        END AS toks
+    FROM transcripts
+),
+g AS (
+    SELECT *, es - LAG(es) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+        AS gap
+    FROM o
+)
+SELECT conv_id, turn_idx,
+       CAST(SUM(CASE WHEN gap > 300 THEN 1 ELSE 0 END) OVER w AS BIGINT)
+           AS session_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+           AS BIGINT) AS turns_so_far,
+       ROUND(SUM(toks) OVER w, 6) AS tokens_so_far,
+       CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER w AS BIGINT)
+           AS tool_calls_so_far
+FROM g
+WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+             ROWS UNBOUNDED PRECEDING)
+"""
+
 _EMBED_TOPK_ORACLE = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
@@ -1001,6 +1096,16 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS tool_ffill
         FROM transcripts
         """,
+        "lag_lead": f"""
+        WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+        SELECT conv_id, turn_idx,
+               LAG(role) OVER w AS role_lag1,
+               LEAD(role) OVER w AS role_lead1,
+               LAG(role, 2) OVER w AS role_lag2,
+               LEAD(role, 2) OVER w AS role_lead2
+        FROM transcripts
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        """,
         "asof_session_stats": _ASOF_ORACLE,
         "asof_salted": _ASOF_ORACLE,
         "asof_pandas": _ASOF_ORACLE,
@@ -1008,6 +1113,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _EMBED_NEAR_DUP_ORACLE,
         "streaming_sessions": _STREAM_SESSIONS_ORACLE,
         "streaming_token_rates": _STREAM_RATES_ORACLE,
+        "streaming_stateful_progress": _STREAM_STATEFUL_ORACLE,
         "chi2_scores": _CHI2_ORACLE,
         "mi_relevance": _MI_ORACLE,
         "q1_pricing_summary": """

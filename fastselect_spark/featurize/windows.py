@@ -100,7 +100,8 @@ def add_role_runs(df: DataFrame) -> DataFrame:
 def add_rolling_token_stats(df: DataFrame, k: int = 5) -> DataFrame:
     """Token count per turn + rolling sum/avg/stddev over the last ``k+1``
     turns (row frame) and over the trailing 10 minutes (range frame)."""
-    df = df.withColumn("n_tokens", token_count("text").cast("double"))
+    if "n_tokens" not in df.columns:
+        df = df.withColumn("n_tokens", token_count("text").cast("double"))
     row_w = _conv_window().rowsBetween(-k, 0)
     df = (
         df.withColumn(f"tokens_sum_{k}", F.sum("n_tokens").over(row_w))
@@ -160,6 +161,12 @@ def featurize_transcripts(
     Output: input columns + ``DEFAULT_FEATURE_COLS`` + ``label``
     (1 if this turn called a tool — FIXTURES.md §A derived label).
     """
+    # Derive n_tokens BEFORE any window: the expression then evaluates in
+    # the scan-side project, so when a consumer doesn't select ``text``
+    # Catalyst prunes it out of the conv_id Exchange — at 10^12 turns the
+    # text column is ~25x the bytes of every other column combined, and
+    # this keeps it off the wire entirely for numeric-feature pipelines.
+    df = df.withColumn("n_tokens", token_count("text").cast("double"))
     df = add_stable_order(df)
     df = add_turn_gap(df)
     df = add_sessions(df, gap_seconds)
