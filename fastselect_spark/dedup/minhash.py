@@ -62,10 +62,13 @@ def add_minhash_signature(
 def _band_table(
     df: DataFrame, id_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
+    """(id, band, band_hash) rows — deliberately WITHOUT the shingle arrays:
+    the band explode replicates every row ×bands, so carrying shingles here
+    would amplify the self-join shuffle by the band count. Shingles are
+    re-joined onto the (bounded) candidate pairs afterwards instead."""
     band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = df.select(
         F.col(id_col),
-        "shingles",
         F.posexplode(
             F.transform(
                 band_ids,
@@ -102,23 +105,22 @@ def minhash_near_duplicates(
     sig = add_minhash_signature(df, text_col, shingle_k, num_hashes)
     banded = _band_table(sig, id_col, bands, rows_per_band)
 
-    a = banded.select(
-        F.col(id_col).alias("id_a"),
-        F.col("shingles").alias("sh_a"),
-        "band",
-        "band_hash",
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"),
-        F.col("shingles").alias("sh_b"),
-        "band",
-        "band_hash",
-    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     cand = (
         a.join(b, ["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact verification: fetch shingles only for the candidate pairs
+    sh = sig.select(F.col(id_col), "shingles")
+    cand = cand.join(
+        sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
+        "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")

@@ -40,7 +40,7 @@ def build_matrix(feat_df):
         F.least(F.col("role_run_len"), F.lit(5)).cast("int").alias("c_runlen"),
         F.least(F.floor(F.col("turn_gap_s") / 60.0), F.lit(10)).cast("int").alias("c_gap"),
         F.least(F.floor(F.col("sess_avg_tokens_asof")), F.lit(10)).cast("int").alias("c_stok"),
-        F.col("n_tokens").cast("int").alias("c_ntok"),
+        F.least(F.col("n_tokens"), F.lit(60)).cast("int").alias("c_ntok"),
         F.col("label").cast("int").alias("label"),
     )
 
