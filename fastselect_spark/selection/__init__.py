@@ -11,3 +11,11 @@ from fastselect_spark.selection.mdr import MDRClassifier  # noqa: F401
 from fastselect_spark.selection.turf import TuRFSelector  # noqa: F401
 from fastselect_spark.selection.fisher import fisher_score  # noqa: F401
 from fastselect_spark.selection.jmi import JMISelector, jmi_select  # noqa: F401
+from fastselect_spark.selection.matrix import (  # noqa: F401
+    chi2_matrix,
+    encode_shared,
+    matrix_table,
+    mi_matrices_broadcast,
+    mi_relevance_matrix,
+    mrmr_select_matrix,
+)

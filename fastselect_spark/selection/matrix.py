@@ -1,0 +1,325 @@
+"""Wide-matrix (array-column) scorer mode.
+
+The reference's published benchmarks run at feature counts no DataFrame
+column layout can express (chi2 at p=200,000, benchmarking/testing.py:10-13;
+mRMR at p=5,000, benchmarking_mrmr.py:15-18) — Catalyst analysis cost grows
+with column count, so beyond a few hundred features the engine switches to
+ONE ``array<double>`` column holding the feature vector. Two distribution
+axes, matching how the work actually scales:
+
+- **Row-parallel** (any n, p up to millions): sufficient statistics whose
+  size is independent of n — the chi2 observed matrix ``(K, p)`` and the MI
+  relevance histograms ``(p, k, k)`` — accumulated per partition in NumPy
+  (vectorized scatter-adds over Arrow batches) and merged by the tree
+  reduction in ``_agg.py``. This is the reference's single-pass kernel
+  (Chi2.py:7-22, mutual_information.py:49-55) re-expressed as a
+  partition-parallel reduction.
+- **Pair-parallel** (the reference benchmark regime: n bounded, p large):
+  the p×p MI redundancy matrix needs a contingency per feature PAIR —
+  p(p−1)/2 of them — so the coded matrix is broadcast once and tasks own
+  contiguous pair ranges (SURVEY.md §3.2 "pair-chunked job"; the distributed
+  equivalent of the reference's ``prange`` over pairs,
+  mutual_information.py:56-63). Accumulator-free: each task emits only its
+  pairs' MI floats.
+
+Numeric semantics are identical to the narrow-column scorers (shared X∪y
+vocabulary per mRMR.py:90, eps placement per mutual_information.py:40-45,
+chi2 zero-sum/expected guards per Chi2.py:24-47).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastselect_spark.selection._agg import tree_reduce_ndarrays
+from fastselect_spark.selection._stats import (
+    chi2_sf,
+    chi2_stats_from_observed,
+    mi_from_contingency,
+)
+from fastselect_spark.selection.mrmr import mrmr_greedy
+
+MAX_STATES = 512
+
+
+def matrix_table(
+    spark: SparkSession,
+    X: np.ndarray,
+    y: np.ndarray,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Distribute a NumPy (X, y) pair as ``(id long, features array<double>,
+    y double)`` rows — the wide-matrix representation used by benches/tests."""
+    n = len(y)
+    if n_partitions is None:
+        n_partitions = max(spark.sparkContext.defaultParallelism, 2)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "features": [row for row in np.asarray(X, dtype=np.float64)],
+            "y": np.asarray(y, dtype=np.float64),
+        }
+    )
+    return spark.createDataFrame(
+        pdf, schema="id long, features array<double>, y double"
+    ).repartition(n_partitions)
+
+
+def _classes_of(df: DataFrame, label_col: str) -> np.ndarray:
+    rows = df.select(F.col(label_col).cast("double")).distinct().collect()
+    return np.sort(np.array([r[0] for r in rows], dtype=np.float64))
+
+
+def chi2_matrix(
+    df: DataFrame,
+    features_col: str = "features",
+    label_col: str = "y",
+    validate: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """chi2 over an array-column feature matrix: ONE row-parallel pass
+    accumulating the value-weighted observed matrix (K, p) + class counts;
+    driver finalization identical to the narrow-column scorer."""
+    classes = _classes_of(df, label_col)
+    n_classes = len(classes)
+    proj = df.select(
+        F.col(features_col).alias("features"),
+        F.col(label_col).cast("double").alias("y"),
+    )
+
+    def partial(batches: Iterator[pd.DataFrame]) -> dict[str, np.ndarray]:
+        obs = None
+        cnt = np.zeros(n_classes, dtype=np.float64)
+        minv = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Xb = np.stack(pdf["features"].to_numpy()).astype(np.float64)
+            yb = np.searchsorted(classes, pdf["y"].to_numpy(dtype=np.float64))
+            if obs is None:
+                obs = np.zeros((n_classes, Xb.shape[1]), dtype=np.float64)
+                minv = np.full(Xb.shape[1], np.inf)
+            for c in range(n_classes):
+                m = yb == c
+                if m.any():
+                    obs[c] += Xb[m].sum(axis=0)
+                    cnt[c] += int(m.sum())
+            if validate:
+                minv = np.minimum(minv, Xb.min(axis=0))
+        out: dict[str, np.ndarray] = {}
+        if obs is not None:
+            out["obs"] = obs
+            out["cnt"] = cnt
+            if validate:
+                # min is not sum-mergeable; ship a non-negativity FLAG count
+                out["neg"] = np.array([float((minv < 0).sum())])
+        return out
+
+    merged = tree_reduce_ndarrays(proj, partial)
+    if validate and merged.get("neg", np.zeros(1))[0] > 0:
+        raise ValueError("Input matrix X must contain non-negative values.")
+    p = merged["obs"].shape[1]
+    if n_classes < 2:
+        return np.zeros(p, dtype=np.float64), np.ones(p, dtype=np.float64)
+    class_freqs = merged["cnt"]
+    stats = chi2_stats_from_observed(merged["obs"], class_freqs, class_freqs.sum())
+    return stats, chi2_sf(stats, dof=n_classes - 1)
+
+
+def mi_relevance_matrix(
+    df: DataFrame,
+    n_states: int,
+    features_col: str = "features",
+    label_col: str = "y",
+    unit: str = "bit",
+) -> np.ndarray:
+    """relevance[f] = I(X_f; y) for every feature of the array column, in one
+    row-parallel pass. Input must already be integer codes in
+    ``[0, n_states)`` (the reference's `_validate_discrete` contract,
+    mutual_information.py:13-22); the accumulator is the full (p, k, k)
+    joint-histogram tensor — independent of n, so this scales to any row
+    count."""
+    if n_states > MAX_STATES:
+        raise ValueError(f"n_states {n_states} > {MAX_STATES}")
+    k = int(n_states)
+    proj = df.select(
+        F.col(features_col).alias("features"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+
+    def partial(batches: Iterator[pd.DataFrame]) -> dict[str, np.ndarray]:
+        hist = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Xb = np.stack(pdf["features"].to_numpy()).astype(np.int64)
+            yb = pdf["y"].to_numpy(dtype=np.int64)
+            if (Xb < 0).any() or (Xb >= k).any() or (yb < 0).any() or (yb >= k).any():
+                raise ValueError("codes out of [0, n_states) for MI relevance")
+            n_b, p = Xb.shape
+            if hist is None:
+                hist = np.zeros((p, k * k), dtype=np.int64)
+            fused = Xb * k + yb[:, None]  # (n_b, p)
+            # one bincount per feature over fused codes (CLAUDE.md: bincount
+            # beats np.add.at ~10x on fused codes)
+            for f in range(p):
+                hist[f] += np.bincount(fused[:, f], minlength=k * k)
+        return {"hist": hist} if hist is not None else {}
+
+    merged = tree_reduce_ndarrays(proj, partial)
+    hist = merged["hist"]
+    p = hist.shape[0]
+    return np.array(
+        [mi_from_contingency(hist[f].reshape(k, k), unit=unit) for f in range(p)]
+    )
+
+
+def mi_matrices_broadcast(
+    spark: SparkSession,
+    X_codes: np.ndarray,
+    y_codes: np.ndarray,
+    unit: str = "bit",
+    compute_redundancy: bool = True,
+    chunks_per_core: int = 4,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(relevance[p], redundancy[p, p]) by broadcasting the coded matrix and
+    distributing PAIR ranges across tasks — the reference-benchmark regime
+    (n bounded, p large; p(p−1)/2 contingencies). Codes must be a shared
+    0..k-1 integer space (use :func:`encode_shared` first)."""
+    X_codes = np.ascontiguousarray(np.asarray(X_codes, dtype=np.int64))
+    y_codes = np.asarray(y_codes, dtype=np.int64)
+    n, p = X_codes.shape
+    k = int(max(X_codes.max(initial=0), y_codes.max(initial=0))) + 1
+    if k > MAX_STATES:
+        raise ValueError(f"shared code space has {k} states (> {MAX_STATES})")
+
+    n_red = p * (p - 1) // 2 if compute_redundancy else 0
+    n_pairs = p + n_red
+
+    sc = spark.sparkContext
+    # broadcast TRANSPOSED (p, n): a pair gather is then two contiguous row
+    # copies instead of a strided column walk (one cache miss per element —
+    # measured ~10x slower at p=5000)
+    bc_X = sc.broadcast(np.ascontiguousarray(X_codes.T))
+    bc_y = sc.broadcast(y_codes)
+    kk = k * k
+
+    def _decode(t: np.ndarray) -> np.ndarray:
+        """Global pair index -> (i, j) rows; indices < p are the relevance
+        pairs (i, -1), the rest walk the upper triangle row-major. Derived
+        arithmetically so no O(p^2) pair table is ever built or broadcast."""
+        out = np.empty((len(t), 2), dtype=np.int64)
+        rel = t < p
+        out[rel, 0] = t[rel]
+        out[rel, 1] = -1
+        r = t[~rel] - p
+        if len(r):
+            b = 2 * p - 1
+            i = ((b - np.sqrt(b * b - 8.0 * r)) // 2).astype(np.int64)
+            start = i * (2 * p - i - 1) // 2
+            # float-precision fixups
+            over = start > r
+            i[over] -= 1
+            start[over] = i[over] * (2 * p - i[over] - 1) // 2
+            nxt = (i + 1) * (2 * p - i - 2) // 2
+            under = nxt <= r
+            i[under] += 1
+            start[under] = i[under] * (2 * p - i[under] - 1) // 2
+            out[~rel, 0] = i
+            out[~rel, 1] = r - start + i + 1
+        return out
+
+    # pairs per inner block: keep every temp (~n*block int64) around 1MB so
+    # 32 concurrent workers stay inside their malloc arenas — large blocks
+    # mmap/munmap tens of MB per block and page-fault churn across processes
+    # measured 5-8x slower than the same kernel single-process
+    block = max(1, (1 << 14) // kk * max(1, 1000 // max(1, X_codes.shape[0])))
+    eps = 1e-12
+    log_base = np.log(2.0) if unit == "bit" else 1.0
+
+    def _mi_block(Xt, ym, P):  # Xt (p, n); P (m, 2) pair rows -> (m,) MI
+        m = len(P)
+        A = Xt[P[:, 0]]  # (m, n) contiguous row gather
+        B = np.empty_like(A)
+        feat = P[:, 1] >= 0
+        if feat.any():
+            B[feat] = Xt[P[feat, 1]]
+        if (~feat).any():
+            B[~feat] = ym[None, :]
+        fused = A * k + B  # (m, n)
+        flat = (np.arange(m, dtype=np.int64)[:, None] * kk + fused).ravel()
+        T = np.bincount(flat, minlength=m * kk).reshape(m, k, k).astype(np.float64)
+        n_rows = Xt.shape[1]
+        Pm = T / n_rows
+        px = Pm.sum(axis=2, keepdims=True)
+        py = Pm.sum(axis=1, keepdims=True)
+        denom = px * py + eps
+        mask = Pm > eps
+        contrib = np.zeros_like(Pm)
+        np.log(np.where(mask, Pm / denom, 1.0), out=contrib, where=mask)
+        return (Pm * contrib).sum(axis=(1, 2)) / log_base
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Xm, ym = bc_X.value, bc_y.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            idx = pdf["id"].to_numpy(dtype=np.int64)
+            out = np.empty(len(idx), dtype=np.float64)
+            for s in range(0, len(idx), block):
+                sub = idx[s : s + block]
+                out[s : s + block] = _mi_block(Xm, ym, _decode(sub))
+            yield pd.DataFrame({"id": idx, "mi": out})
+
+    n_chunks = min(n_pairs, max(sc.defaultParallelism * chunks_per_core, 2))
+    res = (
+        spark.range(n_pairs)
+        .repartition(n_chunks)
+        .mapInPandas(kernel, schema="id long, mi double")
+        .toPandas()
+    )
+    mi = np.zeros(n_pairs, dtype=np.float64)
+    mi[res["id"].to_numpy(dtype=np.int64)] = res["mi"].to_numpy(dtype=np.float64)
+
+    relevance = mi[:p].copy()
+    redundancy = np.zeros((p, p), dtype=np.float64)
+    if compute_redundancy:
+        iu, ju = np.triu_indices(p, k=1)
+        redundancy[iu, ju] = mi[p:]
+        redundancy[ju, iu] = mi[p:]
+    bc_X.destroy()
+    bc_y.destroy()
+    return relevance, redundancy
+
+
+def encode_shared(X: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Dense-encode X and y against the sorted shared X∪y vocabulary —
+    exactly the reference's `_encode_data_numba` + np.unique composition
+    (mRMR.py:9-27, 90)."""
+    vocab = np.unique(np.concatenate([np.unique(X), np.unique(y)]))
+    return (
+        np.searchsorted(vocab, X).astype(np.int64),
+        np.searchsorted(vocab, y).astype(np.int64),
+        vocab,
+    )
+
+
+def mrmr_select_matrix(
+    spark: SparkSession,
+    X: np.ndarray,
+    y: np.ndarray,
+    n_select: int,
+    method: str = "MID",
+    unit: str = "bit",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """mRMR at the reference's benchmark scale: shared-vocabulary encode,
+    pair-parallel MI matrices, driver greedy loop (mRMR.py:102-131 exact
+    semantics). Returns (selected_idx, relevance, redundancy)."""
+    Xc, yc, _ = encode_shared(X, y)
+    relevance, redundancy = mi_matrices_broadcast(spark, Xc, yc, unit=unit)
+    picked = mrmr_greedy(relevance, redundancy, n_select, method)
+    return picked, relevance, redundancy

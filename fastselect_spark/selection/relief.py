@@ -65,6 +65,28 @@ def _collect_matrix(df: DataFrame, feature_cols: list[str], label_col: str):
     return X, y
 
 
+_WIDE_P = 64
+
+
+def _fit_metadata(
+    df: DataFrame, X: np.ndarray, feature_cols: list[str], discrete_limit: int
+):
+    """is_discrete / ranges (reference fit metadata, ReliefF.py:366-380).
+
+    Narrow p: the one-job distributed agg (_preflight). Wide p: a
+    countDistinct per column plans a p-branch Expand whose codegen alone
+    costs minutes at p=1000, so compute the metadata from the already-
+    collected matrix instead (identical values; Relief broadcasts X anyway)."""
+    if len(feature_cols) <= _WIDE_P:
+        return _preflight(df, feature_cols, discrete_limit)
+    p = X.shape[1]
+    is_discrete = np.empty(p, dtype=bool)
+    for f in range(p):
+        is_discrete[f] = len(np.unique(X[:, f])) <= discrete_limit
+    ranges = X.max(axis=0) - X.min(axis=0) if len(X) else np.zeros(p)
+    return is_discrete, ranges
+
+
 def _dist_block(
     Xb: np.ndarray, X: np.ndarray, recip: np.ndarray, is_disc: np.ndarray
 ) -> np.ndarray:
@@ -191,7 +213,7 @@ class ReliefFSelector(_ReliefBase):
                 UserWarning,
             )
 
-        is_disc, ranges = _preflight(df, feature_cols, self.discrete_limit)
+        is_disc, ranges = _fit_metadata(df, X, feature_cols, self.discrete_limit)
         self.is_discrete_ = is_disc
         ranges = ranges.copy()
         ranges[is_disc] = 1.0
@@ -272,7 +294,7 @@ class SURFSelector(_ReliefBase):
         n = len(y)
         n_select = _resolve_n_select(self.n_features_to_select, p)
 
-        is_disc, ranges = _preflight(df, feature_cols, self.discrete_limit)
+        is_disc, ranges = _fit_metadata(df, X, feature_cols, self.discrete_limit)
         self.is_discrete_ = is_disc
         ranges = ranges.copy()
         ranges[is_disc] = 1.0
@@ -336,7 +358,7 @@ class MultiSURFSelector(_ReliefBase):
         n = len(y)
         n_select = _resolve_n_select(self.n_features_to_select, p)
 
-        is_disc, ranges = _preflight(df, feature_cols, self.discrete_limit)
+        is_disc, ranges = _fit_metadata(df, X, feature_cols, self.discrete_limit)
         self.is_discrete_ = is_disc
         ranges = ranges.copy()
         ranges[ranges == 0] = 1.0  # no discrete override (MultiSURF.py:410-412)

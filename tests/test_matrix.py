@@ -1,0 +1,71 @@
+"""Wide-matrix (array-column) scorer mode vs the NumPy reference oracles:
+row-parallel chi2/MI-relevance and pair-parallel broadcast MI matrices must
+match the narrow-column scorers and the transliterated reference math."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fastselect_spark.selection import (
+    chi2_matrix,
+    encode_shared,
+    matrix_table,
+    mi_matrices_broadcast,
+    mi_relevance_matrix,
+    mrmr_select_matrix,
+)
+from fastselect_spark.selection.mrmr import mrmr_greedy
+
+from oracle_numpy import chi2_oracle, mi_matrices_oracle
+
+
+@pytest.fixture(scope="module")
+def coded(spark):
+    rng = np.random.default_rng(7)
+    n, p, k = 400, 12, 5
+    X = rng.integers(0, k, (n, p)).astype(np.float64)
+    y = ((X[:, 0] + X[:, 3]) % 2 + rng.integers(0, 2, n) * (rng.random(n) < 0.2)).astype(
+        np.float64
+    ) % 2
+    return X, y, matrix_table(spark, X, y, n_partitions=6)
+
+
+def test_chi2_matrix_matches_oracle(spark, coded):
+    X, y, df = coded
+    stats, pvals = chi2_matrix(df)
+    np.testing.assert_allclose(stats, chi2_oracle(X, y), rtol=1e-10, atol=1e-12)
+    assert np.all((pvals >= 0) & (pvals <= 1))
+
+
+def test_chi2_matrix_rejects_negative(spark):
+    X = np.array([[1.0, -1.0], [2.0, 3.0]])
+    y = np.array([0.0, 1.0])
+    df = matrix_table(spark, X, y, n_partitions=2)
+    with pytest.raises(Exception, match="non-negative"):
+        chi2_matrix(df)
+
+
+def test_mi_relevance_matrix_matches_oracle(spark, coded):
+    X, y, df = coded
+    rel_oracle, _ = mi_matrices_oracle(X.astype(np.int64), y.astype(np.int64))
+    rel = mi_relevance_matrix(df, n_states=5)
+    np.testing.assert_allclose(rel, rel_oracle, rtol=1e-10, atol=1e-12)
+
+
+def test_mi_matrices_broadcast_matches_oracle(spark, coded):
+    X, y, _ = coded
+    Xc, yc, _ = encode_shared(X, y)
+    rel, red = mi_matrices_broadcast(spark, Xc, yc)
+    rel_o, red_o = mi_matrices_oracle(X.astype(np.int64), y.astype(np.int64))
+    np.testing.assert_allclose(rel, rel_o, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(red, red_o, rtol=1e-10, atol=1e-12)
+    assert np.allclose(red, red.T) and np.all(np.diag(red) == 0)
+
+
+def test_mrmr_matrix_matches_oracle_greedy(spark, coded):
+    X, y, _ = coded
+    picked, rel, red = mrmr_select_matrix(spark, X, y, n_select=5)
+    rel_o, red_o = mi_matrices_oracle(X.astype(np.int64), y.astype(np.int64))
+    expected = mrmr_greedy(rel_o, red_o, 5, "MID")
+    np.testing.assert_array_equal(picked, expected)
