@@ -201,6 +201,13 @@ def default_mode() -> None:
     scaling = _last_scaling_summary()
     if scaling:
         out["scaling_40M_turns"] = scaling
+    try:
+        blocks = open(os.path.join(REPO, "BENCH", "SCORERS.md")).read().split("```json")
+        out["scorers_at_reference_configs_sec"] = json.loads(
+            blocks[-1].split("```")[0]
+        )
+    except Exception:
+        pass
     print(json.dumps(out))
 
 
@@ -448,6 +455,7 @@ def scorers_mode() -> None:
         )
         for k, v in results.items():
             f.write(f"| {k} | {v} |\n")
+        f.write("\n```json\n" + json.dumps(results) + "\n```\n")
     print(json.dumps({"metric": "scorer microbench (reference configs)", "unit": "sec", "results": results}))
 
 
