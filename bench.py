@@ -187,7 +187,10 @@ def _last_scaling_summary() -> dict | None:
 
 
 def default_mode() -> None:
-    res = run_once(f"local[{CPUS}]", SF_DIR)
+    # warm_in_jvm: compile the pipeline's codegen stages on a 2.5% sample
+    # before the clock starts (same warm-up discipline as scaling mode and
+    # the reference's JIT-exclusion, BASELINE.md §2 step 5)
+    res = run_once(f"local[{CPUS}]", SF_DIR, warm_in_jvm=True)
     total = res["timings"]["total"]
     out = {
         "metric": "asof+featurize+MI/mRMR pipeline end-to-end wall-time",
