@@ -462,10 +462,104 @@ def scorers_mode() -> None:
     print(json.dumps({"metric": "scorer microbench (reference configs)", "unit": "sec", "results": results}))
 
 
+def skew_mode(repeats: int = 3) -> None:
+    """Hot-key skew evidence for the as-of join (north_rule: "salted skew
+    handling"): 200k normal 10-turn conversations + ONE 30M-turn
+    conversation. The plain window strategy serializes the hot key into a
+    single task's sort+window; the salted strategy splits it into fixed
+    time slices with a parallel-prefix carry. Both must produce identical
+    values (checksum compared). Writes BENCH/SKEW.md."""
+    import statistics as stats_mod
+
+    from pyspark.sql import functions as F
+
+    from fastselect_spark.featurize import asof_join
+    from fastselect_spark.runtime.session import get_spark
+
+    spark = get_spark(app_name="fastselect-skew", master=f"local[{CPUS}]")
+    spark.range(1024).repartition(int(CPUS)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    normal = spark.range(200_000 * 10).select(
+        F.concat(F.lit("c"), (F.col("id") / 10).cast("long").cast("string")).alias(
+            "conv_id"
+        ),
+        (F.col("id") % 10).cast("int").alias("turn_idx"),
+        (F.lit(1700000000) + (F.col("id") % 10) * 60).cast("timestamp").alias("ts"),
+    )
+    hot = spark.range(30_000_000).select(
+        F.lit("HOT").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        (F.lit(1700000000) + F.col("id") * 2).cast("timestamp").alias("ts"),
+    )
+    left = normal.unionAll(hot).withColumn("v", F.rand(42)).persist()
+    n = left.count()
+    right = (
+        left.groupBy("conv_id", F.floor(F.unix_timestamp("ts") / 3600).alias("h"))
+        .agg(F.max("ts").alias("ts"), F.avg("v").alias("rv"))
+        .drop("h")
+        .persist()
+    )
+    n_right = right.count()
+
+    report: dict[str, dict] = {}
+    sums: dict[str, float] = {}
+    for strat in ("window", "salted_window"):
+        walls = []
+        for _ in range(repeats + 1):  # first = warm-up
+            t0 = time.perf_counter()
+            out = asof_join(
+                left.select("conv_id", "turn_idx", "ts"),
+                right.select("conv_id", "ts", "rv"),
+                strategy=strat,
+                salt_slice_seconds=3600.0,
+            )
+            row = out.agg(F.sum("rv_asof").alias("s"), F.count(F.lit(1))).collect()[0]
+            walls.append(time.perf_counter() - t0)
+            sums[strat] = float(row["s"])
+        med = stats_mod.median(walls[1:])
+        report[strat] = {"wall_sec_runs": [round(w, 2) for w in walls[1:]],
+                         "wall_sec_median": round(med, 2)}
+    spark.stop()
+    # float sums over different partitionings differ in addition order only;
+    # compare with relative tolerance (row-exact parity is covered by
+    # tests/test_asof.py which compares per-row values across strategies)
+    identical = abs(sums["window"] - sums["salted_window"]) <= 1e-9 * max(
+        abs(sums["window"]), 1.0
+    )
+    summary = {
+        "rows": n,
+        "right_rows": n_right,
+        "hot_key_rows": 30_000_000,
+        "window_sec": report["window"]["wall_sec_median"],
+        "salted_sec": report["salted_window"]["wall_sec_median"],
+        "speedup": round(
+            report["window"]["wall_sec_median"]
+            / report["salted_window"]["wall_sec_median"],
+            2,
+        ),
+        "identical_results": identical,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "SKEW.md"), "w") as f:
+        f.write(
+            "# BENCH/SKEW — hot-key as-of join: plain window vs salted\n\n"
+            "One 30M-turn conversation among 200k normal ones (32M rows"
+            " total). The salted strategy splits the hot conversation into"
+            " 3600s time slices processed in parallel with a prefix-carry"
+            " pass; values are checksum-identical to the plain strategy.\n\n"
+            "```json\n" + json.dumps({**summary, "detail": report}, indent=2)
+            + "\n```\n"
+        )
+    print(json.dumps(summary))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling_mode()
     elif "--scorers" in sys.argv:
         scorers_mode()
+    elif "--skew" in sys.argv:
+        skew_mode()
     else:
         default_mode()
