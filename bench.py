@@ -46,7 +46,7 @@ def _pipeline(
 
     from fastselect_spark.data.transcripts import transcripts_from_events
     from fastselect_spark.featurize import asof_join, featurize_transcripts
-    from fastselect_spark.selection import chi2, mi_matrices
+    from fastselect_spark.selection import scores_from_cube
     from fastselect_spark.selection.mrmr import mrmr_greedy
 
     # Warm-up: spin up Python workers + Arrow serializers before the clock
@@ -65,11 +65,23 @@ def _pipeline(
     if sample_mod:  # warm-up subset: every sample_mod-th conversation
         tr = tr.where(F.pmod(F.xxhash64("conv_id"), F.lit(sample_mod)) == 0)
 
-    # featurize -> as-of join -> narrow integer code matrix, materialized
-    # ONCE into cache. Only the 6 int columns are persisted — never the wide
-    # text-bearing frame (persisting that dominated wall time and memory).
+    # featurize (ONE window pass, narrow projection persisted at the branch
+    # point — the as-of join consumes feat on BOTH sides, and without the
+    # materialization the whole window stack computes twice: measured 2x) ->
+    # as-of join -> integer code matrix -> ONE contingency-cube aggregation
+    # from which chi2 AND MI/mRMR all derive (the cube is the sufficient
+    # statistic, bounded by the code-space product, not the row count). At
+    # cluster scale the persist is the feature-table write that the
+    # checkpointed backfill performs anyway.
     t = time.perf_counter()
-    feat = featurize_transcripts(tr)
+    feat = featurize_transcripts(tr).select(
+        "conv_id", "ts", "turn_gap_s", "session_id",
+        "role_run_len", "n_tokens", "label",
+    ).persist()
+    feat.count()
+    timings["featurize"] = time.perf_counter() - t
+
+    t = time.perf_counter()
     sess = feat.groupBy("conv_id", "session_id").agg(
         F.max("ts").alias("ts"), F.avg("n_tokens").alias("sess_avg_tokens")
     )
@@ -83,26 +95,15 @@ def _pipeline(
         F.least(F.floor(F.col("sess_avg_tokens_asof")), F.lit(10)).cast("int").alias("c_stok"),
         F.least(F.col("n_tokens"), F.lit(60)).cast("int").alias("c_ntok"),
         F.col("label").cast("int").alias("label"),
-    ).persist()
-    n_turns = codes.count()
-    timings["featurize_asof_matrix"] = time.perf_counter() - t
-
-    # stage-boundary GC: the matrix job leaves aged shuffle/cache garbage
-    # whose collection otherwise lands inside the next stage's measurement
-    spark.sparkContext._jvm.System.gc()
-
+    )
     fcols = ["c_session", "c_runlen", "c_gap", "c_stok", "c_ntok"]
-    t = time.perf_counter()
-    chi2(codes, fcols, "label")
-    timings["chi2"] = time.perf_counter() - t
-
-    t = time.perf_counter()
-    rel, red = mi_matrices(codes, fcols, "label")
-    mrmr_greedy(rel, red, 3, "MID")
-    timings["mi_mrmr"] = time.perf_counter() - t
+    scores = scores_from_cube(codes, fcols, "label")
+    n_turns = scores["n"]
+    mrmr_greedy(scores["relevance"], scores["redundancy"], 3, "MID")
+    timings["asof_cube_scores"] = time.perf_counter() - t
 
     timings["total"] = time.perf_counter() - t0
-    codes.unpersist()
+    feat.unpersist()
     return n_turns, timings
 
 

@@ -82,7 +82,12 @@ def add_sessions(df: DataFrame, gap_seconds: float = SESSION_GAP_SECONDS) -> Dat
 
 def add_role_runs(df: DataFrame) -> DataFrame:
     """Run-id of consecutive same-role turns and the running length of the
-    current run (leakage-safe: counts only turns at or before the current)."""
+    current run (leakage-safe: counts only turns at or before the current).
+
+    role_run_len is derived inside the SAME (conv_id, turn_idx) window spec
+    as everything else — current row_number minus the row_number at the
+    run's start — so Catalyst fuses it into the shared Window node instead
+    of planning an extra full-table Sort on (conv_id, role_run_id)."""
     w = _conv_window()
     changed = F.when(
         F.lag("role").over(w).isNull() | (F.col("role") != F.lag("role").over(w)),
@@ -91,10 +96,11 @@ def add_role_runs(df: DataFrame) -> DataFrame:
     df = df.withColumn("role_changed", changed)
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
     df = df.withColumn("role_run_id", F.sum("role_changed").over(cum) - 1)
-    run_w = Window.partitionBy("conv_id", "role_run_id").orderBy("turn_idx").rowsBetween(
-        Window.unboundedPreceding, 0
+    seq = F.row_number().over(w)
+    run_start_seq = F.max(F.when(F.col("role_changed") == 1, seq)).over(cum)
+    return df.withColumn(
+        "role_run_len", (seq - run_start_seq + F.lit(1)).cast("long")
     )
-    return df.withColumn("role_run_len", F.count(F.lit(1)).over(run_w))
 
 
 def add_rolling_token_stats(df: DataFrame, k: int = 5) -> DataFrame:

@@ -11,6 +11,7 @@ from fastselect_spark.selection.mdr import MDRClassifier  # noqa: F401
 from fastselect_spark.selection.turf import TuRFSelector  # noqa: F401
 from fastselect_spark.selection.fisher import fisher_score  # noqa: F401
 from fastselect_spark.selection.jmi import JMISelector, jmi_select  # noqa: F401
+from fastselect_spark.selection.pipeline import scores_from_cube  # noqa: F401
 from fastselect_spark.selection.matrix import (  # noqa: F401
     chi2_matrix,
     encode_shared,
