@@ -26,11 +26,58 @@ from fastselect_spark.selection._stats import mi_from_contingency
 from fastselect_spark.selection.mi import MAX_STATES, shared_vocabulary
 
 
+_CUBE_CELL_CAP = 2_000_000
+
+
+def _joint_tables_cube(
+    df: DataFrame, feature_cols: list[str], label_col: str
+) -> tuple[np.ndarray, np.ndarray, int, int] | None:
+    """Cube-first build (same single-pass shape as mi.py / pipeline.py):
+    ONE groupBy(all columns).count(), vocabularies derived FROM the cube,
+    every relevance/pair table a weighted-bincount marginalization. Returns
+    None when the joint cube exceeds the cap (caller falls back to melt)."""
+    p = len(feature_cols)
+    cols = list(feature_cols) + [label_col]
+    pdf = (
+        df.groupBy(*[F.col(c).cast("double").alias(c) for c in cols])
+        .count()
+        .limit(_CUBE_CELL_CAP + 1)
+        .toPandas()
+    )
+    if len(pdf) > _CUBE_CELL_CAP:
+        return None
+    raw = pdf[cols].to_numpy(dtype=np.float64)
+    counts = pdf["count"].to_numpy(dtype=np.int64)
+    fvocab = np.unique(raw[:, :p])
+    yvocab = np.unique(raw[:, p])
+    k, ky = len(fvocab), len(yvocab)
+    if k > MAX_STATES:
+        raise ValueError(f"feature vocabulary too large for JMI ({k} states)")
+    fcodes = np.searchsorted(fvocab, raw[:, :p])
+    ycodes = np.searchsorted(yvocab, raw[:, p])
+    rel = np.zeros((p, k, ky), dtype=np.int64)
+    for f in range(p):
+        rel[f] = np.bincount(
+            fcodes[:, f] * ky + ycodes, weights=counts, minlength=k * ky
+        ).reshape(k, ky)
+    pairs = [(i, j) for i in range(p) for j in range(i + 1, p)]
+    pair = np.zeros((len(pairs), k * k, ky), dtype=np.int64)
+    for n, (i, j) in enumerate(pairs):
+        fused = (fcodes[:, i] * k + fcodes[:, j]) * ky + ycodes
+        pair[n] = np.bincount(
+            fused, weights=counts, minlength=k * k * ky
+        ).reshape(k * k, ky)
+    return rel, pair, k, ky
+
+
 def _joint_tables(
     df: DataFrame, feature_cols: list[str], label_col: str
 ) -> tuple[np.ndarray, np.ndarray, int, int]:
     """Returns (rel_tables[p, k, ky], pair_tables[npairs, k*k, ky], k, ky)
     where pair index follows i<j row-major order. Exact integer counts."""
+    res = _joint_tables_cube(df, feature_cols, label_col)
+    if res is not None:
+        return res
     p = len(feature_cols)
     fvocab = shared_vocabulary(df, feature_cols)
     yvocab = shared_vocabulary(df, [label_col])
