@@ -59,7 +59,7 @@ def main() -> None:
     from fastselect_spark.featurize import featurize_transcripts
     from fastselect_spark.runtime.checkpoint import run_resumable_backfill
     from fastselect_spark.runtime.session import get_spark
-    from fastselect_spark.selection import chi2, mi_matrices
+    from fastselect_spark.selection import scores_from_cube
     from fastselect_spark.selection.mrmr import mrmr_greedy
 
     spark = get_spark(app_name="fastselect-pipeline", master=args.master)
@@ -86,14 +86,17 @@ def main() -> None:
         *[os.path.join(args.output, f"bucket={b}") for b in range(args.n_buckets)]
     )
     fcols = ["c_session", "c_runlen", "c_gap", "c_stok", "c_ntok"]
-    stats, pvals = chi2(matrix, fcols, "label")
-    rel, red = mi_matrices(matrix, fcols, "label")
-    picked = mrmr_greedy(rel, red, min(args.select, len(fcols)), "MID")
+    # chi2 + MI/mRMR all derive from ONE contingency-cube pass over the
+    # written matrix (selection/pipeline.py)
+    scores = scores_from_cube(matrix, fcols, "label")
+    picked = mrmr_greedy(
+        scores["relevance"], scores["redundancy"], min(args.select, len(fcols)), "MID"
+    )
     report = {
         "backfill": summary,
-        "chi2": {c: float(s) for c, s in zip(fcols, stats)},
-        "p_values": {c: float(v) for c, v in zip(fcols, pvals)},
-        "mi_relevance_bits": {c: float(r) for c, r in zip(fcols, rel)},
+        "chi2": {c: float(s) for c, s in zip(fcols, scores["chi2"])},
+        "p_values": {c: float(v) for c, v in zip(fcols, scores["p_values"])},
+        "mi_relevance_bits": {c: float(r) for c, r in zip(fcols, scores["relevance"])},
         "mrmr_selected": [fcols[i] for i in picked],
     }
     with open(os.path.join(args.output, "report.json"), "w") as f:
