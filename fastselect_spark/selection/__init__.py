@@ -15,6 +15,7 @@ from fastselect_spark.selection.pipeline import scores_from_cube  # noqa: F401
 from fastselect_spark.selection.matrix import (  # noqa: F401
     chi2_matrix,
     encode_shared,
+    fisher_matrix,
     matrix_table,
     mi_matrices_broadcast,
     mi_relevance_matrix,

@@ -130,6 +130,59 @@ def chi2_matrix(
     return stats, chi2_sf(stats, dof=n_classes - 1)
 
 
+def fisher_matrix(
+    df: DataFrame,
+    features_col: str = "features",
+    label_col: str = "y",
+) -> np.ndarray:
+    """Fisher score over an array-column matrix: one row-parallel pass
+    accumulating per-class (count, sum, sum-of-squares) per feature —
+    identical finalization semantics to selection/fisher.py (between-class
+    variance over pooled within-class population variance; +inf on
+    zero-within with differing means, 0 when constant)."""
+    classes = _classes_of(df, label_col)
+    n_classes = len(classes)
+    proj = df.select(
+        F.col(features_col).alias("features"),
+        F.col(label_col).cast("double").alias("y"),
+    )
+
+    def partial(batches: Iterator[pd.DataFrame]) -> dict[str, np.ndarray]:
+        s = q = None
+        cnt = np.zeros(n_classes, dtype=np.float64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Xb = np.stack(pdf["features"].to_numpy()).astype(np.float64)
+            yb = np.searchsorted(classes, pdf["y"].to_numpy(dtype=np.float64))
+            if s is None:
+                s = np.zeros((n_classes, Xb.shape[1]), dtype=np.float64)
+                q = np.zeros_like(s)
+            for c in range(n_classes):
+                m = yb == c
+                if m.any():
+                    s[c] += Xb[m].sum(axis=0)
+                    q[c] += (Xb[m] ** 2).sum(axis=0)
+                    cnt[c] += int(m.sum())
+        return {"s": s, "q": q, "cnt": cnt} if s is not None else {}
+
+    merged = tree_reduce_ndarrays(proj, partial)
+    s, q, n_c = merged["s"], merged["q"], merged["cnt"]
+    p = s.shape[1]
+    if n_classes < 2:
+        return np.zeros(p, dtype=np.float64)
+    n = n_c.sum()
+    mu_c = s / n_c[:, None]
+    var_c = np.maximum(q / n_c[:, None] - mu_c**2, 0.0)
+    mu = s.sum(axis=0) / n
+    between = (n_c[:, None] * (mu_c - mu[None, :]) ** 2).sum(axis=0)
+    within = (n_c[:, None] * var_c).sum(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(
+            within > 0, between / within, np.where(between > 0, np.inf, 0.0)
+        )
+
+
 def mi_relevance_matrix(
     df: DataFrame,
     n_states: int,

@@ -10,11 +10,13 @@ import pytest
 from fastselect_spark.selection import (
     chi2_matrix,
     encode_shared,
+    fisher_matrix,
     matrix_table,
     mi_matrices_broadcast,
     mi_relevance_matrix,
     mrmr_select_matrix,
 )
+from fastselect_spark.selection import fisher_score
 from fastselect_spark.selection.mrmr import mrmr_greedy
 
 from oracle_numpy import chi2_oracle, mi_matrices_oracle
@@ -61,6 +63,19 @@ def test_mi_matrices_broadcast_matches_oracle(spark, coded):
     np.testing.assert_allclose(rel, rel_o, rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(red, red_o, rtol=1e-10, atol=1e-12)
     assert np.allclose(red, red.T) and np.all(np.diag(red) == 0)
+
+
+def test_fisher_matrix_matches_column_mode(spark, coded):
+    X, y, df = coded
+    got = fisher_matrix(df)
+    cols = [f"f{i}" for i in range(X.shape[1])]
+    import pandas as pd
+
+    pdf = pd.DataFrame(X, columns=cols)
+    pdf["label"] = y
+    ndf = spark.createDataFrame(pdf)
+    want = fisher_score(ndf, cols, "label")
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
 
 
 def test_mrmr_matrix_matches_oracle_greedy(spark, coded):
