@@ -362,6 +362,9 @@ def scorers_mode() -> None:
     )
     xdf.count()
     timed("chi2_n2000_p200000_K5", lambda: chi2_matrix(xdf), reps=3)
+    from fastselect_spark.selection import fisher_matrix
+
+    timed("fisher_n2000_p200000_K5", lambda: fisher_matrix(xdf), reps=3)
     xdf.unpersist()
 
     # --- mRMR @ n=1000, codes 0-4, select K=10 ----------------------------
