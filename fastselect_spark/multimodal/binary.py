@@ -55,6 +55,8 @@ def synthesize_media_table(
         size = int(rng.integers(64, 4096))
         payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
         kind = kinds[i]
+        # Nullable int columns: a pandas round-trip upcasts them to float64,
+        # which MEDIA_SCHEMA's IntegerType rejects — create from rows directly.
         rows.append(
             {
                 "media_id": i,
@@ -67,7 +69,7 @@ def synthesize_media_table(
                 "n_bytes": size,
             }
         )
-    return spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
 def unavailable_decoder(payload: bytes, kind: str) -> np.ndarray:
