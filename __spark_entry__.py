@@ -91,8 +91,17 @@ def _q_backfill_last_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return add_backfill(tr, ["tool"]).select("conv_id", "turn_idx", "tool_ffill")
 
 
-def _q_asof_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feat = featurize_transcripts(_transcripts(spark, sf_dir))
+def _session_asof(spark: SparkSession, sf_dir: str, strategy: str, **kw) -> DataFrame:
+    """Shared body of the three as-of queries. The narrow featurize
+    projection is persisted at the branch point: BOTH join sides consume it,
+    and an unpersisted branch recomputes the whole window stack per side
+    (only identical Exchanges are reused — the CLAUDE.md union-double-read
+    pitfall)."""
+    feat = (
+        featurize_transcripts(_transcripts(spark, sf_dir))
+        .select("conv_id", "turn_idx", "ts", "session_id", "n_tokens")
+        .persist()
+    )
     right = feat.groupBy("conv_id", "session_id").agg(
         F.max("ts").alias("ts"),
         F.round(F.avg("n_tokens"), 6).alias("sess_avg_tokens"),
@@ -101,50 +110,28 @@ def _q_asof_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = asof_join(
         feat.select("conv_id", "turn_idx", "ts"),
         right.select("conv_id", "ts", "sess_avg_tokens", "sess_n_turns"),
-        strategy="window",
+        strategy=strategy,
+        **kw,
     )
     return joined.select(
         "conv_id", "turn_idx", "sess_avg_tokens_asof", "sess_n_turns_asof"
     )
+
+
+def _q_asof_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _session_asof(spark, sf_dir, "window")
 
 
 def _q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same point-in-time semantics as asof_session_stats, but through the
     salted two-pass strategy (hot-key time-slice split + parallel-prefix
     carry) — the oracle proves all strategies agree."""
-    feat = featurize_transcripts(_transcripts(spark, sf_dir))
-    right = feat.groupBy("conv_id", "session_id").agg(
-        F.max("ts").alias("ts"),
-        F.round(F.avg("n_tokens"), 6).alias("sess_avg_tokens"),
-        F.count(F.lit(1)).cast("long").alias("sess_n_turns"),
-    )
-    joined = asof_join(
-        feat.select("conv_id", "turn_idx", "ts"),
-        right.select("conv_id", "ts", "sess_avg_tokens", "sess_n_turns"),
-        strategy="salted_window",
-        salt_slice_seconds=600.0,
-    )
-    return joined.select(
-        "conv_id", "turn_idx", "sess_avg_tokens_asof", "sess_n_turns_asof"
-    )
+    return _session_asof(spark, sf_dir, "salted_window", salt_slice_seconds=600.0)
 
 
 def _q_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join via the cogrouped merge_asof strategy (Arrow-batched)."""
-    feat = featurize_transcripts(_transcripts(spark, sf_dir))
-    right = feat.groupBy("conv_id", "session_id").agg(
-        F.max("ts").alias("ts"),
-        F.round(F.avg("n_tokens"), 6).alias("sess_avg_tokens"),
-        F.count(F.lit(1)).cast("long").alias("sess_n_turns"),
-    )
-    joined = asof_join(
-        feat.select("conv_id", "turn_idx", "ts"),
-        right.select("conv_id", "ts", "sess_avg_tokens", "sess_n_turns"),
-        strategy="pandas",
-    )
-    return joined.select(
-        "conv_id", "turn_idx", "sess_avg_tokens_asof", "sess_n_turns_asof"
-    )
+    return _session_asof(spark, sf_dir, "pandas")
 
 
 def _q_chi2_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,10 +253,18 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw documents fixture has no exact duplicates at small SF (the
+    round-1 check was vacuously green at 0 rows), so plant deterministic
+    copies: every 7th doc re-enters under doc_id + 1,000,000. The oracle
+    performs the identical union, so the hash comparison has content."""
     from fastselect_spark.dedup import exact_duplicate_groups
 
     _register(spark, sf_dir, "documents")
-    return exact_duplicate_groups(spark.table("documents")).select(
+    docs = spark.table("documents")
+    planted = docs.where(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return exact_duplicate_groups(docs.unionByName(planted)).select(
         "fp_exact", "keep_id", F.col("n_copies").cast("long").alias("n_copies")
     )
 
@@ -388,28 +383,45 @@ def _q_video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_available_now(spark: SparkSession, out_df: DataFrame, name: str) -> DataFrame:
+def _run_available_now(
+    spark: SparkSession, out_df: DataFrame, name: str, mode: str = "complete"
+) -> DataFrame:
+    import shutil
     import tempfile
 
     ckpt = tempfile.mkdtemp(prefix=f"fs_ckpt_{name}_")
     q = (
         out_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
+    # the memory sink holds the rows; the checkpoint is dead weight once the
+    # availableNow query terminated
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
-def _staged_transcripts_path(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
+_STAGED: dict[str, str] = {}
 
-    path = tempfile.mkdtemp(prefix="fs_stream_src_") + "/transcripts"
-    _transcripts(spark, sf_dir).write.mode("overwrite").parquet(path)
-    return path
+
+def _staged_transcripts_path(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the derived transcripts as parquet ONCE per (session, sf_dir)
+    and remove the staging dirs at interpreter exit."""
+    if sf_dir not in _STAGED:
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="fs_stream_src_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = root + "/transcripts"
+        _transcripts(spark, sf_dir).write.mode("overwrite").parquet(path)
+        _STAGED[sf_dir] = path
+    return _STAGED[sf_dir]
 
 
 def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,22 +486,11 @@ def _q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_transcripts_stream,
         stateful_conversation_progress,
     )
-    import tempfile
 
     path = _staged_transcripts_path(spark, sf_dir)
     stream = read_transcripts_stream(spark, path)
     out = stateful_conversation_progress(stream, gap_seconds=300)
-    ckpt = tempfile.mkdtemp(prefix="fs_ckpt_stateful_")
-    q = (
-        out.writeStream.format("memory")
-        .queryName("fs_stateful_progress")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    res = spark.table("fs_stateful_progress")
+    res = _run_available_now(spark, out, "fs_stateful_progress", mode="append")
     return res.select(
         "conv_id",
         "turn_idx",
@@ -516,14 +517,18 @@ def _q_relieff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic 1500-row Relief sample: ordered by the DERIVED code columns
+# (lineitem's natural key is not unique in this synthetic data); boundary
+# ties are between rows with identical feature vectors, so the collected
+# matrix is engine-independent.
+_SAMPLED_CODES_SQL = f"""
+SELECT * FROM ({_LINEITEM_CODES_SQL})
+ORDER BY f_line, f_qty, f_disc, f_tax, y LIMIT 1500
+"""
+
+
 def _sampled_lineitem_codes(spark: SparkSession) -> DataFrame:
-    # deterministic sample: order by the table's unique key before limit
-    return spark.sql(
-        _LINEITEM_CODES_SQL.replace(
-            "FROM lineitem",
-            "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1500",
-        )
-    )
+    return spark.sql(_SAMPLED_CODES_SQL)
 
 
 def _q_surf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,21 +590,38 @@ def _q_cfs_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Genotype frame for the MDR queries. The fold column is a DETERMINISTIC
+# per-class round-robin — SQL-expressible on any engine, which is what lets
+# the full CV vote be oracle-checked (the default sklearn-parity shuffled
+# StratifiedKFold uses an MT19937 permutation no SQL oracle can reproduce;
+# that path keeps its pytest parity coverage). The round-robin is ordered by
+# the DERIVED code columns, not a table key: lineitem's (l_orderkey,
+# l_linenumber) is not unique in this synthetic data, and any ordering tie
+# between rows with identical (g*, y) is harmless — swapping them never
+# changes a (combo, fold, cell, y) count.
+_MDR_CODES_SQL = """
+SELECT g0, g1, g2, g3, y,
+       CAST((ROW_NUMBER() OVER (PARTITION BY y ORDER BY g0, g1, g2, g3) - 1) % 3
+            AS INT) AS fold
+FROM (
+    SELECT CAST(l_linenumber % 3 AS INT) AS g0,
+           CAST(CAST(FLOOR(l_quantity / 10) AS INT) % 3 AS INT) AS g1,
+           CAST(CAST(ROUND(l_discount * 100) AS INT) % 3 AS INT) AS g2,
+           CAST(CAST(ROUND(l_tax * 100) AS INT) % 3 AS INT) AS g3,
+           CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS y
+    FROM lineitem
+)
+"""
+
+
 def _q_mdr_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastselect_spark.selection import MDRClassifier
 
     _register(spark, sf_dir, "lineitem")
-    m = spark.sql(
-        """
-        SELECT CAST(l_linenumber % 3 AS INT) AS g0,
-               CAST(CAST(FLOOR(l_quantity / 10) AS INT) % 3 AS INT) AS g1,
-               CAST(CAST(ROUND(l_discount * 100) AS INT) % 3 AS INT) AS g2,
-               CAST(CAST(ROUND(l_tax * 100) AS INT) % 3 AS INT) AS g3,
-               CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS y
-        FROM lineitem
-        """
+    m = spark.sql(_MDR_CODES_SQL)
+    clf = MDRClassifier(k=2, cv=3).fit(
+        m, ["g0", "g1", "g2", "g3"], "y", fold_col="fold"
     )
-    clf = MDRClassifier(k=2, cv=3).fit(m, ["g0", "g1", "g2", "g3"], "y")
     return spark.createDataFrame(
         [
             (
@@ -619,16 +641,8 @@ def _q_mdr_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastselect_spark.selection import MDRClassifier
 
     _register(spark, sf_dir, "lineitem")
-    m = spark.sql(
-        """
-        SELECT CAST(l_linenumber % 3 AS INT) AS g0,
-               CAST(CAST(FLOOR(l_quantity / 10) AS INT) % 3 AS INT) AS g1,
-               CAST(CAST(ROUND(l_discount * 100) AS INT) % 3 AS INT) AS g2,
-               CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS y
-        FROM lineitem
-        """
-    )
-    clf = MDRClassifier(k=2, cv=3).fit(m, ["g0", "g1", "g2"], "y")
+    m = spark.sql(_MDR_CODES_SQL)
+    clf = MDRClassifier(k=2, cv=3).fit(m, ["g0", "g1", "g2"], "y", fold_col="fold")
     pred = clf.predict(m)
     return pred.groupBy("y", "prediction").agg(
         F.count(F.lit(1)).cast("long").alias("n")
@@ -698,17 +712,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_pandas": _q_asof_pandas,
         "chi2_scores": _q_chi2_scores,
         "mi_relevance": _q_mi_relevance,
-        "mrmr_selection": _q_mrmr_selection,  # greedy loop: rows-only check
+        "mrmr_selection": _q_mrmr_selection,  # greedy loop unrolled in SQL CTEs
         "fisher_scores": _q_fisher_scores,
-        "jmi_selection": _q_jmi_selection,  # greedy loop: rows-only
-
-        "relieff_scores": _q_relieff_scores,  # O(n^2) kernel: rows-only
-        "surf_scores": _q_surf_scores,  # O(n^2) kernel: rows-only
-        "multisurf_scores": _q_multisurf_scores,  # O(n^2) kernel: rows-only
+        "jmi_selection": _q_jmi_selection,  # greedy loop unrolled in SQL CTEs
+        "relieff_scores": _q_relieff_scores,  # O(n^2) kernel as self-join SQL
+        "surf_scores": _q_surf_scores,  # O(n^2) kernel as self-join SQL
+        "multisurf_scores": _q_multisurf_scores,  # O(n^2) kernel as self-join SQL
         "turf_selection": _q_turf_selection,  # iterative wrapper: rows-only
         "cfs_selection": _q_cfs_selection,  # best-first search: rows-only
-        "mdr_interaction": _q_mdr_interaction,  # CV vote: rows-only
-        "mdr_predictions": _q_mdr_predictions,  # LUT predict: rows-only
+        "mdr_interaction": _q_mdr_interaction,  # CV vote unrolled in SQL
+        "mdr_predictions": _q_mdr_predictions,  # full-data LUT in SQL
         "fingerprints": _q_fingerprints,
         "lang_id": _q_lang_id,
         "text_stats": _q_text_stats,
@@ -835,6 +848,417 @@ per AS (
 SELECT feature,
        ROUND(CASE WHEN within_v > 0 THEN between_v / within_v ELSE 0 END, 6) AS fisher
 FROM per
+"""
+
+# --- selection-oracle SQL builders ----------------------------------------
+# These unroll the greedy/CV/kernel loops of the selection operators into
+# plain ANSI SQL at the driver queries' tiny shapes (p=4, k=2, n=1500), so
+# DuckDB can reproduce the full algorithm — not just its inputs.
+
+_FEATS_VALUES = ", ".join(f"({i}, '{f}')" for i, f in enumerate(_MI_FEATURES))
+_REL_LONG = " UNION ALL ".join(
+    f"SELECT {i} AS fid, {f} AS v, y FROM m" for i, f in enumerate(_MI_FEATURES)
+)
+_PAIR_LONG = " UNION ALL ".join(
+    f"SELECT {i} AS fa, {j} AS fb, {_MI_FEATURES[i]} AS a, "
+    f"{_MI_FEATURES[j]} AS b, y FROM m"
+    for i in range(len(_MI_FEATURES))
+    for j in range(i + 1, len(_MI_FEATURES))
+)
+
+# Shared CTE block: per-feature relevance MI (bits) and symmetric pairwise
+# tables, with the reference's exact eps placement (pxy/(px*py + 1e-12)).
+_MI_TABLES_CTE = f"""
+feats(fid, feature) AS (VALUES {_FEATS_VALUES}),
+rlong AS ({_REL_LONG}),
+rj AS (SELECT fid, v, y, CAST(COUNT(*) AS DOUBLE) AS c FROM rlong GROUP BY 1, 2, 3),
+rn AS (SELECT fid, SUM(c) AS n FROM rj GROUP BY 1),
+rpx AS (SELECT fid, v, SUM(c) AS cx FROM rj GROUP BY 1, 2),
+rpy AS (SELECT fid, y, SUM(c) AS cy FROM rj GROUP BY 1, 2),
+rel AS (
+    SELECT rj.fid,
+           SUM((c / n) * LOG2((c / n) / ((cx / n) * (cy / n) + 1e-12))) AS mi
+    FROM rj JOIN rn USING (fid) JOIN rpx USING (fid, v) JOIN rpy USING (fid, y)
+    GROUP BY rj.fid
+),
+plong AS ({_PAIR_LONG})
+"""
+
+# mRMR (reference mRMR.py:102-131): seed argmax relevance; MID score
+# rel - red_sum/i; ties via np.isclose (atol 1e-12, DEFAULT rtol 1e-5) then
+# argmin of average redundancy with first-index tie-break.
+_MRMR_ORACLE = f"""
+WITH m AS ({_LINEITEM_CODES_SQL}),
+{_MI_TABLES_CTE},
+pj AS (SELECT fa, fb, a, b, CAST(COUNT(*) AS DOUBLE) AS c FROM plong GROUP BY 1, 2, 3, 4),
+pn AS (SELECT fa, fb, SUM(c) AS n FROM pj GROUP BY 1, 2),
+ppa AS (SELECT fa, fb, a, SUM(c) AS cx FROM pj GROUP BY 1, 2, 3),
+ppb AS (SELECT fa, fb, b, SUM(c) AS cy FROM pj GROUP BY 1, 2, 3),
+red0 AS (
+    SELECT pj.fa, pj.fb,
+           SUM((c / n) * LOG2((c / n) / ((cx / n) * (cy / n) + 1e-12))) AS mi
+    FROM pj JOIN pn USING (fa, fb) JOIN ppa USING (fa, fb, a) JOIN ppb USING (fa, fb, b)
+    GROUP BY pj.fa, pj.fb
+),
+red AS (SELECT fa, fb, mi FROM red0 UNION ALL SELECT fb, fa, mi FROM red0),
+s1 AS (SELECT fid FROM rel ORDER BY mi DESC, fid LIMIT 1),
+c2 AS (
+    SELECT r.fid, r.mi - rd.mi AS score, rd.mi AS rsum
+    FROM rel r JOIN red rd ON rd.fa = r.fid AND rd.fb = (SELECT fid FROM s1)
+),
+s2 AS (
+    SELECT fid FROM c2
+    WHERE score >= (SELECT MAX(score) FROM c2)
+                   - (1e-12 + 1e-5 * ABS((SELECT MAX(score) FROM c2)))
+    ORDER BY rsum, fid LIMIT 1
+),
+c3 AS (
+    SELECT r.fid, r.mi - (r1.mi + r2.mi) / 2 AS score, (r1.mi + r2.mi) / 2 AS rsum
+    FROM rel r
+    JOIN red r1 ON r1.fa = r.fid AND r1.fb = (SELECT fid FROM s1)
+    JOIN red r2 ON r2.fa = r.fid AND r2.fb = (SELECT fid FROM s2)
+),
+s3 AS (
+    SELECT fid FROM c3
+    WHERE score >= (SELECT MAX(score) FROM c3)
+                   - (1e-12 + 1e-5 * ABS((SELECT MAX(score) FROM c3)))
+    ORDER BY rsum, fid LIMIT 1
+)
+SELECT CAST(rk.rank AS INT) AS rank, f.feature
+FROM (
+    SELECT 0 AS rank, fid FROM s1
+    UNION ALL SELECT 1, fid FROM s2
+    UNION ALL SELECT 2, fid FROM s3
+) rk JOIN feats f USING (fid)
+"""
+
+# JMI (Yang & Moody): seed argmax relevance; then argmax of
+# sum_{s in S} I((X_f, X_s); Y) with strict-> first-index tie-break.
+_JMI_ORACLE = f"""
+WITH m AS ({_LINEITEM_CODES_SQL}),
+{_MI_TABLES_CTE},
+jj AS (
+    SELECT fa, fb, a, b, y, CAST(COUNT(*) AS DOUBLE) AS c
+    FROM plong GROUP BY 1, 2, 3, 4, 5
+),
+jn AS (SELECT fa, fb, SUM(c) AS n FROM jj GROUP BY 1, 2),
+jx AS (SELECT fa, fb, a, b, SUM(c) AS cx FROM jj GROUP BY 1, 2, 3, 4),
+jy AS (SELECT fa, fb, y, SUM(c) AS cy FROM jj GROUP BY 1, 2, 3),
+jmi0 AS (
+    SELECT jj.fa, jj.fb,
+           SUM((c / n) * LOG2((c / n) / ((cx / n) * (cy / n) + 1e-12))) AS mi
+    FROM jj JOIN jn USING (fa, fb) JOIN jx USING (fa, fb, a, b) JOIN jy USING (fa, fb, y)
+    GROUP BY jj.fa, jj.fb
+),
+jmi AS (SELECT fa, fb, mi FROM jmi0 UNION ALL SELECT fb, fa, mi FROM jmi0),
+s1 AS (SELECT fid FROM rel ORDER BY mi DESC, fid LIMIT 1),
+s2 AS (
+    SELECT fa AS fid FROM jmi WHERE fb = (SELECT fid FROM s1)
+    ORDER BY mi DESC, fa LIMIT 1
+),
+s3 AS (
+    SELECT j1.fa AS fid FROM jmi j1 JOIN jmi j2 ON j1.fa = j2.fa
+    WHERE j1.fb = (SELECT fid FROM s1) AND j2.fb = (SELECT fid FROM s2)
+    ORDER BY j1.mi + j2.mi DESC, j1.fa LIMIT 1
+)
+SELECT CAST(rk.rank AS INT) AS rank, f.feature
+FROM (
+    SELECT 0 AS rank, fid FROM s1
+    UNION ALL SELECT 1, fid FROM s2
+    UNION ALL SELECT 2, fid FROM s3
+) rk JOIN feats f USING (fid)
+"""
+
+
+def _mdr_oracle_cte(feature_list: list[str]) -> str:
+    """CV-vote CTE block reproducing MDRClassifier.fit with the
+    deterministic fold column (kernel BA rule MDR.py:82-129, LUT rule
+    MDR.py:176-195, per-fold argmax + CVC vote MDR.py:304-323)."""
+    from itertools import combinations as _comb
+
+    combos = list(_comb(range(len(feature_list)), 2))
+    combos_values = ", ".join(
+        f"({cid}, {a}, {b})" for cid, (a, b) in enumerate(combos)
+    )
+
+    def gexpr(sel: str) -> str:
+        whens = " ".join(f"WHEN {i} THEN {f}" for i, f in enumerate(feature_list))
+        return f"(CASE {sel} {whens} END)"
+
+    return f"""
+folds(t) AS (VALUES (0), (1), (2)),
+combos(cid, fa, fb) AS (VALUES {combos_values}),
+cellrows AS (
+    SELECT c.cid, m.fold, m.y,
+           {gexpr('c.fa')} * 3 + {gexpr('c.fb')} AS cell
+    FROM m CROSS JOIN combos c
+),
+cnt AS (
+    SELECT cid, fold, cell,
+           CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS ca,
+           CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS co
+    FROM cellrows GROUP BY 1, 2, 3
+),
+train AS (
+    SELECT f.t, c.cid, c.cell,
+           SUM(CASE WHEN c.fold <> f.t THEN c.ca ELSE 0 END) AS ca,
+           SUM(CASE WHEN c.fold <> f.t THEN c.co ELSE 0 END) AS co
+    FROM cnt c CROSS JOIN folds f
+    GROUP BY 1, 2, 3
+),
+ttot AS (SELECT t, cid, SUM(ca) AS tca, SUM(co) AS tco FROM train GROUP BY 1, 2),
+kern AS (
+    SELECT tr.t, tr.cid,
+           CASE WHEN tt.tca = 0 OR tt.tco = 0 THEN 0.0 ELSE (
+               SUM(CASE WHEN tr.co = 0 OR
+                        tr.ca / (CASE WHEN tr.co > 0 THEN tr.co ELSE 1 END)
+                            > tt.tca / tt.tco
+                        THEN tr.ca ELSE 0 END) / tt.tca
+             + SUM(CASE WHEN NOT (tr.co = 0 OR
+                        tr.ca / (CASE WHEN tr.co > 0 THEN tr.co ELSE 1 END)
+                            > tt.tca / tt.tco)
+                        THEN tr.co ELSE 0 END) / tt.tco
+           ) / 2.0 END AS ba
+    FROM train tr JOIN ttot tt USING (t, cid)
+    GROUP BY tr.t, tr.cid, tt.tca, tt.tco
+),
+best AS (
+    SELECT t, cid FROM (
+        SELECT t, cid, ROW_NUMBER() OVER (PARTITION BY t ORDER BY ba DESC, cid) AS rn
+        FROM kern
+    ) WHERE rn = 1
+),
+lut AS (
+    SELECT tr.t, tr.cid, tr.cell,
+           (tr.ca / (tr.co + 1e-9)) >
+               (CASE WHEN tt.tco = 0 THEN 9e99 ELSE tt.tca / tt.tco END) AS high
+    FROM train tr JOIN ttot tt USING (t, cid) JOIN best b USING (t, cid)
+),
+testc AS (
+    SELECT c.fold AS t, c.cid, c.cell, c.ca, c.co
+    FROM cnt c JOIN best b ON b.t = c.fold AND b.cid = c.cid
+),
+teval AS (
+    SELECT tc.t, SUM(tc.ca) AS npos, SUM(tc.co) AS nneg,
+           SUM(CASE WHEN COALESCE(l.high, FALSE) THEN tc.ca ELSE 0 END) AS tp,
+           SUM(CASE WHEN NOT COALESCE(l.high, FALSE) THEN tc.co ELSE 0 END) AS tn
+    FROM testc tc
+    LEFT JOIN lut l ON l.t = tc.t AND l.cid = tc.cid AND l.cell = tc.cell
+    GROUP BY tc.t
+),
+tba AS (
+    SELECT t, ((CASE WHEN npos > 0 THEN tp / npos ELSE 0 END)
+             + (CASE WHEN nneg > 0 THEN tn / nneg ELSE 0 END)) / 2.0 AS test_ba
+    FROM teval
+),
+vote AS (
+    SELECT b.cid, COUNT(*) AS cvc, AVG(tb.test_ba) AS mean_ba, MIN(b.t) AS first_t
+    FROM best b JOIN tba tb USING (t)
+    GROUP BY b.cid
+),
+win AS (SELECT * FROM vote ORDER BY cvc DESC, mean_ba DESC, first_t LIMIT 1)
+"""
+
+
+_MDR_INTERACTION_ORACLE = f"""
+WITH m AS ({_MDR_CODES_SQL}),
+{_mdr_oracle_cte(["g0", "g1", "g2", "g3"])}
+SELECT CAST(c.fa AS INT) AS f_a, CAST(c.fb AS INT) AS f_b,
+       CAST(w.cvc AS INT) AS cvc, ROUND(w.mean_ba, 6) AS mean_test_ba
+FROM win w JOIN combos c USING (cid)
+"""
+
+_MDR_PRED_G = ["g0", "g1", "g2"]
+_MDR_PRED_CELL = (
+    "(CASE c.fa WHEN 0 THEN m.g0 WHEN 1 THEN m.g1 WHEN 2 THEN m.g2 END) * 3 + "
+    "(CASE c.fb WHEN 0 THEN m.g0 WHEN 1 THEN m.g1 WHEN 2 THEN m.g2 END)"
+)
+
+_MDR_PREDICTIONS_ORACLE = f"""
+WITH m AS ({_MDR_CODES_SQL}),
+{_mdr_oracle_cte(_MDR_PRED_G)},
+fullcnt AS (
+    SELECT c.cid, c.cell, SUM(c.ca) AS ca, SUM(c.co) AS co
+    FROM cnt c JOIN win w ON w.cid = c.cid
+    GROUP BY 1, 2
+),
+ftot AS (SELECT cid, SUM(ca) AS tca, SUM(co) AS tco FROM fullcnt GROUP BY 1),
+flut AS (
+    SELECT fc.cell,
+           (fc.ca / (fc.co + 1e-9)) >
+               (CASE WHEN ft.tco = 0 THEN 9e99 ELSE ft.tca / ft.tco END) AS high
+    FROM fullcnt fc JOIN ftot ft USING (cid)
+),
+pred AS (
+    SELECT m.y,
+           CASE WHEN COALESCE(fl.high, FALSE) THEN 1 ELSE 0 END AS prediction
+    FROM m
+    JOIN win w ON TRUE
+    JOIN combos c ON c.cid = w.cid
+    LEFT JOIN flut fl ON fl.cell = {_MDR_PRED_CELL}
+)
+SELECT y, CAST(prediction AS INT) AS prediction, COUNT(*) AS n
+FROM pred GROUP BY 1, 2
+"""
+
+
+def _relief_base_sql(multisurf: bool = False) -> str:
+    """Shared CTE prefix for the Relief-family oracles: the deterministic
+    1500-row sample with row ids, fit metadata (discrete flags + range
+    reciprocals, ReliefF.py:366-380), and the all-pairs mixed-metric
+    distance table. Distance terms are added in feature order, matching the
+    kernel's accumulation order bit-for-bit; ReliefF/SURF force discrete
+    ranges to 1 while MultiSURF does not (MultiSURF.py:410-412) — recip is
+    only ever applied to continuous features, so both forms are faithful."""
+    mt_cols, diffs = [], []
+    for i, f in enumerate(_MI_FEATURES):
+        mt_cols.append(f"COUNT(DISTINCT {f}) <= 10 AS disc{i}")
+        if multisurf:
+            mt_cols.append(
+                f"1.0 / (CASE WHEN MAX({f}) = MIN({f}) THEN 1.0 "
+                f"ELSE CAST(MAX({f}) - MIN({f}) AS DOUBLE) END) AS recip{i}"
+            )
+        else:
+            mt_cols.append(
+                f"1.0 / (CASE WHEN COUNT(DISTINCT {f}) <= 10 OR MAX({f}) = MIN({f}) "
+                f"THEN 1.0 ELSE CAST(MAX({f}) - MIN({f}) AS DOUBLE) END) AS recip{i}"
+            )
+        diffs.append(
+            f"CASE WHEN mt.disc{i} THEN "
+            f"(CASE WHEN a.{f} <> b.{f} THEN 1.0 ELSE 0.0 END) "
+            f"ELSE ABS(CAST(a.{f} AS DOUBLE) - CAST(b.{f} AS DOUBLE)) * mt.recip{i} "
+            f"END AS df{i}"
+        )
+    return f"""
+samp AS ({_SAMPLED_CODES_SQL}),
+m0 AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY f_line, f_qty, f_disc, f_tax, y) - 1 AS rid
+    FROM samp
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM m0),
+mt AS (SELECT {', '.join(mt_cols)} FROM m0),
+dp AS (
+    SELECT a.rid AS i, b.rid AS j, a.y AS yi, b.y AS yj, {', '.join(diffs)}
+    FROM m0 a JOIN m0 b ON a.rid <> b.rid CROSS JOIN mt
+),
+dist AS (SELECT *, (((df0) + df1) + df2) + df3 AS dd FROM dp)
+"""
+
+
+def _relief_unpivot(update_cols: list[str], out_col: str) -> str:
+    """Final per-feature score rows: sum of per-sample updates / n."""
+    parts = [
+        f"SELECT '{f}' AS feature, "
+        f"ROUND(SUM({u}) / (SELECT n FROM nn), 6) AS {out_col} FROM upd"
+        for f, u in zip(_MI_FEATURES, update_cols)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+# ReliefF (CPU-kernel semantics, ReliefF.py:137-220): exact k-NN per class
+# by stable argsort (= ORDER BY dist, j), per-miss-class weight
+# P(c)/(1-P(yi)), hit term / hits-found, miss term / k, final / n.
+_RELIEFF_ORACLE = f"""
+WITH {_relief_base_sql()},
+pri AS (
+    SELECT y, CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM nn) AS pr FROM m0 GROUP BY 1
+),
+rk AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY i, yj ORDER BY dd, j) AS r FROM dist
+),
+hit_agg AS (
+    SELECT i, CAST(COUNT(*) AS DOUBLE) AS h_found,
+           SUM(df0) AS h0, SUM(df1) AS h1, SUM(df2) AS h2, SUM(df3) AS h3
+    FROM rk WHERE yi = yj AND r <= 3 GROUP BY 1
+),
+miss_agg AS (
+    SELECT i, SUM(w * df0) AS q0, SUM(w * df1) AS q1,
+           SUM(w * df2) AS q2, SUM(w * df3) AS q3
+    FROM (
+        SELECT rk.*, pc.pr / (CASE WHEN 1.0 - pi.pr = 0 THEN 1.0
+                                   ELSE 1.0 - pi.pr END) AS w
+        FROM rk JOIN pri pc ON pc.y = rk.yj JOIN pri pi ON pi.y = rk.yi
+        WHERE rk.yi <> rk.yj AND rk.r <= 3
+    ) GROUP BY 1
+),
+upd AS (
+    SELECT COALESCE(h.i, ms.i) AS i,
+           COALESCE(ms.q0, 0) / 3.0
+               - (CASE WHEN h.h_found > 0 THEN h.h0 / h.h_found ELSE 0 END) AS u0,
+           COALESCE(ms.q1, 0) / 3.0
+               - (CASE WHEN h.h_found > 0 THEN h.h1 / h.h_found ELSE 0 END) AS u1,
+           COALESCE(ms.q2, 0) / 3.0
+               - (CASE WHEN h.h_found > 0 THEN h.h2 / h.h_found ELSE 0 END) AS u2,
+           COALESCE(ms.q3, 0) / 3.0
+               - (CASE WHEN h.h_found > 0 THEN h.h3 / h.h_found ELSE 0 END) AS u3
+    FROM hit_agg h FULL JOIN miss_agg ms ON h.i = ms.i
+)
+{_relief_unpivot(['u0', 'u1', 'u2', 'u3'], 'relieff')}
+"""
+
+# SURF (SURF.py:131-218): near zone = dist < mean of the sample's distances
+# (self counted as 0 in the sum, denominator n-1, strict <); update =
+# sum(near-miss diffs) - sum(near-hit diffs); final / n.
+_SURF_ORACLE = f"""
+WITH {_relief_base_sql()},
+stats AS (
+    SELECT i, SUM(dd) / ((SELECT n FROM nn) - 1) AS avg_d FROM dist GROUP BY 1
+),
+upd AS (
+    SELECT d.i,
+           SUM(CASE WHEN d.yj <> d.yi THEN df0 ELSE -df0 END) AS u0,
+           SUM(CASE WHEN d.yj <> d.yi THEN df1 ELSE -df1 END) AS u1,
+           SUM(CASE WHEN d.yj <> d.yi THEN df2 ELSE -df2 END) AS u2,
+           SUM(CASE WHEN d.yj <> d.yi THEN df3 ELSE -df3 END) AS u3
+    FROM dist d JOIN stats s ON s.i = d.i
+    WHERE d.dd < s.avg_d
+    GROUP BY d.i
+)
+{_relief_unpivot(['u0', 'u1', 'u2', 'u3'], 'surf')}
+"""
+
+# MultiSURF (MultiSURF.py:165-253): threshold mu - 0.5*sigma (variance
+# clamped >= 0); near-hit/near-miss diff sums averaged by their counts.
+_MULTISURF_ORACLE = f"""
+WITH {_relief_base_sql(multisurf=True)},
+stats0 AS (
+    SELECT i, SUM(dd) / ((SELECT n FROM nn) - 1) AS mu,
+           SUM(dd * dd) / ((SELECT n FROM nn) - 1) AS m2
+    FROM dist GROUP BY 1
+),
+stats AS (
+    SELECT i, mu - 0.5 * SQRT(GREATEST(m2 - mu * mu, 0.0)) AS thresh FROM stats0
+),
+nz AS (
+    SELECT d.* FROM dist d JOIN stats s ON s.i = d.i WHERE d.dd < s.thresh
+),
+agg AS (
+    SELECT i,
+           CAST(SUM(CASE WHEN yj = yi THEN 1 ELSE 0 END) AS DOUBLE) AS nh,
+           CAST(SUM(CASE WHEN yj <> yi THEN 1 ELSE 0 END) AS DOUBLE) AS nm,
+           SUM(CASE WHEN yj = yi THEN df0 ELSE 0 END) AS h0,
+           SUM(CASE WHEN yj = yi THEN df1 ELSE 0 END) AS h1,
+           SUM(CASE WHEN yj = yi THEN df2 ELSE 0 END) AS h2,
+           SUM(CASE WHEN yj = yi THEN df3 ELSE 0 END) AS h3,
+           SUM(CASE WHEN yj <> yi THEN df0 ELSE 0 END) AS q0,
+           SUM(CASE WHEN yj <> yi THEN df1 ELSE 0 END) AS q1,
+           SUM(CASE WHEN yj <> yi THEN df2 ELSE 0 END) AS q2,
+           SUM(CASE WHEN yj <> yi THEN df3 ELSE 0 END) AS q3
+    FROM nz GROUP BY 1
+),
+upd AS (
+    SELECT i,
+           (CASE WHEN nm > 0 THEN q0 / nm ELSE 0 END)
+               - (CASE WHEN nh > 0 THEN h0 / nh ELSE 0 END) AS u0,
+           (CASE WHEN nm > 0 THEN q1 / nm ELSE 0 END)
+               - (CASE WHEN nh > 0 THEN h1 / nh ELSE 0 END) AS u1,
+           (CASE WHEN nm > 0 THEN q2 / nm ELSE 0 END)
+               - (CASE WHEN nh > 0 THEN h2 / nh ELSE 0 END) AS u2,
+           (CASE WHEN nm > 0 THEN q3 / nm ELSE 0 END)
+               - (CASE WHEN nh > 0 THEN h3 / nh ELSE 0 END) AS u3
+    FROM agg
+)
+{_relief_unpivot(['u0', 'u1', 'u2', 'u3'], 'multisurf')}
 """
 
 _QUALITY_EXPR = """
@@ -1056,10 +1480,16 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         """,
         "dedup_exact_groups": """
-        WITH fp AS (
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            WHERE doc_id % 7 = 0
+        ),
+        fp AS (
             SELECT doc_id,
                    MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp_exact
-            FROM documents
+            FROM corpus
         )
         SELECT fp_exact, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         FROM fp GROUP BY 1 HAVING COUNT(*) > 1
@@ -1116,6 +1546,13 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stateful_progress": _STREAM_STATEFUL_ORACLE,
         "chi2_scores": _CHI2_ORACLE,
         "mi_relevance": _MI_ORACLE,
+        "mrmr_selection": _MRMR_ORACLE,
+        "jmi_selection": _JMI_ORACLE,
+        "mdr_interaction": _MDR_INTERACTION_ORACLE,
+        "mdr_predictions": _MDR_PREDICTIONS_ORACLE,
+        "relieff_scores": _RELIEFF_ORACLE,
+        "surf_scores": _SURF_ORACLE,
+        "multisurf_scores": _MULTISURF_ORACLE,
         "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2)                  AS sum_qty,

@@ -120,6 +120,8 @@ def chi2_matrix(
         return out
 
     merged = tree_reduce_ndarrays(proj, partial)
+    if "obs" not in merged:
+        raise ValueError("chi2_matrix: input DataFrame is empty")
     if validate and merged.get("neg", np.zeros(1))[0] > 0:
         raise ValueError("Input matrix X must contain non-negative values.")
     p = merged["obs"].shape[1]
@@ -167,6 +169,8 @@ def fisher_matrix(
         return {"s": s, "q": q, "cnt": cnt} if s is not None else {}
 
     merged = tree_reduce_ndarrays(proj, partial)
+    if "s" not in merged:
+        raise ValueError("fisher_matrix: input DataFrame is empty")
     s, q, n_c = merged["s"], merged["q"], merged["cnt"]
     p = s.shape[1]
     if n_classes < 2:
@@ -224,6 +228,8 @@ def mi_relevance_matrix(
         return {"hist": hist} if hist is not None else {}
 
     merged = tree_reduce_ndarrays(proj, partial)
+    if "hist" not in merged:
+        raise ValueError("mi_relevance_matrix: input DataFrame is empty")
     hist = merged["hist"]
     p = hist.shape[0]
     return np.array(

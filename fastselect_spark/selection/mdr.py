@@ -95,11 +95,21 @@ class MDRClassifier:
         self.verbose = verbose
 
     def fit(
-        self, df: DataFrame, feature_cols: list[str], label_col: str = "label"
+        self,
+        df: DataFrame,
+        feature_cols: list[str],
+        label_col: str = "label",
+        fold_col: str | None = None,
     ) -> "MDRClassifier":
+        """``fold_col``: optional precomputed test-fold assignment column
+        (ints in [0, cv)). Default is the sklearn StratifiedKFold(shuffle,
+        seed=42) reimplementation; a caller-supplied deterministic fold
+        column makes the whole CV vote reproducible by any engine (it is
+        what the driver-contract oracle uses)."""
         self.feature_cols_ = list(feature_cols)
         p = len(feature_cols)
-        pdf = df.select(*feature_cols, label_col).toPandas()
+        sel_cols = [*feature_cols, label_col] + ([fold_col] if fold_col else [])
+        pdf = df.select(*sel_cols).toPandas()
         X = pdf[feature_cols].to_numpy()
         y = pdf[label_col].to_numpy()
         if not np.isin(np.unique(X), [0, 1, 2]).all():
@@ -115,7 +125,12 @@ class MDRClassifier:
 
         combos = list(combinations(range(p), k))
         n_combos = len(combos)
-        test_folds = stratified_kfold_assign(y, cv, seed=42)
+        if fold_col is not None:
+            test_folds = pdf[fold_col].to_numpy().astype(np.int64)
+            if test_folds.min() < 0 or test_folds.max() >= cv:
+                raise ValueError(f"fold_col values must be in [0, {cv})")
+        else:
+            test_folds = stratified_kfold_assign(y, cv, seed=42)
 
         spark = df.sparkSession
         bc = spark.sparkContext.broadcast((X, y, test_folds))
@@ -151,20 +166,21 @@ class MDRClassifier:
                             case_tot - case_fc[fold], ctrl_tot - ctrl_fc[fold]
                         )
                         rows.append(
-                            {"combo_id": int(cid), "fold": fold, "ba": np.float32(ba)}
+                            {"combo_id": int(cid), "fold": fold, "ba": float(ba)}
                         )
             yield pd.DataFrame(rows, columns=["combo_id", "fold", "ba"])
 
         bas = combo_df.mapInPandas(
-            mapper, schema="combo_id long, fold int, ba float"
+            mapper, schema="combo_id long, fold int, ba double"
         ).toPandas()
 
-        # per-fold argmax with first-index tie-break (np.argmax semantics)
+        # per-fold argmax with first-index tie-break (np.argmax semantics);
+        # BAs kept float64 so the argmax is well-defined at any gap
         fold_best_models: list[tuple[int, ...]] = []
         fold_test_bas: list[float] = []
         for fold in range(cv):
             sub = bas[bas["fold"] == fold].sort_values("combo_id")
-            arr = np.full(n_combos, -np.inf, dtype=np.float32)
+            arr = np.full(n_combos, -np.inf, dtype=np.float64)
             arr[sub["combo_id"].to_numpy()] = sub["ba"].to_numpy()
             best_idx = int(np.argmax(arr))
             best_combo = combos[best_idx]
@@ -230,3 +246,10 @@ class MDRClassifier:
             f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
         )
         return df.mapInPandas(pred, schema=f"{schema_str}, prediction int")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Project to the winning interaction's columns — the reference's
+        ``X[:, best_interaction_]`` (MDR.py:336-344)."""
+        if not hasattr(self, "best_interaction_"):
+            raise RuntimeError("MDRClassifier is not fitted")
+        return df.select(*[self.feature_cols_[i] for i in self.best_interaction_])

@@ -188,6 +188,11 @@ def _mi_matrices_cube(
         vocab = np.unique(raw)
     else:
         vocab = np.asarray(vocab, dtype=np.float64)
+        if not np.isin(raw.ravel(), vocab).all():
+            raise ValueError(
+                "caller-supplied vocab does not cover all observed values; "
+                "searchsorted would silently mis-bin them"
+            )
     k = len(vocab)
     if k > MAX_STATES:
         raise ValueError(

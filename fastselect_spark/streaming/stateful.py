@@ -65,7 +65,9 @@ def _progress_fn(gap_seconds: float, state_ttl_minutes: int):
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            pdf = pdf.sort_values("ts", kind="mergesort")
+            # (ts, turn_idx) matches the batch oracle's window tie-break for
+            # equal-timestamp turns within a conversation
+            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
             ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
             n_tok = pdf["text"].fillna("").str.split().str.len().astype(float)
             has_tool = pdf["tool"].notna()

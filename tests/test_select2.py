@@ -111,6 +111,94 @@ def test_multisurf_ranking_b2(spark):
     np.testing.assert_allclose(m.feature_importances_[3], 0.0, atol=1e-7)
 
 
+# ---------- Relief numeric parity (allclose vs loop-kernel oracles) ----------
+
+from tests.oracle_numpy import multisurf_oracle, relieff_oracle, surf_oracle
+
+# the reference's own CPU-vs-GPU tolerances (tests/test_surf.py:74-80)
+_RTOL, _ATOL = 1e-5, 1e-7
+
+
+@pytest.fixture(scope="module")
+def relief_mixed(spark):
+    """Mixed discrete/continuous matrix with label noise — large enough that
+    neighbor sets are non-trivial, small enough for the O(n^2) oracle."""
+    rng = np.random.default_rng(7)
+    n = 120
+    y = rng.integers(0, 3, n)
+    X = np.column_stack(
+        [
+            y * 2.0 + rng.normal(0, 0.8, n),          # continuous, informative
+            rng.normal(0, 1.0, n),                     # continuous noise
+            (y + rng.integers(0, 2, n)) % 3,           # discrete, informative
+            rng.integers(0, 4, n).astype(float),       # discrete noise
+            np.full(n, 3.0),                           # constant
+        ]
+    )
+    df, cols = _to_df(spark, X, y)
+    return X, y, df, cols
+
+
+def test_relieff_allclose_oracle(relief_mixed):
+    X, y, df, cols = relief_mixed
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        m = ReliefFSelector(n_features_to_select=2, n_neighbors=3).fit(df, cols)
+    exp = relieff_oracle(X, y, n_neighbors=3)
+    np.testing.assert_allclose(m.feature_importances_, exp, rtol=_RTOL, atol=_ATOL)
+
+
+def test_surf_allclose_oracle(relief_mixed):
+    X, y, df, cols = relief_mixed
+    m = SURFSelector(n_features_to_select=2).fit(df, cols)
+    np.testing.assert_allclose(
+        m.feature_importances_, surf_oracle(X, y), rtol=_RTOL, atol=_ATOL
+    )
+
+
+def test_surf_star_allclose_oracle(relief_mixed):
+    X, y, df, cols = relief_mixed
+    m = SURFSelector(n_features_to_select=2, use_star=True).fit(df, cols)
+    np.testing.assert_allclose(
+        m.feature_importances_, surf_oracle(X, y, use_star=True),
+        rtol=_RTOL, atol=_ATOL,
+    )
+
+
+def test_multisurf_allclose_oracle(relief_mixed):
+    X, y, df, cols = relief_mixed
+    m = MultiSURFSelector(n_features_to_select=2).fit(df, cols)
+    np.testing.assert_allclose(
+        m.feature_importances_, multisurf_oracle(X, y), rtol=_RTOL, atol=_ATOL
+    )
+
+
+def test_multisurf_star_allclose_oracle(relief_mixed):
+    X, y, df, cols = relief_mixed
+    m = MultiSURFSelector(n_features_to_select=2, use_star=True).fit(df, cols)
+    np.testing.assert_allclose(
+        m.feature_importances_, multisurf_oracle(X, y, use_star=True),
+        rtol=_RTOL, atol=_ATOL,
+    )
+
+
+def test_relieff_allclose_oracle_b1(b1):
+    """Golden fixture B1 under allclose, not just ranking."""
+    df, cols = b1
+    X = np.array(
+        [
+            [0.1, 5.0, 10, 3.0], [0.2, 4.0, 10, 3.0], [0.3, 6.0, 10, 3.0],
+            [10.8, 5.0, 20, 3.0], [10.9, 4.0, 20, 3.0], [11.0, 6.0, 20, 3.0],
+        ]
+    )
+    y = np.array([0, 0, 0, 1, 1, 1])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        m = ReliefFSelector(n_features_to_select=2, discrete_limit=3).fit(df, cols)
+    exp = relieff_oracle(X, y, n_neighbors=3, discrete_limit=3)
+    np.testing.assert_allclose(m.feature_importances_, exp, rtol=_RTOL, atol=_ATOL)
+
+
 def test_discrete_limit_grid_b3(spark):
     """FIXTURES.md B3: is_discrete_ thresholds at discrete_limit."""
     X = np.array([[i, i % 3] for i in range(11)] * 2, dtype=float)
