@@ -3,11 +3,15 @@
 
 Distributed axis: the combinatorial search. Feature combos are enumerated on
 the driver (like the reference, MDR.py:247-250) and CHUNKED across tasks;
-each task scores its combo range against the broadcast genotype matrix for
-ALL folds in one vectorized pass (fold-offset bincount of 3^k cell ids —
-better than the reference's per-fold re-scan, SURVEY.md §4.1). The driver
-reduces per-fold argmax (first-index tie-break like np.argmax), builds the
-per-fold LUTs, votes CV-consistency, and fits the final full-data LUT.
+each task scores its combo range against the staged genotype matrix (read
+executor-side, never collected to the driver — see ``_stage.py``) for ALL
+folds in one vectorized pass (fold-offset bincount of 3^k cell ids — better
+than the reference's per-fold re-scan, SURVEY.md §4.1), and returns only
+the per-(combo, fold, cell) COUNT TENSORS. Everything downstream — per-fold
+kernel-BA argmax (first-index tie-break like np.argmax), per-fold LUT
+construction and test evaluation, the CV-consistency vote, and the final
+full-data LUT — is computed on the driver from those tensors alone
+(n_combos × cv × 3^k × 2 ints); the driver never holds a row of X.
 
 Reference semantics reproduced:
 - genotypes must be 0/1/2 (ValueError otherwise); y must be binary 0/1;
@@ -31,6 +35,14 @@ from itertools import combinations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastselect_spark.selection._stage import (
+    LABEL,
+    MID,
+    load_staged,
+    stage_matrix,
+)
 
 
 def stratified_kfold_assign(y: np.ndarray, n_splits: int, seed: int = 42) -> np.ndarray:
@@ -103,103 +115,120 @@ class MDRClassifier:
     ) -> "MDRClassifier":
         """``fold_col``: optional precomputed test-fold assignment column
         (ints in [0, cv)). Default is the sklearn StratifiedKFold(shuffle,
-        seed=42) reimplementation; a caller-supplied deterministic fold
-        column makes the whole CV vote reproducible by any engine (it is
-        what the driver-contract oracle uses)."""
+        seed=42) reimplementation — that path collects the LABEL column to
+        the driver (O(n) but single-column; the MT19937 permutation is
+        inherently driver-side) and broadcasts the fold vector. With
+        ``fold_col`` there is no driver collect at all, which is the path
+        to use at scale (and what the driver-contract oracle uses)."""
         self.feature_cols_ = list(feature_cols)
         p = len(feature_cols)
-        sel_cols = [*feature_cols, label_col] + ([fold_col] if fold_col else [])
-        pdf = df.select(*sel_cols).toPandas()
-        X = pdf[feature_cols].to_numpy()
-        y = pdf[label_col].to_numpy()
-        if not np.isin(np.unique(X), [0, 1, 2]).all():
-            raise ValueError("MDR requires genotype features coded 0/1/2.")
-        if not np.isin(np.unique(y), [0, 1]).all():
-            raise ValueError("MDR requires binary labels coded 0/1.")
-        X = X.astype(np.uint8)
-        y = y.astype(np.uint8)
-        n = len(y)
         k = self.k
         cv = self.cv
         n_cells = 3**k
+        spark = df.sparkSession
+
+        extra = (fold_col,) if fold_col else ()
+        path = stage_matrix(df, feature_cols, label_col, extra_cols=extra)
+        staged = spark.read.parquet(path)
+
+        # distributed validation (reference raises on bad codes, MDR.py:220-235)
+        geno_bad = " OR ".join(
+            f"({c} IS NULL OR {c} NOT IN (0, 1, 2))" for c in feature_cols
+        )
+        if staged.where(geno_bad).limit(1).count() > 0:
+            raise ValueError("MDR requires genotype features coded 0/1/2.")
+        if staged.where(f"{LABEL} IS NULL OR {LABEL} NOT IN (0, 1)").limit(1).count() > 0:
+            raise ValueError("MDR requires binary labels coded 0/1.")
 
         combos = list(combinations(range(p), k))
         n_combos = len(combos)
-        if fold_col is not None:
-            test_folds = pdf[fold_col].to_numpy().astype(np.int64)
-            if test_folds.min() < 0 or test_folds.max() >= cv:
-                raise ValueError(f"fold_col values must be in [0, {cv})")
-        else:
-            test_folds = stratified_kfold_assign(y, cv, seed=42)
-
-        spark = df.sparkSession
-        bc = spark.sparkContext.broadcast((X, y, test_folds))
         combos_arr = np.array(combos, dtype=np.int64)
+
+        folds_bc = None
+        if fold_col is None:
+            # sklearn-parity path: label column (only) to the driver
+            lab = staged.select(MID, LABEL).toPandas().sort_values(MID)
+            test_folds = stratified_kfold_assign(
+                lab[LABEL].to_numpy(), cv, seed=42
+            )
+            folds_bc = spark.sparkContext.broadcast(test_folds.astype(np.int8))
 
         # distribute combo chunks
         parts = min(max(spark.sparkContext.defaultParallelism, 4), n_combos)
-        combo_df = spark.createDataFrame(
-            pd.DataFrame({"combo_id": np.arange(n_combos, dtype=np.int64)})
-        ).repartition(parts)
-        combos_bc = spark.sparkContext.broadcast(combos_arr)
+        combo_df = spark.range(n_combos).repartition(parts)
 
         def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            Xb, yb, folds = bc.value
-            carr = combos_bc.value
+            _, X, y, extras = load_staged(path, feature_cols)
+            Xi = X.astype(np.int64)
+            yi = y.astype(np.int64)
+            if fold_col is not None:
+                folds = extras[fold_col].astype(np.int64)
+                if folds.min() < 0 or folds.max() >= cv:
+                    raise ValueError(f"fold_col values must be in [0, {cv})")
+            else:
+                folds = folds_bc.value.astype(np.int64)
             rows = []
             for pdf_b in batches:
-                for cid in pdf_b["combo_id"].to_numpy():
-                    combo = tuple(int(v) for v in carr[cid])
-                    cells = _cells_for_combo(Xb, combo)
+                for cid in pdf_b["id"].to_numpy():
+                    combo = tuple(int(v) for v in combos_arr[cid])
+                    cells = _cells_for_combo(Xi, combo)
                     # joint (fold, cell) counts for cases and controls
                     idx = folds * n_cells + cells
                     case_fc = np.bincount(
-                        idx[yb == 1], minlength=cv * n_cells
+                        idx[yi == 1], minlength=cv * n_cells
                     ).reshape(cv, n_cells)
                     ctrl_fc = np.bincount(
-                        idx[yb == 0], minlength=cv * n_cells
+                        idx[yi == 0], minlength=cv * n_cells
                     ).reshape(cv, n_cells)
-                    case_tot = case_fc.sum(axis=0)
-                    ctrl_tot = ctrl_fc.sum(axis=0)
-                    for fold in range(cv):
-                        ba = _ba_from_counts(
-                            case_tot - case_fc[fold], ctrl_tot - ctrl_fc[fold]
-                        )
-                        rows.append(
-                            {"combo_id": int(cid), "fold": fold, "ba": float(ba)}
-                        )
-            yield pd.DataFrame(rows, columns=["combo_id", "fold", "ba"])
+                    rows.append(
+                        {
+                            "combo_id": int(cid),
+                            "case": case_fc.astype(np.int64).tobytes(),
+                            "ctrl": ctrl_fc.astype(np.int64).tobytes(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["combo_id", "case", "ctrl"])
 
-        bas = combo_df.mapInPandas(
-            mapper, schema="combo_id long, fold int, ba double"
-        ).toPandas()
+        case_t = np.zeros((n_combos, cv, n_cells), dtype=np.int64)
+        ctrl_t = np.zeros((n_combos, cv, n_cells), dtype=np.int64)
+        for r in combo_df.mapInPandas(
+            mapper, schema="combo_id long, case binary, ctrl binary"
+        ).collect():
+            cid = int(r["combo_id"])
+            case_t[cid] = np.frombuffer(r["case"], dtype=np.int64).reshape(cv, n_cells)
+            ctrl_t[cid] = np.frombuffer(r["ctrl"], dtype=np.int64).reshape(cv, n_cells)
 
-        # per-fold argmax with first-index tie-break (np.argmax semantics);
-        # BAs kept float64 so the argmax is well-defined at any gap
+        # everything below runs on the (n_combos, cv, 3^k) tensors only
+        case_tot = case_t.sum(axis=1)  # (n_combos, n_cells)
+        ctrl_tot = ctrl_t.sum(axis=1)
+
         fold_best_models: list[tuple[int, ...]] = []
         fold_test_bas: list[float] = []
         for fold in range(cv):
-            sub = bas[bas["fold"] == fold].sort_values("combo_id")
-            arr = np.full(n_combos, -np.inf, dtype=np.float64)
-            arr[sub["combo_id"].to_numpy()] = sub["ba"].to_numpy()
-            best_idx = int(np.argmax(arr))
-            best_combo = combos[best_idx]
-            fold_best_models.append(best_combo)
-            # train LUT on train split, evaluate on test split (driver-side)
-            train = test_folds != fold
-            cells = _cells_for_combo(X, best_combo)
-            case = np.bincount(cells[train & (y == 1)], minlength=n_cells)
-            ctrl = np.bincount(cells[train & (y == 0)], minlength=n_cells)
-            lut = _lut(case, ctrl)
-            test = ~train
-            y_pred = lut[cells[test]]
-            y_test = y[test]
-            n_pos = int((y_test == 1).sum())
-            n_neg = int((y_test == 0).sum())
-            tp = int(((y_test == 1) & (y_pred == 1)).sum())
-            tn = int(((y_test == 0) & (y_pred == 0)).sum())
-            sens = tp / n_pos if n_pos else 0
-            spec = tn / n_neg if n_neg else 0
+            # per-fold argmax with first-index tie-break (np.argmax semantics)
+            bas = np.array(
+                [
+                    _ba_from_counts(
+                        case_tot[c] - case_t[c, fold], ctrl_tot[c] - ctrl_t[c, fold]
+                    )
+                    for c in range(n_combos)
+                ],
+                dtype=np.float64,
+            )
+            best_idx = int(np.argmax(bas))
+            fold_best_models.append(combos[best_idx])
+            # train LUT, evaluated on the test fold — from counts alone:
+            # tp = sum(case_test[lut==1]), tn = sum(ctrl_test[lut==0])
+            lut = _lut(
+                case_tot[best_idx] - case_t[best_idx, fold],
+                ctrl_tot[best_idx] - ctrl_t[best_idx, fold],
+            )
+            te_case = case_t[best_idx, fold]
+            te_ctrl = ctrl_t[best_idx, fold]
+            n_pos = int(te_case.sum())
+            n_neg = int(te_ctrl.sum())
+            sens = int(te_case[lut == 1].sum()) / n_pos if n_pos else 0
+            spec = int(te_ctrl[lut == 0].sum()) / n_neg if n_neg else 0
             fold_test_bas.append((sens + spec) / 2.0)
 
         counts = Counter(fold_best_models)
@@ -219,10 +248,8 @@ class MDRClassifier:
         self.best_interaction_ = best_model
         self.best_cvc_ = max_cvc
         self.best_mean_testing_ba_ = best_avg_ba
-        cells = _cells_for_combo(X, best_model)
-        case = np.bincount(cells[y == 1], minlength=n_cells)
-        ctrl = np.bincount(cells[y == 0], minlength=n_cells)
-        self.best_model_lookup_table_ = _lut(case, ctrl)
+        best_cid = combos.index(best_model)
+        self.best_model_lookup_table_ = _lut(case_tot[best_cid], ctrl_tot[best_cid])
         return self
 
     def predict(self, df: DataFrame) -> DataFrame:

@@ -2,14 +2,18 @@
 (reference O1–O3, /root/reference/src/fast_select/{ReliefF,SURF,MultiSURF}.py).
 
 Physical strategy (SURVEY.md §2.2 O1): these are all-pairs neighbor-margin
-scores — O(n²·p) by definition, with no relational equivalent. The sample
-matrix is broadcast to executors and the PER-SAMPLE outer loop is distributed
-over row blocks (``spark.range(n)`` + ``mapInPandas``); each task computes
-vectorized NumPy distance blocks against the broadcast matrix and emits a
-per-feature partial score vector, merged by summation (the distributed
-equivalent of the reference's thread-private ``temp[n, p]`` accumulator,
-ReliefF.py:141,219-220). At cluster scale the same kernel tiles column
-blocks too (the reference's GPU ``MAX_F_TILE`` idea across executors).
+scores — O(n²·p) by definition, with no relational equivalent. The narrow
+numeric projection is STAGED to scratch storage by a distributed write (the
+driver never materializes a row — see ``_stage.py``); the PER-SAMPLE outer
+loop is then distributed over the staged table's own partitions via
+``mapInPandas``, with each task reading the full reference matrix
+executor-side (cached per worker process) and emitting one per-feature
+partial score vector, merged by summation (the distributed equivalent of
+the reference's thread-private ``temp[n, p]`` accumulator,
+ReliefF.py:141,219-220). Probe rows are processed in row chunks sized so
+the distance block stays ~8 MB; the per-feature inner loop keeps column
+temporaries at one (rows, n) block at a time — memory is bounded in both
+axes regardless of p.
 
 Numeric parity notes (the allclose traps, SURVEY.md §2.2):
 - mixed distance: discrete -> indicator diff; continuous -> |xi-xj| * recip
@@ -37,6 +41,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fastselect_spark.selection._stage import (
+    LABEL,
+    MID,
+    load_staged,
+    stage_matrix,
+)
+
 
 def _preflight(df: DataFrame, feature_cols: list[str], discrete_limit: int):
     """One combined agg job: exact distinct counts + min/max per feature
@@ -58,33 +69,54 @@ def _preflight(df: DataFrame, feature_cols: list[str], discrete_limit: int):
     return is_discrete, ranges
 
 
-def _collect_matrix(df: DataFrame, feature_cols: list[str], label_col: str):
-    pdf = df.select(*feature_cols, label_col).toPandas()
-    X = pdf[feature_cols].to_numpy(dtype=np.float64)
-    y = pdf[label_col].to_numpy()
-    return X, y
+def _class_stats(staged: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted class values + counts from one tiny groupBy on the stage."""
+    rows = staged.groupBy(LABEL).count().collect()
+    pairs = sorted((float(r[LABEL]), int(r["count"])) for r in rows)
+    classes = np.array([v for v, _ in pairs], dtype=np.float64)
+    counts = np.array([c for _, c in pairs], dtype=np.int64)
+    return classes, counts
 
 
 _WIDE_P = 64
 
 
 def _fit_metadata(
-    df: DataFrame, X: np.ndarray, feature_cols: list[str], discrete_limit: int
+    staged: DataFrame, path: str, feature_cols: list[str], discrete_limit: int
 ):
     """is_discrete / ranges (reference fit metadata, ReliefF.py:366-380).
 
     Narrow p: the one-job distributed agg (_preflight). Wide p: a
     countDistinct per column plans a p-branch Expand whose codegen alone
-    costs minutes at p=1000, so compute the metadata from the already-
-    collected matrix instead (identical values; Relief broadcasts X anyway)."""
+    costs minutes at p=1000, so one executor task loads the staged matrix
+    and computes the metadata there (identical values; the driver only
+    receives two p-sized vectors)."""
     if len(feature_cols) <= _WIDE_P:
-        return _preflight(df, feature_cols, discrete_limit)
-    p = X.shape[1]
-    is_discrete = np.empty(p, dtype=bool)
-    for f in range(p):
-        is_discrete[f] = len(np.unique(X[:, f])) <= discrete_limit
-    ranges = X.max(axis=0) - X.min(axis=0) if len(X) else np.zeros(p)
-    return is_discrete, ranges
+        return _preflight(staged, feature_cols, discrete_limit)
+
+    def one(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for _ in batches:
+            pass
+        _, X, _, _ = load_staged(path, feature_cols)
+        p = X.shape[1]
+        is_d = np.empty(p, dtype=bool)
+        for f in range(p):
+            is_d[f] = len(np.unique(X[:, f])) <= discrete_limit
+        rng = (X.max(axis=0) - X.min(axis=0)) if len(X) else np.zeros(p)
+        yield pd.DataFrame(
+            {"is_d": [is_d.tobytes()], "rng": [rng.astype(np.float64).tobytes()]}
+        )
+
+    row = (
+        staged.sparkSession.range(1)
+        .coalesce(1)
+        .mapInPandas(one, schema="is_d binary, rng binary")
+        .collect()[0]
+    )
+    return (
+        np.frombuffer(row["is_d"], dtype=bool).copy(),
+        np.frombuffer(row["rng"], dtype=np.float64).copy(),
+    )
 
 
 def _dist_block(
@@ -113,23 +145,38 @@ def _feature_diffs(
     return out
 
 
-def _distribute_row_blocks(df_spark_session, n: int, partial_fn) -> np.ndarray:
-    """Distribute the per-sample loop over row-index blocks; sum partials."""
-    spark = df_spark_session
-    parts = max(spark.sparkContext.defaultParallelism, 4)
-    idx_df = spark.range(n).repartition(parts)
+_TARGET_BLOCK_BYTES = 8 << 20
+
+
+def _distribute_row_blocks(
+    staged: DataFrame, path: str, feature_cols: list[str], prep_fn, kernel
+) -> np.ndarray:
+    """Distribute the per-sample outer loop over the STAGED table's own
+    partitions. Each task: loads the reference matrix executor-side (cached
+    per worker), runs ``prep_fn(X, y) -> ctx`` once, maps its probe mids to
+    global row indices, and streams ``kernel(idx_chunk, ctx)`` partials —
+    chunked so the (chunk, n) distance block stays ~8 MB. The driver only
+    ever receives per-task p-sized vectors."""
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mid, X, y, _ = load_staged(path, feature_cols)
+        n = len(mid)
+        ctx = prep_fn(X, y)
+        chunk = max(1, _TARGET_BLOCK_BYTES // (8 * max(n, 1)))
         total = None
         for pdf in batches:
             if pdf.empty:
                 continue
-            part = partial_fn(pdf["id"].to_numpy(dtype=np.int64))
-            total = part if total is None else total + part
+            probe = np.searchsorted(mid, pdf[MID].to_numpy(dtype=np.int64))
+            for s in range(0, len(probe), chunk):
+                part = kernel(probe[s : s + chunk], ctx)
+                total = part if total is None else total + part
         if total is not None:
             yield pd.DataFrame({"data": [total.tobytes()]})
 
-    rows = idx_df.mapInPandas(mapper, schema="data binary").collect()
+    parts = max(staged.sparkSession.sparkContext.defaultParallelism, 4)
+    probe_df = staged.select(MID).repartition(parts)
+    rows = probe_df.mapInPandas(mapper, schema="data binary").collect()
     out = None
     for r in rows:
         arr = np.frombuffer(r["data"], dtype=np.float64)
@@ -196,45 +243,44 @@ class ReliefFSelector(_ReliefBase):
         self.feature_cols_ = list(feature_cols)
         p = len(feature_cols)
         self.n_features_in_ = p
-        X, y = _collect_matrix(df, feature_cols, label_col)
-        n = len(y)
         n_select = _resolve_n_select(self.n_features_to_select, p)
 
-        classes, y_enc = np.unique(y, return_inverse=True)
+        path = stage_matrix(df, feature_cols, label_col)
+        staged = df.sparkSession.read.parquet(path)
+        classes, counts = _class_stats(staged)
+        n = int(counts.sum())
         if len(classes) < 2:
             self.feature_importances_ = np.zeros(p, dtype=np.float64)
             self.top_features_ = np.arange(n_select)
             return self
-        min_class = np.bincount(y_enc).min()
-        if self.n_neighbors >= min_class:
+        if self.n_neighbors >= counts.min():
             warnings.warn(
                 f"n_neighbors ({self.n_neighbors}) is greater than or equal to "
-                f"the smallest class size ({min_class}).",
+                f"the smallest class size ({counts.min()}).",
                 UserWarning,
             )
 
-        is_disc, ranges = _fit_metadata(df, X, feature_cols, self.discrete_limit)
+        is_disc, ranges = _fit_metadata(staged, path, feature_cols, self.discrete_limit)
         self.is_discrete_ = is_disc
         ranges = ranges.copy()
         ranges[is_disc] = 1.0
         ranges[ranges == 0] = 1.0
         recip = 1.0 / ranges
 
-        # ReliefF kernel operates on float32 data (ReliefF.py:398-401).
-        X32 = X.astype(np.float32)
-        class_probs = np.bincount(y_enc) / n
+        class_probs = counts / n
         k = self.n_neighbors
         K = len(classes)
-        spark = df.sparkSession
-        bc = spark.sparkContext.broadcast(
-            (X32, y_enc.astype(np.int32), recip, is_disc, class_probs)
-        )
 
-        def partial(idx: np.ndarray) -> np.ndarray:
-            Xb, yb, rc, dc, probs = bc.value
+        def prep(X: np.ndarray, y: np.ndarray):
+            # ReliefF kernel operates on float32 data (ReliefF.py:398-401)
+            Xq = X.astype(np.float32).astype(np.float64)
+            y_enc = np.searchsorted(classes, y).astype(np.int32)
+            return Xq, y_enc
+
+        def kernel(idx: np.ndarray, ctx) -> np.ndarray:
+            Xq, yb = ctx
             acc = np.zeros(p, dtype=np.float64)
-            D = _dist_block(Xb[idx].astype(np.float64), Xb.astype(np.float64), rc, dc)
-            D = D.astype(np.float32)
+            D = _dist_block(Xq[idx], Xq, recip, is_disc).astype(np.float32)
             for bi, i in enumerate(idx):
                 d = D[bi].copy()
                 d[i] = np.inf
@@ -243,14 +289,12 @@ class ReliefFSelector(_ReliefBase):
                 olab = yb[order]
                 hits = order[olab == lbl][:k]
                 h_found = len(hits)
-                denom = 1.0 - probs[lbl]
+                denom = 1.0 - class_probs[lbl]
                 if denom == 0:
                     denom = 1.0
                 update = np.zeros(p, dtype=np.float64)
                 if h_found > 0:
-                    hd = _feature_diffs(
-                        Xb[i].astype(np.float64), Xb[hits].astype(np.float64), rc, dc
-                    )
+                    hd = _feature_diffs(Xq[i], Xq[hits], recip, is_disc)
                     update -= hd.sum(axis=0) / h_found
                 miss_sum = np.zeros(p, dtype=np.float64)
                 for c in range(K):
@@ -258,15 +302,13 @@ class ReliefFSelector(_ReliefBase):
                         continue
                     mc = order[olab == c][:k]
                     if len(mc):
-                        md = _feature_diffs(
-                            Xb[i].astype(np.float64), Xb[mc].astype(np.float64), rc, dc
-                        )
-                        miss_sum += (probs[c] / denom) * md.sum(axis=0)
+                        md = _feature_diffs(Xq[i], Xq[mc], recip, is_disc)
+                        miss_sum += (class_probs[c] / denom) * md.sum(axis=0)
                 update += miss_sum / k
                 acc += update
             return acc
 
-        scores = _distribute_row_blocks(spark, n, partial) / n
+        scores = _distribute_row_blocks(staged, path, feature_cols, prep, kernel) / n
         self._finalize(scores, n_select)
         return self
 
@@ -290,31 +332,33 @@ class SURFSelector(_ReliefBase):
         self.feature_cols_ = list(feature_cols)
         p = len(feature_cols)
         self.n_features_in_ = p
-        X, y = _collect_matrix(df, feature_cols, label_col)
-        n = len(y)
         n_select = _resolve_n_select(self.n_features_to_select, p)
 
-        is_disc, ranges = _fit_metadata(df, X, feature_cols, self.discrete_limit)
+        path = stage_matrix(df, feature_cols, label_col)
+        staged = df.sparkSession.read.parquet(path)
+        classes, counts = _class_stats(staged)
+        n = int(counts.sum())
+
+        is_disc, ranges = _fit_metadata(staged, path, feature_cols, self.discrete_limit)
         self.is_discrete_ = is_disc
         ranges = ranges.copy()
         ranges[is_disc] = 1.0
         ranges[ranges == 0] = 1.0
         recip = 1.0 / ranges
-
-        _, y_enc = np.unique(y, return_inverse=True)
         use_star = self.use_star
-        spark = df.sparkSession
-        bc = spark.sparkContext.broadcast((X, y_enc.astype(np.int32), recip, is_disc))
 
-        def partial(idx: np.ndarray) -> np.ndarray:
-            Xb, yb, rc, dc = bc.value
+        def prep(X: np.ndarray, y: np.ndarray):
+            return X, y
+
+        def kernel(idx: np.ndarray, ctx) -> np.ndarray:
+            Xb, yb = ctx
             acc = np.zeros(p, dtype=np.float64)
-            D = _dist_block(Xb[idx], Xb, rc, dc).astype(np.float32)
+            D = _dist_block(Xb[idx], Xb, recip, is_disc).astype(np.float32)
             for bi, i in enumerate(idx):
                 d = D[bi].copy()
                 d[i] = 0.0  # self-distance counted as 0 in the mean
                 avg = d.sum() / (len(yb) - 1)
-                diffs = _feature_diffs(Xb[i], Xb, rc, dc)
+                diffs = _feature_diffs(Xb[i], Xb, recip, is_disc)
                 hit = yb == yb[i]
                 near = d < avg
                 near[i] = False
@@ -326,7 +370,7 @@ class SURFSelector(_ReliefBase):
                 acc += upd
             return acc
 
-        scores = _distribute_row_blocks(spark, n, partial) / n
+        scores = _distribute_row_blocks(staged, path, feature_cols, prep, kernel) / n
         self._finalize(scores, n_select)
         return self
 
@@ -354,27 +398,29 @@ class MultiSURFSelector(_ReliefBase):
         self.feature_cols_ = list(feature_cols)
         p = len(feature_cols)
         self.n_features_in_ = p
-        X, y = _collect_matrix(df, feature_cols, label_col)
-        n = len(y)
         n_select = _resolve_n_select(self.n_features_to_select, p)
 
-        is_disc, ranges = _fit_metadata(df, X, feature_cols, self.discrete_limit)
+        path = stage_matrix(df, feature_cols, label_col)
+        staged = df.sparkSession.read.parquet(path)
+        classes, counts = _class_stats(staged)
+        n = int(counts.sum())
+
+        is_disc, ranges = _fit_metadata(staged, path, feature_cols, self.discrete_limit)
         self.is_discrete_ = is_disc
         ranges = ranges.copy()
         ranges[ranges == 0] = 1.0  # no discrete override (MultiSURF.py:410-412)
         recip = 1.0 / ranges
-
-        _, y_enc = np.unique(y, return_inverse=True)
         use_star = self.use_star
-        X32 = X.astype(np.float32).astype(np.float64)
-        spark = df.sparkSession
-        bc = spark.sparkContext.broadcast((X32, y_enc.astype(np.int32), recip, is_disc))
 
-        def partial(idx: np.ndarray) -> np.ndarray:
-            Xb, yb, rc, dc = bc.value
+        def prep(X: np.ndarray, y: np.ndarray):
+            # float32 data (MultiSURF.py:384-386)
+            return X.astype(np.float32).astype(np.float64), y
+
+        def kernel(idx: np.ndarray, ctx) -> np.ndarray:
+            Xb, yb = ctx
             nn = len(yb)
             acc = np.zeros(p, dtype=np.float64)
-            D = _dist_block(Xb[idx], Xb, rc, dc)
+            D = _dist_block(Xb[idx], Xb, recip, is_disc)
             for bi, i in enumerate(idx):
                 d = D[bi].copy()
                 d[i] = 0.0
@@ -383,7 +429,7 @@ class MultiSURFSelector(_ReliefBase):
                 mu = sum_d / (nn - 1)
                 var = max(0.0, sum_d2 / (nn - 1) - mu * mu)
                 thresh = mu - 0.5 * np.sqrt(var)
-                diffs = _feature_diffs(Xb[i], Xb, rc, dc)
+                diffs = _feature_diffs(Xb[i], Xb, recip, is_disc)
                 hit = yb == yb[i]
                 near = d < thresh
                 near[i] = False
@@ -404,6 +450,6 @@ class MultiSURFSelector(_ReliefBase):
                 acc += miss_diffs - hit_diffs
             return acc
 
-        scores = _distribute_row_blocks(spark, n, partial) / n
+        scores = _distribute_row_blocks(staged, path, feature_cols, prep, kernel) / n
         self._finalize(scores, n_select)
         return self
