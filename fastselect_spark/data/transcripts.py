@@ -211,6 +211,13 @@ FROM events
 
 
 def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transcripts-shaped DataFrame derived from the driver's events table."""
-    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    """Transcripts-shaped DataFrame derived from the driver's events table.
+
+    The scan goes through the source layer (sources/tables.py), so an
+    Iceberg-cataloged ``events`` table works with zero code changes."""
+    from fastselect_spark.sources import read_transcripts_table
+
+    read_transcripts_table(spark, f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
     return spark.sql(TRANSCRIPTS_FROM_EVENTS_SQL)

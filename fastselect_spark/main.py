@@ -61,6 +61,7 @@ def main() -> None:
     from fastselect_spark.runtime.session import get_spark
     from fastselect_spark.selection import scores_from_cube
     from fastselect_spark.selection.mrmr import mrmr_greedy
+    from fastselect_spark.sources import read_transcripts_table
 
     spark = get_spark(app_name="fastselect-pipeline", master=args.master)
 
@@ -69,7 +70,9 @@ def main() -> None:
             os.path.join(args.input, "events.parquet")
         ):
             return transcripts_from_events(s, args.input)
-        return s.read.parquet(args.input)
+        # Iceberg identifier, Iceberg path, or parquet path — the source
+        # layer resolves whichever the environment supports
+        return read_transcripts_table(s, args.input)
 
     summary = run_resumable_backfill(
         spark,

@@ -20,8 +20,15 @@ Reference numeric details reproduced:
 - SU = 2*I/(H_x+H_y), 0 when H_x+H_y < 1e-12;
 - selected indices sorted ascending; merit of the empty set = 0;
 - 'quantile' strategy uses exact quantiles at test scale (approxQuantile
-  with relativeError=0); 'kmeans' is not supported (documented divergence,
-  SURVEY.md §5.2).
+  with relativeError=0);
+- 'kmeans' strategy reimplements sklearn KBinsDiscretizer(strategy='kmeans')
+  semantics: deterministic uniform-midpoint init, n_init=1, 1-D Lloyd
+  iterations until the squared center shift <= tol*var (tol=1e-4), edges =
+  midpoints of the sorted final centers. Distributed: every Lloyd iteration
+  is ONE pass computing per-cluster (count, sum) for ALL continuous columns
+  simultaneously. Documented divergence: sklearn relocates empty clusters
+  to far points; this implementation keeps an empty cluster's center in
+  place (1-D sorted-init Lloyd essentially never empties a cluster).
 """
 
 from __future__ import annotations
@@ -120,12 +127,77 @@ def prune_redundant(selected, r_cf, r_ff) -> list[int]:
     return kept
 
 
+def kmeans_bin_edges(
+    df: DataFrame,
+    cols: list[str],
+    n_bins: int,
+    mins: dict[str, float],
+    maxs: dict[str, float],
+    tol: float = 1e-4,
+    max_iter: int = 300,
+) -> dict[str, np.ndarray]:
+    """1-D k-means bin edges per column, sklearn KBinsDiscretizer
+    (strategy='kmeans') semantics: init = midpoints of n_bins uniform-width
+    intervals, Lloyd's updates until the summed squared center shift is
+    <= tol * Var(col), edges = midpoints between sorted final centers
+    bracketed by [min, max]. Each Lloyd iteration runs as ONE distributed
+    pass accumulating per-cluster (count, sum) for every column at once."""
+    proj = df.select(*[F.col(c).cast("double") for c in cols])
+    stats = df.agg(
+        *[F.var_pop(F.col(c).cast("double")).alias(c) for c in cols]
+    ).collect()[0]
+    tol_abs = {c: tol * float(stats[c] or 0.0) for c in cols}
+
+    centers: dict[str, np.ndarray] = {}
+    for c in cols:
+        e = np.linspace(mins[c], maxs[c], n_bins + 1)
+        centers[c] = (e[:-1] + e[1:]) / 2.0
+    active = {c for c in cols if maxs[c] > mins[c]}
+
+    for _ in range(max_iter):
+        if not active:
+            break
+        cur = {c: centers[c].copy() for c in active}
+        act = sorted(active)
+
+        def partial(batches: Iterator[pd.DataFrame]) -> dict[str, np.ndarray]:
+            cnt = np.zeros((len(act), n_bins), dtype=np.int64)
+            s = np.zeros((len(act), n_bins), dtype=np.float64)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                for ci, c in enumerate(act):
+                    x = pdf[c].to_numpy(dtype=np.float64)
+                    mids = (cur[c][:-1] + cur[c][1:]) / 2.0
+                    a = np.searchsorted(mids, x, side="left")
+                    cnt[ci] += np.bincount(a, minlength=n_bins)
+                    s[ci] += np.bincount(a, weights=x, minlength=n_bins)
+            return {"cnt": cnt, "s": s}
+
+        merged = tree_reduce_ndarrays(proj.select(*act), partial)
+        done = set()
+        for ci, c in enumerate(act):
+            cnt, s = merged["cnt"][ci], merged["s"][ci]
+            new = np.where(cnt > 0, s / np.maximum(cnt, 1), cur[c])
+            shift = float(((new - cur[c]) ** 2).sum())
+            centers[c] = new
+            if shift <= tol_abs[c]:
+                done.add(c)
+        active -= done
+
+    edges: dict[str, np.ndarray] = {}
+    for c in cols:
+        ctr = np.sort(centers[c])
+        e = np.concatenate([[mins[c]], (ctr[:-1] + ctr[1:]) / 2.0, [maxs[c]]])
+        edges[c] = e
+    return edges
+
+
 class CFSSelector:
     def __init__(self, n_bins: int = 10, strategy: str = "uniform") -> None:
-        if strategy not in ("uniform", "quantile"):
+        if strategy not in ("uniform", "quantile", "kmeans"):
             raise ValueError(
-                "strategy must be 'uniform' or 'quantile' "
-                "('kmeans' is not supported by the Spark engine)"
+                "strategy must be 'uniform', 'quantile', or 'kmeans'"
             )
         self.n_bins = n_bins
         self.strategy = strategy
@@ -149,18 +221,34 @@ class CFSSelector:
         edges: dict[int, np.ndarray] = {}
         cont_idx = np.where(is_cont)[0]
         if len(cont_idx):
-            if self.strategy == "uniform":
+            if self.strategy in ("uniform", "kmeans"):
                 aggs = []
                 for i in cont_idx:
                     c = feature_cols[i]
                     aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
                 row = df.agg(*aggs).collect()[0]
-                for i in cont_idx:
-                    c = feature_cols[i]
-                    e = np.linspace(row[f"__mn_{c}"], row[f"__mx_{c}"], self.n_bins + 1)
-                    # sklearn removes zero-width bins (<=1e-8)
-                    mask = np.ediff1d(e, to_begin=np.inf) > 1e-8
-                    edges[i] = e[mask]
+                if self.strategy == "uniform":
+                    for i in cont_idx:
+                        c = feature_cols[i]
+                        e = np.linspace(
+                            row[f"__mn_{c}"], row[f"__mx_{c}"], self.n_bins + 1
+                        )
+                        # sklearn removes zero-width bins (<=1e-8)
+                        mask = np.ediff1d(e, to_begin=np.inf) > 1e-8
+                        edges[i] = e[mask]
+                else:
+                    cols = [feature_cols[i] for i in cont_idx]
+                    kme = kmeans_bin_edges(
+                        df,
+                        cols,
+                        self.n_bins,
+                        {c: float(row[f"__mn_{c}"]) for c in cols},
+                        {c: float(row[f"__mx_{c}"]) for c in cols},
+                    )
+                    for i in cont_idx:
+                        e = kme[feature_cols[i]]
+                        mask = np.ediff1d(e, to_begin=np.inf) > 1e-8
+                        edges[i] = e[mask]
             else:  # exact quantiles (relativeError=0) — parity-scale only
                 for i in cont_idx:
                     c = feature_cols[i]

@@ -248,7 +248,44 @@ def test_cfs_noise_only_selects_nothing(spark, cfs_recipe):
 
 def test_cfs_invalid_strategy():
     with pytest.raises(ValueError, match="strategy"):
-        CFSSelector(strategy="kmeans")
+        CFSSelector(strategy="entropy")
+
+
+def test_cfs_kmeans_strategy(spark, cfs_recipe):
+    """kmeans binning (KBinsDiscretizer semantics) still recovers [0, 2]."""
+    X, y = cfs_recipe
+    df, cols = _to_df(spark, X, y)
+    m = CFSSelector(n_bins=10, strategy="kmeans").fit(df, cols)
+    assert m.selected_indices_.tolist() == [0, 2]
+
+
+def test_kmeans_bin_edges_matches_local_lloyd(spark):
+    """Distributed 1-D Lloyd == the same algorithm run locally in NumPy."""
+    from fastselect_spark.selection.cfs import kmeans_bin_edges
+
+    rng = np.random.RandomState(11)
+    x = np.concatenate([rng.normal(0, 1, 150), rng.normal(8, 0.5, 100)])
+    df = spark.createDataFrame(pd.DataFrame({"x": x})).repartition(4)
+    n_bins = 4
+    mn, mx = float(x.min()), float(x.max())
+    got = kmeans_bin_edges(df, ["x"], n_bins, {"x": mn}, {"x": mx})["x"]
+
+    e = np.linspace(mn, mx, n_bins + 1)
+    centers = (e[:-1] + e[1:]) / 2.0
+    tol_abs = 1e-4 * x.var()
+    for _ in range(300):
+        mids = (centers[:-1] + centers[1:]) / 2.0
+        a = np.searchsorted(mids, x, side="left")
+        cnt = np.bincount(a, minlength=n_bins)
+        s = np.bincount(a, weights=x, minlength=n_bins)
+        new = np.where(cnt > 0, s / np.maximum(cnt, 1), centers)
+        shift = ((new - centers) ** 2).sum()
+        centers = new
+        if shift <= tol_abs:
+            break
+    ctr = np.sort(centers)
+    exp = np.concatenate([[mn], (ctr[:-1] + ctr[1:]) / 2.0, [mx]])
+    np.testing.assert_allclose(got, exp, rtol=1e-9)
 
 
 # ---------- MDR ----------
