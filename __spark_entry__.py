@@ -718,8 +718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relieff_scores": _q_relieff_scores,  # O(n^2) kernel as self-join SQL
         "surf_scores": _q_surf_scores,  # O(n^2) kernel as self-join SQL
         "multisurf_scores": _q_multisurf_scores,  # O(n^2) kernel as self-join SQL
-        "turf_selection": _q_turf_selection,  # iterative wrapper: rows-only
-        "cfs_selection": _q_cfs_selection,  # best-first search: rows-only
+        "turf_selection": _q_turf_selection,  # elimination loop unrolled in SQL
+        "cfs_selection": _q_cfs_selection,  # best-first search over subset merits
         "mdr_interaction": _q_mdr_interaction,  # CV vote unrolled in SQL
         "mdr_predictions": _q_mdr_predictions,  # full-data LUT in SQL
         "fingerprints": _q_fingerprints,
@@ -1261,6 +1261,272 @@ upd AS (
 {_relief_unpivot(['u0', 'u1', 'u2', 'u3'], 'multisurf')}
 """
 
+def _relieff_score_ctes(sfx: str, dist_cte: str) -> str:
+    """ReliefF scoring CTE chain over a (possibly feature-gated) distance
+    table — reused by the TuRF oracle for each elimination iteration."""
+    upd_cols = ",\n           ".join(
+        f"COALESCE(ms.q{i}, 0) / 3.0"
+        f" - (CASE WHEN h.h_found > 0 THEN h.h{i} / h.h_found ELSE 0 END) AS u{i}"
+        for i in range(len(_MI_FEATURES))
+    )
+    hit_sums = ", ".join(f"SUM(df{i}) AS h{i}" for i in range(len(_MI_FEATURES)))
+    miss_sums = ", ".join(
+        f"SUM(w * df{i}) AS q{i}" for i in range(len(_MI_FEATURES))
+    )
+    scores = " UNION ALL ".join(
+        f"SELECT {i} AS fid, SUM(u{i}) / (SELECT n FROM nn) AS score FROM upd{sfx}"
+        for i in range(len(_MI_FEATURES))
+    )
+    return f"""
+rk{sfx} AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY i, yj ORDER BY dd, j) AS r
+    FROM {dist_cte}
+),
+hit{sfx} AS (
+    SELECT i, CAST(COUNT(*) AS DOUBLE) AS h_found, {hit_sums}
+    FROM rk{sfx} WHERE yi = yj AND r <= 3 GROUP BY 1
+),
+miss{sfx} AS (
+    SELECT i, {miss_sums}
+    FROM (
+        SELECT rk.*, pc.pr / (CASE WHEN 1.0 - pi.pr = 0 THEN 1.0
+                                   ELSE 1.0 - pi.pr END) AS w
+        FROM rk{sfx} rk JOIN pri pc ON pc.y = rk.yj JOIN pri pi ON pi.y = rk.yi
+        WHERE rk.yi <> rk.yj AND rk.r <= 3
+    ) GROUP BY 1
+),
+upd{sfx} AS (
+    SELECT COALESCE(h.i, ms.i) AS i,
+           {upd_cols}
+    FROM hit{sfx} h FULL JOIN miss{sfx} ms ON h.i = ms.i
+),
+sc{sfx} AS ({scores})
+"""
+
+
+def _gated_dist(sfx: str, mask_cte: str) -> str:
+    """Distance over the active feature set only: inactive terms add an
+    exact +0.0, preserving the kernel's feature-order float accumulation."""
+    terms = " + ".join(
+        f"(CASE WHEN ({mask_cte}.mask >> {i}) % 2 = 1 THEN df{i} ELSE 0.0 END)"
+        for i in range(len(_MI_FEATURES))
+    )
+    return f"""
+dist{sfx} AS (
+    SELECT dp.*, ({terms}) AS dd FROM dp, {mask_cte}
+)
+"""
+
+
+# TuRF (reference TuRF.py:7-136) at the query's shape: p=4, select 2,
+# pct_remove=0.25 -> exactly two elimination iterations, each removing the
+# argmin-score feature (ascending argsort head) and refitting ReliefF on
+# the survivors. top_features_ = the final active set, sorted ascending.
+_TURF_ORACLE = f"""
+WITH {_relief_base_sql()},
+feats(fid, feature) AS (VALUES {_FEATS_VALUES}),
+pri AS (
+    SELECT y, CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM nn) AS pr FROM m0 GROUP BY 1
+),
+{_relieff_score_ctes('1', 'dist')},
+w1 AS (SELECT fid FROM sc1 ORDER BY score ASC, fid LIMIT 1),
+mk2 AS (SELECT 15 - (1 << (SELECT fid FROM w1)) AS mask),
+{_gated_dist('2', 'mk2')},
+{_relieff_score_ctes('2', 'dist2')},
+w2 AS (
+    SELECT s.fid FROM sc2 s, mk2 m WHERE (m.mask >> s.fid) % 2 = 1
+    ORDER BY s.score ASC, s.fid LIMIT 1
+),
+mk3 AS (SELECT m.mask - (1 << (SELECT fid FROM w2)) AS mask FROM mk2 m)
+SELECT CAST(f.fid AS INT) AS feature_idx, f.feature
+FROM feats f, mk3 m WHERE (m.mask >> f.fid) % 2 = 1
+"""
+
+
+# CFS (reference CFS.py:246-429) on all-integer code columns: unique-coded
+# (no binning), SU matrices with CFS's own log2-MI variant (guards on
+# p/px/py > eps, NO +eps in the denominator — CFS.py:44-64), best-first
+# forward search with the 0.1 relevance floor and strict merit improvement,
+# then redundancy pruning in descending-relevance order. With p=4 the
+# search is unrolled over subset-merit tables and the prune over visit
+# positions.
+
+
+def _cfs_oracle_sql() -> str:
+    p = len(_MI_FEATURES)
+    subs_rows = []
+    for mask in range(1, 1 << p):
+        flags = [(mask >> i) & 1 for i in range(p)]
+        subs_rows.append(f"({mask}, {', '.join(str(b) for b in flags)})")
+    flag_cols = ", ".join(f"b{i}" for i in range(p))
+    def flag_of(expr: str) -> str:
+        whens = " ".join(f"WHEN {i} THEN s.b{i}" for i in range(p))
+        return f"(CASE {expr} {whens} END)"
+    return f"""
+WITH m AS ({_LINEITEM_CODES_SQL}),
+{_MI_TABLES_CTE},
+-- feature-class SU
+cfn AS (SELECT fid, SUM(c) AS n FROM rj GROUP BY 1),
+cfx AS (SELECT fid, v, SUM(c) AS cx FROM rj GROUP BY 1, 2),
+cfy AS (SELECT fid, y, SUM(c) AS cy FROM rj GROUP BY 1, 2),
+mi_cf AS (
+    SELECT rj.fid,
+           SUM(CASE WHEN c / n > 1e-12 AND cx / n > 1e-12 AND cy / n > 1e-12
+                    THEN (c / n) * LOG2((c / n) / ((cx / n) * (cy / n)))
+                    ELSE 0 END) AS mi
+    FROM rj JOIN cfn USING (fid) JOIN cfx USING (fid, v) JOIN cfy USING (fid, y)
+    GROUP BY rj.fid
+),
+hx_cf AS (
+    SELECT fid, -SUM(CASE WHEN cx / n > 1e-12 THEN (cx / n) * LOG2(cx / n)
+                          ELSE 0 END) AS h
+    FROM cfx JOIN cfn USING (fid) GROUP BY fid
+),
+hy_cf AS (
+    SELECT fid, -SUM(CASE WHEN cy / n > 1e-12 THEN (cy / n) * LOG2(cy / n)
+                          ELSE 0 END) AS h
+    FROM cfy JOIN cfn USING (fid) GROUP BY fid
+),
+su_cf AS (
+    SELECT m.fid,
+           CASE WHEN hx.h + hy.h < 1e-12 THEN 0.0
+                ELSE 2.0 * m.mi / (hx.h + hy.h) END AS su
+    FROM mi_cf m JOIN hx_cf hx USING (fid) JOIN hy_cf hy USING (fid)
+),
+-- feature-feature SU (pairs fa < fb)
+pj AS (SELECT fa, fb, a, b, CAST(COUNT(*) AS DOUBLE) AS c FROM plong GROUP BY 1, 2, 3, 4),
+pn AS (SELECT fa, fb, SUM(c) AS n FROM pj GROUP BY 1, 2),
+pa AS (SELECT fa, fb, a, SUM(c) AS cx FROM pj GROUP BY 1, 2, 3),
+pb AS (SELECT fa, fb, b, SUM(c) AS cy FROM pj GROUP BY 1, 2, 3),
+mi_ff AS (
+    SELECT pj.fa, pj.fb,
+           SUM(CASE WHEN c / n > 1e-12 AND cx / n > 1e-12 AND cy / n > 1e-12
+                    THEN (c / n) * LOG2((c / n) / ((cx / n) * (cy / n)))
+                    ELSE 0 END) AS mi
+    FROM pj JOIN pn USING (fa, fb) JOIN pa USING (fa, fb, a) JOIN pb USING (fa, fb, b)
+    GROUP BY pj.fa, pj.fb
+),
+hxa AS (
+    SELECT fa, fb, -SUM(CASE WHEN cx / n > 1e-12 THEN (cx / n) * LOG2(cx / n)
+                             ELSE 0 END) AS h
+    FROM pa JOIN pn USING (fa, fb) GROUP BY fa, fb
+),
+hxb AS (
+    SELECT fa, fb, -SUM(CASE WHEN cy / n > 1e-12 THEN (cy / n) * LOG2(cy / n)
+                             ELSE 0 END) AS h
+    FROM pb JOIN pn USING (fa, fb) GROUP BY fa, fb
+),
+su_ff0 AS (
+    SELECT m.fa, m.fb,
+           CASE WHEN a.h + b.h < 1e-12 THEN 0.0
+                ELSE 2.0 * m.mi / (a.h + b.h) END AS su
+    FROM mi_ff m JOIN hxa a USING (fa, fb) JOIN hxb b USING (fa, fb)
+),
+su_ff AS (SELECT fa, fb, su FROM su_ff0 UNION ALL SELECT fb, fa, su FROM su_ff0),
+-- subset merit table: merit = sum_r_cf / sqrt(k + 2*sum_r_ff)
+subs(mask, {flag_cols}) AS (VALUES {', '.join(subs_rows)}),
+sub_cf AS (
+    SELECT s.mask, SUM({flag_of('r.fid')} * r.su) AS sum_cf,
+           SUM({flag_of('r.fid')}) AS k
+    FROM subs s CROSS JOIN su_cf r GROUP BY s.mask
+),
+sub_ff AS (
+    SELECT s.mask, COALESCE(SUM(
+        CASE WHEN {flag_of('pr.fa')} = 1 AND {flag_of('pr.fb')} = 1
+             THEN pr.su ELSE 0 END), 0) AS sum_ff
+    FROM subs s CROSS JOIN su_ff0 pr
+    GROUP BY s.mask
+),
+merit AS (
+    SELECT c.mask, c.k, c.sum_cf, f.sum_ff,
+           CASE WHEN SQRT(c.k + 2 * f.sum_ff) > 1e-12
+                THEN c.sum_cf / SQRT(c.k + 2 * f.sum_ff) ELSE 0.0 END AS merit
+    FROM sub_cf c JOIN sub_ff f USING (mask)
+),
+-- greedy best-first: seed argmax su (first-index ties), floor 0.1, strict
+-- merit improvement; a rejected step leaves the state unchanged, so extra
+-- chained steps are no-ops
+s1 AS (SELECT fid, su FROM su_cf ORDER BY su DESC, fid LIMIT 1),
+st1 AS (
+    SELECT CASE WHEN su >= 0.1 THEN (1 << fid) ELSE 0 END AS mask,
+           CASE WHEN su >= 0.1 THEN su ELSE NULL END AS best
+    FROM s1
+),
+c2 AS (
+    SELECT r.fid AS added, m.merit
+    FROM su_cf r, st1 t, merit m
+    WHERE m.mask = (t.mask | (1 << r.fid))
+      AND t.mask > 0 AND (t.mask >> r.fid) % 2 = 0 AND r.su >= 0.1
+),
+b2 AS (SELECT added, merit FROM c2 ORDER BY merit DESC, added LIMIT 1),
+st2 AS (
+    SELECT CASE WHEN b.merit > t.best THEN t.mask | (1 << b.added)
+                ELSE t.mask END AS mask,
+           CASE WHEN b.merit > t.best THEN b.merit ELSE t.best END AS best
+    FROM st1 t LEFT JOIN b2 b ON TRUE
+),
+c3 AS (
+    SELECT r.fid AS added, m.merit
+    FROM su_cf r, st2 t, merit m
+    WHERE m.mask = (t.mask | (1 << r.fid))
+      AND t.mask > 0 AND (t.mask >> r.fid) % 2 = 0 AND r.su >= 0.1
+),
+b3 AS (SELECT added, merit FROM c3 ORDER BY merit DESC, added LIMIT 1),
+st3 AS (
+    SELECT CASE WHEN b.merit > t.best THEN t.mask | (1 << b.added)
+                ELSE t.mask END AS mask,
+           CASE WHEN b.merit > t.best THEN b.merit ELSE t.best END AS best
+    FROM st2 t LEFT JOIN b3 b ON TRUE
+),
+c4 AS (
+    SELECT r.fid AS added, m.merit
+    FROM su_cf r, st3 t, merit m
+    WHERE m.mask = (t.mask | (1 << r.fid))
+      AND t.mask > 0 AND (t.mask >> r.fid) % 2 = 0 AND r.su >= 0.1
+),
+b4 AS (SELECT added, merit FROM c4 ORDER BY merit DESC, added LIMIT 1),
+st4 AS (
+    SELECT CASE WHEN b.merit > t.best THEN t.mask | (1 << b.added)
+                ELSE t.mask END AS mask
+    FROM st3 t LEFT JOIN b4 b ON TRUE
+),
+-- prune: visit selected in descending relevance; drop when a KEPT feature's
+-- correlation to it >= its own relevance
+vis AS (
+    SELECT r.fid, r.su,
+           ROW_NUMBER() OVER (ORDER BY r.su DESC, r.fid) AS v
+    FROM su_cf r, st4 t WHERE (t.mask >> r.fid) % 2 = 1
+),
+k1 AS (SELECT fid, su FROM vis WHERE v = 1),
+k2 AS (
+    SELECT x.fid, x.su FROM vis x WHERE x.v = 2 AND NOT EXISTS (
+        SELECT 1 FROM k1 j JOIN su_ff r ON r.fa = x.fid AND r.fb = j.fid
+        WHERE r.su >= x.su)
+),
+k3 AS (
+    SELECT x.fid, x.su FROM vis x WHERE x.v = 3 AND NOT EXISTS (
+        SELECT 1 FROM (SELECT fid FROM k1 UNION ALL SELECT fid FROM k2) j
+        JOIN su_ff r ON r.fa = x.fid AND r.fb = j.fid
+        WHERE r.su >= x.su)
+),
+k4 AS (
+    SELECT x.fid, x.su FROM vis x WHERE x.v = 4 AND NOT EXISTS (
+        SELECT 1 FROM (SELECT fid FROM k1 UNION ALL SELECT fid FROM k2
+                       UNION ALL SELECT fid FROM k3) j
+        JOIN su_ff r ON r.fa = x.fid AND r.fb = j.fid
+        WHERE r.su >= x.su)
+),
+kept AS (
+    SELECT fid FROM k1 UNION ALL SELECT fid FROM k2
+    UNION ALL SELECT fid FROM k3 UNION ALL SELECT fid FROM k4
+)
+SELECT f.feature, (f.fid IN (SELECT fid FROM kept)) AS selected
+FROM feats f
+""".replace(
+        " AS (", " AS MATERIALIZED ("
+    )  # the chained greedy-state CTEs re-evaluate exponentially otherwise
+
+
 _QUALITY_EXPR = """
 (0.4 * LEAST(LENGTH(text) / 500.0, 1.0)
  + 0.4 * (LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) * 1.0
@@ -1550,6 +1816,8 @@ def oracle_sql() -> dict[str, str]:
         "jmi_selection": _JMI_ORACLE,
         "mdr_interaction": _MDR_INTERACTION_ORACLE,
         "mdr_predictions": _MDR_PREDICTIONS_ORACLE,
+        "turf_selection": _TURF_ORACLE,
+        "cfs_selection": _cfs_oracle_sql(),
         "relieff_scores": _RELIEFF_ORACLE,
         "surf_scores": _SURF_ORACLE,
         "multisurf_scores": _MULTISURF_ORACLE,

@@ -446,6 +446,33 @@ def scorers_mode() -> None:
             )
         df.unpersist()
 
+    # --- Relief at 10x n: staged-matrix path, no driver-side collect -------
+    # The fit stages the matrix to scratch and workers read it directly; the
+    # driver only receives p-sized partials, so its peak RSS should not move
+    # with n. ru_maxrss is monotone, so a near-zero delta across the 10x fit
+    # IS the no-growth evidence.
+    import resource
+
+    nn, pp = 10_000, 100
+    X = rng.standard_normal((nn, pp))
+    y = (X[:, 0] + X[:, 1] > 0).astype(np.int64)
+    cols = [f"f{i}" for i in range(pp)]
+    pdf = pd.DataFrame(X, columns=cols)
+    pdf["label"] = y
+    df = spark.createDataFrame(pdf).repartition(int(CPUS)).persist()
+    df.count()
+    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    timed(
+        f"relieff_n{nn}_p{pp}_select10",
+        lambda: ReliefFSelector(n_features_to_select=10).fit(df, cols, "label"),
+        reps=1,
+    )
+    rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    results["relieff_n10000_driver_rss_growth_mb"] = round(
+        (rss_after - rss_before) / 1024.0, 1
+    )
+    df.unpersist()
+
     spark.stop()
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "SCORERS.md"), "w") as f:
