@@ -469,6 +469,30 @@ def _q_streaming_token_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (10 min window, 5 min slide) — each turn
+    lands in two overlapping windows."""
+    from fastselect_spark.streaming import (
+        read_transcripts_stream,
+        streaming_token_rates,
+    )
+
+    path = _staged_transcripts_path(spark, sf_dir)
+    stream = read_transcripts_stream(spark, path)
+    out = _run_available_now(
+        spark,
+        streaming_token_rates(stream, window="10 minutes", slide="5 minutes"),
+        "fs_sliding_rates",
+    )
+    return out.select(
+        "window_start",
+        "window_end",
+        "role",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.round("total_tokens", 6).alias("total_tokens"),
+    )
+
+
 def _q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastselect_spark.featurize import add_lag_lead
 
@@ -560,6 +584,40 @@ def _q_multisurf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f, s in zip(_MI_FEATURES, sel.feature_importances_)
         ],
         schema="feature string, multisurf double",
+    )
+
+
+def _q_surf_star_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURF* — the far-zone inverted-sign variant (SURF.py use_star)."""
+    from fastselect_spark.selection import SURFSelector
+
+    _register(spark, sf_dir, "lineitem")
+    sel = SURFSelector(n_features_to_select=2, use_star=True).fit(
+        _sampled_lineitem_codes(spark), _MI_FEATURES, "y"
+    )
+    return spark.createDataFrame(
+        [
+            (f, round(float(s), 6))
+            for f, s in zip(_MI_FEATURES, sel.feature_importances_)
+        ],
+        schema="feature string, surf_star double",
+    )
+
+
+def _q_multisurf_star_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiSURF* — far-miss subtraction variant (MultiSURF.py use_star)."""
+    from fastselect_spark.selection import MultiSURFSelector
+
+    _register(spark, sf_dir, "lineitem")
+    sel = MultiSURFSelector(n_features_to_select=2, use_star=True).fit(
+        _sampled_lineitem_codes(spark), _MI_FEATURES, "y"
+    )
+    return spark.createDataFrame(
+        [
+            (f, round(float(s), 6))
+            for f, s in zip(_MI_FEATURES, sel.feature_importances_)
+        ],
+        schema="feature string, multisurf_star double",
     )
 
 
@@ -717,7 +775,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jmi_selection": _q_jmi_selection,  # greedy loop unrolled in SQL CTEs
         "relieff_scores": _q_relieff_scores,  # O(n^2) kernel as self-join SQL
         "surf_scores": _q_surf_scores,  # O(n^2) kernel as self-join SQL
+        "surf_star_scores": _q_surf_star_scores,  # far-zone star variant
         "multisurf_scores": _q_multisurf_scores,  # O(n^2) kernel as self-join SQL
+        "multisurf_star_scores": _q_multisurf_star_scores,  # far-miss star variant
         "turf_selection": _q_turf_selection,  # elimination loop unrolled in SQL
         "cfs_selection": _q_cfs_selection,  # best-first search over subset merits
         "mdr_interaction": _q_mdr_interaction,  # CV vote unrolled in SQL
@@ -738,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sampling": _q_video_frame_sampling,  # synth media: rows-only
         "streaming_sessions": _q_streaming_sessions,
         "streaming_token_rates": _q_streaming_token_rates,
+        "streaming_sliding_rates": _q_streaming_sliding_rates,
         "streaming_stateful_progress": _q_streaming_stateful,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "top_customers": _q_top_customers,
@@ -1196,30 +1257,58 @@ upd AS (
 {_relief_unpivot(['u0', 'u1', 'u2', 'u3'], 'relieff')}
 """
 
-# SURF (SURF.py:131-218): near zone = dist < mean of the sample's distances
-# (self counted as 0 in the sum, denominator n-1, strict <); update =
-# sum(near-miss diffs) - sum(near-hit diffs); final / n.
-_SURF_ORACLE = f"""
+# SURF / SURF* (SURF.py:131-218): near zone = dist < mean of the sample's
+# distances (self counted as 0 in the sum, denominator n-1, strict <);
+# update = near(miss - hit) diffs, star adds far(hit - miss); final / n.
+def _surf_oracle_sql(star: bool, out_col: str) -> str:
+    terms = []
+    for i in range(len(_MI_FEATURES)):
+        far = (
+            f"(CASE WHEN d.yj = d.yi THEN df{i} ELSE -df{i} END)" if star else "0.0"
+        )
+        terms.append(
+            f"SUM(CASE WHEN d.dd < s.avg_d THEN "
+            f"(CASE WHEN d.yj <> d.yi THEN df{i} ELSE -df{i} END) "
+            f"ELSE {far} END) AS u{i}"
+        )
+    return f"""
 WITH {_relief_base_sql()},
 stats AS (
     SELECT i, SUM(dd) / ((SELECT n FROM nn) - 1) AS avg_d FROM dist GROUP BY 1
 ),
 upd AS (
-    SELECT d.i,
-           SUM(CASE WHEN d.yj <> d.yi THEN df0 ELSE -df0 END) AS u0,
-           SUM(CASE WHEN d.yj <> d.yi THEN df1 ELSE -df1 END) AS u1,
-           SUM(CASE WHEN d.yj <> d.yi THEN df2 ELSE -df2 END) AS u2,
-           SUM(CASE WHEN d.yj <> d.yi THEN df3 ELSE -df3 END) AS u3
+    SELECT d.i, {', '.join(terms)}
     FROM dist d JOIN stats s ON s.i = d.i
-    WHERE d.dd < s.avg_d
     GROUP BY d.i
 )
-{_relief_unpivot(['u0', 'u1', 'u2', 'u3'], 'surf')}
+{_relief_unpivot(['u0', 'u1', 'u2', 'u3'], out_col)}
 """
 
-# MultiSURF (MultiSURF.py:165-253): threshold mu - 0.5*sigma (variance
-# clamped >= 0); near-hit/near-miss diff sums averaged by their counts.
-_MULTISURF_ORACLE = f"""
+
+_SURF_ORACLE = _surf_oracle_sql(star=False, out_col="surf")
+_SURF_STAR_ORACLE = _surf_oracle_sql(star=True, out_col="surf_star")
+
+
+# MultiSURF / MultiSURF* (MultiSURF.py:165-253): threshold mu - 0.5*sigma
+# (variance clamped >= 0); near-hit/near-miss diff sums averaged by their
+# counts; the star variant subtracts far-miss diffs but still normalizes by
+# the NEAR miss count — the ELSE keeps the raw sum when the near count is
+# 0, exactly the kernel's conditional divide.
+def _multisurf_oracle_sql(star: bool, out_col: str) -> str:
+    h_terms, q_terms, u_terms = [], [], []
+    for i in range(len(_MI_FEATURES)):
+        h_terms.append(
+            f"SUM(CASE WHEN near AND yj = yi THEN df{i} ELSE 0 END) AS h{i}"
+        )
+        fm = f"WHEN NOT near AND yj <> yi THEN -df{i} " if star else ""
+        q_terms.append(
+            f"SUM(CASE WHEN near AND yj <> yi THEN df{i} {fm}ELSE 0 END) AS q{i}"
+        )
+        u_terms.append(
+            f"(CASE WHEN nm > 0 THEN q{i} / nm ELSE q{i} END)"
+            f" - (CASE WHEN nh > 0 THEN h{i} / nh ELSE h{i} END) AS u{i}"
+        )
+    return f"""
 WITH {_relief_base_sql(multisurf=True)},
 stats0 AS (
     SELECT i, SUM(dd) / ((SELECT n FROM nn) - 1) AS mu,
@@ -1230,36 +1319,27 @@ stats AS (
     SELECT i, mu - 0.5 * SQRT(GREATEST(m2 - mu * mu, 0.0)) AS thresh FROM stats0
 ),
 nz AS (
-    SELECT d.* FROM dist d JOIN stats s ON s.i = d.i WHERE d.dd < s.thresh
+    SELECT d.*, d.dd < s.thresh AS near
+    FROM dist d JOIN stats s ON s.i = d.i
 ),
 agg AS (
     SELECT i,
-           CAST(SUM(CASE WHEN yj = yi THEN 1 ELSE 0 END) AS DOUBLE) AS nh,
-           CAST(SUM(CASE WHEN yj <> yi THEN 1 ELSE 0 END) AS DOUBLE) AS nm,
-           SUM(CASE WHEN yj = yi THEN df0 ELSE 0 END) AS h0,
-           SUM(CASE WHEN yj = yi THEN df1 ELSE 0 END) AS h1,
-           SUM(CASE WHEN yj = yi THEN df2 ELSE 0 END) AS h2,
-           SUM(CASE WHEN yj = yi THEN df3 ELSE 0 END) AS h3,
-           SUM(CASE WHEN yj <> yi THEN df0 ELSE 0 END) AS q0,
-           SUM(CASE WHEN yj <> yi THEN df1 ELSE 0 END) AS q1,
-           SUM(CASE WHEN yj <> yi THEN df2 ELSE 0 END) AS q2,
-           SUM(CASE WHEN yj <> yi THEN df3 ELSE 0 END) AS q3
+           CAST(SUM(CASE WHEN near AND yj = yi THEN 1 ELSE 0 END) AS DOUBLE) AS nh,
+           CAST(SUM(CASE WHEN near AND yj <> yi THEN 1 ELSE 0 END) AS DOUBLE) AS nm,
+           {', '.join(h_terms)},
+           {', '.join(q_terms)}
     FROM nz GROUP BY 1
 ),
 upd AS (
-    SELECT i,
-           (CASE WHEN nm > 0 THEN q0 / nm ELSE 0 END)
-               - (CASE WHEN nh > 0 THEN h0 / nh ELSE 0 END) AS u0,
-           (CASE WHEN nm > 0 THEN q1 / nm ELSE 0 END)
-               - (CASE WHEN nh > 0 THEN h1 / nh ELSE 0 END) AS u1,
-           (CASE WHEN nm > 0 THEN q2 / nm ELSE 0 END)
-               - (CASE WHEN nh > 0 THEN h2 / nh ELSE 0 END) AS u2,
-           (CASE WHEN nm > 0 THEN q3 / nm ELSE 0 END)
-               - (CASE WHEN nh > 0 THEN h3 / nh ELSE 0 END) AS u3
+    SELECT i, {', '.join(u_terms)}
     FROM agg
 )
-{_relief_unpivot(['u0', 'u1', 'u2', 'u3'], 'multisurf')}
+{_relief_unpivot(['u0', 'u1', 'u2', 'u3'], out_col)}
 """
+
+
+_MULTISURF_ORACLE = _multisurf_oracle_sql(star=False, out_col="multisurf")
+_MULTISURF_STAR_ORACLE = _multisurf_oracle_sql(star=True, out_col="multisurf_star")
 
 def _relieff_score_ctes(sfx: str, dist_cte: str) -> str:
     """ReliefF scoring CTE chain over a (possibly feature-gated) distance
@@ -1698,6 +1778,28 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
              ROWS UNBOUNDED PRECEDING)
 """
 
+# Sliding windows (W=600s, S=300s, epoch-aligned like F.window): each event
+# at t belongs to exactly W/S = 2 windows, starts floor(t/S)*S - k*S.
+_STREAM_SLIDING_ORACLE = f"""
+WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+w AS (
+    SELECT role,
+           CAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS DOUBLE) AS toks,
+           FLOOR(EPOCH(ts) / 300) * 300 AS base
+    FROM transcripts
+),
+e AS (
+    SELECT role, toks, base - k * 300 AS ws
+    FROM w CROSS JOIN (VALUES (0), (1)) AS off(k)
+)
+SELECT CAST(TO_TIMESTAMP(ws) AS TIMESTAMP) AS window_start,
+       CAST(TO_TIMESTAMP(ws + 600) AS TIMESTAMP) AS window_end,
+       role,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       ROUND(SUM(toks), 6) AS total_tokens
+FROM e GROUP BY 1, 2, 3
+"""
+
 _EMBED_TOPK_ORACLE = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
@@ -1820,7 +1922,10 @@ def oracle_sql() -> dict[str, str]:
         "cfs_selection": _cfs_oracle_sql(),
         "relieff_scores": _RELIEFF_ORACLE,
         "surf_scores": _SURF_ORACLE,
+        "surf_star_scores": _SURF_STAR_ORACLE,
         "multisurf_scores": _MULTISURF_ORACLE,
+        "multisurf_star_scores": _MULTISURF_STAR_ORACLE,
+        "streaming_sliding_rates": _STREAM_SLIDING_ORACLE,
         "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2)                  AS sum_qty,

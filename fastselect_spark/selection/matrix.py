@@ -163,13 +163,17 @@ def fisher_matrix(
             for c in range(n_classes):
                 m = yb == c
                 if m.any():
-                    # one gather per class; einsum for the sum of squares
-                    # avoids materializing a squared copy of the class block
-                    # (the extra tens-of-MB temp made Fisher ~1.7x chi2 at
-                    # p=200k — allocator churn, not flops)
+                    # one gather per class; then column chunks sized to L2
+                    # (~1MB) so the sum and the einsum sum-of-squares read
+                    # the chunk while cache-hot — one effective memory pass
+                    # instead of two (the naive second pass made Fisher
+                    # ~1.6x chi2 at p=200k; this is bandwidth, not flops)
                     g = Xb[m]
-                    s[c] += g.sum(axis=0)
-                    q[c] += np.einsum("ij,ij->j", g, g)
+                    step = max(1, (1 << 17) // max(1, g.shape[0]))
+                    for c0 in range(0, g.shape[1], step):
+                        blk = g[:, c0 : c0 + step]
+                        s[c, c0 : c0 + step] += blk.sum(axis=0)
+                        q[c, c0 : c0 + step] += np.einsum("ij,ij->j", blk, blk)
                     cnt[c] += int(m.sum())
         return {"s": s, "q": q, "cnt": cnt} if s is not None else {}
 

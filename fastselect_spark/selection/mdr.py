@@ -6,12 +6,13 @@ the driver (like the reference, MDR.py:247-250) and CHUNKED across tasks;
 each task scores its combo range against the staged genotype matrix (read
 executor-side, never collected to the driver — see ``_stage.py``) for ALL
 folds in one vectorized pass (fold-offset bincount of 3^k cell ids — better
-than the reference's per-fold re-scan, SURVEY.md §4.1), and returns only
-the per-(combo, fold, cell) COUNT TENSORS. Everything downstream — per-fold
-kernel-BA argmax (first-index tie-break like np.argmax), per-fold LUT
-construction and test evaluation, the CV-consistency vote, and the final
-full-data LUT — is computed on the driver from those tensors alone
-(n_combos × cv × 3^k × 2 ints); the driver never holds a row of X.
+than the reference's per-fold re-scan, SURVEY.md §4.1), returning only cv
+kernel-BA floats per combo. After the per-fold argmax (first-index
+tie-break like np.argmax), a second tiny task fetches the (cv, 3^k) count
+tensors for just the <=cv fold-best combos; the per-fold LUT construction,
+test evaluation, CV-consistency vote, and final full-data LUT are all
+computed from those tensors — the driver never holds a row of X, and its
+ingress is cv floats per combo plus a handful of 3^k tensors.
 
 Reference semantics reproduced:
 - genotypes must be 0/1/2 (ValueError otherwise); y must be binary 0/1;
@@ -40,6 +41,8 @@ from pyspark.sql import functions as F
 from fastselect_spark.selection._stage import (
     LABEL,
     MID,
+    PACKED,
+    WIDE_P,
     load_staged,
     stage_matrix,
 )
@@ -131,13 +134,35 @@ class MDRClassifier:
         path = stage_matrix(df, feature_cols, label_col, extra_cols=extra)
         staged = spark.read.parquet(path)
 
-        # distributed validation (reference raises on bad codes, MDR.py:220-235)
-        geno_bad = " OR ".join(
-            f"({c} IS NULL OR {c} NOT IN (0, 1, 2))" for c in feature_cols
-        )
-        if staged.where(geno_bad).limit(1).count() > 0:
+        # distributed validation (reference raises on bad codes,
+        # MDR.py:220-235). One vectorized pass per partition — a p-term OR
+        # predicate would plan a 3000-node boolean expression whose codegen
+        # alone costs ~10s at p=1000.
+        def validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            bad_x = bad_y = False
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                if PACKED in pdf.columns:
+                    Xb = np.frombuffer(
+                        b"".join(pdf[PACKED].tolist()), dtype=np.float64
+                    ).reshape(len(pdf), p)
+                else:
+                    Xb = pdf[feature_cols].to_numpy(dtype=np.float64)
+                yb = pdf[LABEL].to_numpy(dtype=np.float64)
+                if not np.isin(Xb, (0.0, 1.0, 2.0)).all():
+                    bad_x = True
+                if not np.isin(yb, (0.0, 1.0)).all():
+                    bad_y = True
+            yield pd.DataFrame({"bad_x": [bad_x], "bad_y": [bad_y]})
+
+        val_cols = [PACKED] if p > WIDE_P else list(feature_cols)
+        flags = staged.select(*val_cols, LABEL).mapInPandas(
+            validate, schema="bad_x boolean, bad_y boolean"
+        ).collect()
+        if any(r["bad_x"] for r in flags):
             raise ValueError("MDR requires genotype features coded 0/1/2.")
-        if staged.where(f"{LABEL} IS NULL OR {LABEL} NOT IN (0, 1)").limit(1).count() > 0:
+        if any(r["bad_y"] for r in flags):
             raise ValueError("MDR requires binary labels coded 0/1.")
 
         combos = list(combinations(range(p), k))
@@ -157,74 +182,112 @@ class MDRClassifier:
         parts = min(max(spark.sparkContext.defaultParallelism, 4), n_combos)
         combo_df = spark.range(n_combos).repartition(parts)
 
-        def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            _, X, y, extras = load_staged(path, feature_cols)
-            Xi = X.astype(np.int64)
-            yi = y.astype(np.int64)
+        def _load_folds(extras) -> np.ndarray:
             if fold_col is not None:
                 folds = extras[fold_col].astype(np.int64)
                 if folds.min() < 0 or folds.max() >= cv:
                     raise ValueError(f"fold_col values must be in [0, {cv})")
-            else:
-                folds = folds_bc.value.astype(np.int64)
+                return folds
+            return folds_bc.value.astype(np.int64)
+
+        def _combo_tensors(Xi, yi, folds, cid) -> tuple[np.ndarray, np.ndarray]:
+            cells = _cells_for_combo(Xi, tuple(int(v) for v in combos_arr[cid]))
+            idx = folds * n_cells + cells
+            case_fc = np.bincount(idx[yi == 1], minlength=cv * n_cells).reshape(
+                cv, n_cells
+            )
+            ctrl_fc = np.bincount(idx[yi == 0], minlength=cv * n_cells).reshape(
+                cv, n_cells
+            )
+            return case_fc, ctrl_fc
+
+        # phase 1: per-(combo, fold) kernel BAs, computed DISTRIBUTED — only
+        # cv floats per combo reach the driver (at p=1000 that is 500k
+        # combos; shipping their full count tensors measured 720MB of
+        # driver ingress and a 14x wall regression)
+        def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            _, X, y, extras = load_staged(path, feature_cols)
+            Xi = X.astype(np.int64)
+            yi = y.astype(np.int64)
+            folds = _load_folds(extras)
             rows = []
             for pdf_b in batches:
                 for cid in pdf_b["id"].to_numpy():
-                    combo = tuple(int(v) for v in combos_arr[cid])
-                    cells = _cells_for_combo(Xi, combo)
-                    # joint (fold, cell) counts for cases and controls
-                    idx = folds * n_cells + cells
-                    case_fc = np.bincount(
-                        idx[yi == 1], minlength=cv * n_cells
-                    ).reshape(cv, n_cells)
-                    ctrl_fc = np.bincount(
-                        idx[yi == 0], minlength=cv * n_cells
-                    ).reshape(cv, n_cells)
-                    rows.append(
-                        {
-                            "combo_id": int(cid),
-                            "case": case_fc.astype(np.int64).tobytes(),
-                            "ctrl": ctrl_fc.astype(np.int64).tobytes(),
-                        }
-                    )
+                    case_fc, ctrl_fc = _combo_tensors(Xi, yi, folds, cid)
+                    case_tot = case_fc.sum(axis=0)
+                    ctrl_tot = ctrl_fc.sum(axis=0)
+                    for fold in range(cv):
+                        ba = _ba_from_counts(
+                            case_tot - case_fc[fold], ctrl_tot - ctrl_fc[fold]
+                        )
+                        rows.append(
+                            {"combo_id": int(cid), "fold": fold, "ba": float(ba)}
+                        )
+            yield pd.DataFrame(rows, columns=["combo_id", "fold", "ba"])
+
+        bas = combo_df.mapInPandas(
+            mapper, schema="combo_id long, fold int, ba double"
+        ).toPandas()
+
+        # per-fold argmax with first-index tie-break (np.argmax semantics)
+        fold_best_cids: list[int] = []
+        for fold in range(cv):
+            sub = bas[bas["fold"] == fold]
+            arr = np.full(n_combos, -np.inf, dtype=np.float64)
+            arr[sub["combo_id"].to_numpy()] = sub["ba"].to_numpy()
+            fold_best_cids.append(int(np.argmax(arr)))
+
+        # phase 2: count tensors for just the <=cv fold-best combos (one
+        # tiny executor task; the driver never holds a row of X)
+        need = sorted(set(fold_best_cids))
+
+        def tensor_task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for _ in batches:
+                pass
+            _, X, y, extras = load_staged(path, feature_cols)
+            Xi = X.astype(np.int64)
+            yi = y.astype(np.int64)
+            folds = _load_folds(extras)
+            rows = []
+            for cid in need:
+                case_fc, ctrl_fc = _combo_tensors(Xi, yi, folds, cid)
+                rows.append(
+                    {
+                        "combo_id": int(cid),
+                        "case": case_fc.astype(np.int64).tobytes(),
+                        "ctrl": ctrl_fc.astype(np.int64).tobytes(),
+                    }
+                )
             yield pd.DataFrame(rows, columns=["combo_id", "case", "ctrl"])
 
-        case_t = np.zeros((n_combos, cv, n_cells), dtype=np.int64)
-        ctrl_t = np.zeros((n_combos, cv, n_cells), dtype=np.int64)
-        for r in combo_df.mapInPandas(
-            mapper, schema="combo_id long, case binary, ctrl binary"
-        ).collect():
-            cid = int(r["combo_id"])
-            case_t[cid] = np.frombuffer(r["case"], dtype=np.int64).reshape(cv, n_cells)
-            ctrl_t[cid] = np.frombuffer(r["ctrl"], dtype=np.int64).reshape(cv, n_cells)
-
-        # everything below runs on the (n_combos, cv, 3^k) tensors only
-        case_tot = case_t.sum(axis=1)  # (n_combos, n_cells)
-        ctrl_tot = ctrl_t.sum(axis=1)
+        tensors: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for r in (
+            spark.range(1)
+            .coalesce(1)
+            .mapInPandas(tensor_task, schema="combo_id long, case binary, ctrl binary")
+            .collect()
+        ):
+            tensors[int(r["combo_id"])] = (
+                np.frombuffer(r["case"], dtype=np.int64).reshape(cv, n_cells),
+                np.frombuffer(r["ctrl"], dtype=np.int64).reshape(cv, n_cells),
+            )
 
         fold_best_models: list[tuple[int, ...]] = []
         fold_test_bas: list[float] = []
         for fold in range(cv):
-            # per-fold argmax with first-index tie-break (np.argmax semantics)
-            bas = np.array(
-                [
-                    _ba_from_counts(
-                        case_tot[c] - case_t[c, fold], ctrl_tot[c] - ctrl_t[c, fold]
-                    )
-                    for c in range(n_combos)
-                ],
-                dtype=np.float64,
-            )
-            best_idx = int(np.argmax(bas))
+            best_idx = fold_best_cids[fold]
+            case_t_b, ctrl_t_b = tensors[best_idx]
+            case_tot_b = case_t_b.sum(axis=0)
+            ctrl_tot_b = ctrl_t_b.sum(axis=0)
             fold_best_models.append(combos[best_idx])
             # train LUT, evaluated on the test fold — from counts alone:
             # tp = sum(case_test[lut==1]), tn = sum(ctrl_test[lut==0])
             lut = _lut(
-                case_tot[best_idx] - case_t[best_idx, fold],
-                ctrl_tot[best_idx] - ctrl_t[best_idx, fold],
+                case_tot_b - case_t_b[fold],
+                ctrl_tot_b - ctrl_t_b[fold],
             )
-            te_case = case_t[best_idx, fold]
-            te_ctrl = ctrl_t[best_idx, fold]
+            te_case = case_t_b[fold]
+            te_ctrl = ctrl_t_b[fold]
             n_pos = int(te_case.sum())
             n_neg = int(te_ctrl.sum())
             sens = int(te_case[lut == 1].sum()) / n_pos if n_pos else 0
@@ -249,7 +312,10 @@ class MDRClassifier:
         self.best_cvc_ = max_cvc
         self.best_mean_testing_ba_ = best_avg_ba
         best_cid = combos.index(best_model)
-        self.best_model_lookup_table_ = _lut(case_tot[best_cid], ctrl_tot[best_cid])
+        case_t_b, ctrl_t_b = tensors[best_cid]
+        self.best_model_lookup_table_ = _lut(
+            case_t_b.sum(axis=0), ctrl_t_b.sum(axis=0)
+        )
         return self
 
     def predict(self, df: DataFrame) -> DataFrame:

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from fastselect_spark.selection._stage import (
     LABEL,
     MID,
+    WIDE_P,
     load_staged,
     stage_matrix,
 )
@@ -78,20 +79,18 @@ def _class_stats(staged: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return classes, counts
 
 
-_WIDE_P = 64
-
-
 def _fit_metadata(
     staged: DataFrame, path: str, feature_cols: list[str], discrete_limit: int
 ):
     """is_discrete / ranges (reference fit metadata, ReliefF.py:366-380).
 
-    Narrow p: the one-job distributed agg (_preflight). Wide p: a
-    countDistinct per column plans a p-branch Expand whose codegen alone
-    costs minutes at p=1000, so one executor task loads the staged matrix
-    and computes the metadata there (identical values; the driver only
-    receives two p-sized vectors)."""
-    if len(feature_cols) <= _WIDE_P:
+    Narrow p (scalar stage layout): the one-job distributed agg
+    (_preflight). Wide p (packed stage layout): a countDistinct per column
+    plans a p-branch Expand whose codegen alone costs minutes at p=1000, so
+    one executor task loads the staged matrix and computes the metadata
+    there (identical values; the driver only receives two p-sized
+    vectors)."""
+    if len(feature_cols) <= WIDE_P:
         return _preflight(staged, feature_cols, discrete_limit)
 
     def one(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
