@@ -342,6 +342,20 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: spherical-k-means cells + nprobe probing, exact
+    rerank within probed cells — approximate, rows-only check (centroid
+    training is iterative and not SQL-expressible; recall is covered by
+    tests/test_pipeline_ops.py IVF recall tests)."""
+    from fastselect_spark.similarity import cosine_topk_ivf
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    return cosine_topk_ivf(
+        emb, emb.where(F.col("vec_id") < 5), k=5, n_cells=8, nprobe=3
+    )
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns -> batched decode/featurize via mapInPandas
     (codec stubbed behind a deterministic fake; plumbing is real)."""
@@ -794,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,  # approx: rows-only
         "ann_lsh_topk": _q_ann_lsh_topk,  # approx: rows-only
+        "ann_ivf_topk": _q_ann_ivf_topk,  # approx (kmeans cells): rows-only
         "multimodal_features": _q_multimodal_features,  # synth media: rows-only
         "video_frame_sampling": _q_video_frame_sampling,  # synth media: rows-only
         "streaming_sessions": _q_streaming_sessions,

@@ -1,1 +1,6 @@
 from fastselect_spark.similarity.ann import cosine_topk, cosine_topk_lsh  # noqa: F401
+from fastselect_spark.similarity.ivf import (  # noqa: F401
+    cosine_topk_ivf,
+    ivf_assign,
+    train_ivf_centroids,
+)

@@ -1,0 +1,174 @@
+"""IVF (inverted-file) approximate nearest neighbor over an embedding
+column — the centroid-partitioned scale path complementing the LSH variant
+(similarity/ann.py).
+
+Index = spherical k-means: unit-normalized centroids trained by distributed
+Lloyd iterations (each iteration is ONE ``mapInPandas`` pass accumulating
+per-cell (sum, count) via the tree reduction — no row ever reaches the
+driver; the driver holds only the (n_cells, dim) centroid matrix). Vectors
+are assigned to their max-dot-product cell; a query probes its ``nprobe``
+nearest cells and candidates are re-ranked exactly.
+
+Determinism: centroids are seeded from the ``n_cells`` lowest-id corpus
+vectors and Lloyd's updates are exact means of integer-count partitions, so
+the index is reproducible on any cluster layout (the per-cell sums are
+float64 and merged in partition order by the tree reduction — differences
+are at the 1e-15 level and never flip an argmax in practice).
+
+At 100 TB: training runs on a bounded sample (``train_sample``), assignment
+is a single scan, and the candidate join is bucket-bounded exactly like the
+LSH path — a query touches nprobe/n_cells of the corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fastselect_spark.selection._agg import tree_reduce_ndarrays
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return M / norms
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 20,
+    tol: float = 1e-4,
+    train_sample: int | None = None,
+) -> np.ndarray:
+    """Unit-normalized (n_cells, dim) centroid matrix via distributed
+    spherical k-means. ``train_sample`` bounds the training scan at scale
+    (deterministic: lowest ids)."""
+    seed_rows = (
+        corpus.select(id_col, emb_col).orderBy(id_col).limit(n_cells).collect()
+    )
+    centroids = _normalize(
+        np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in seed_rows])
+    )
+    train = corpus.select(emb_col)
+    if train_sample is not None:
+        train = (
+            corpus.select(id_col, emb_col)
+            .orderBy(id_col)
+            .limit(train_sample)
+            .select(emb_col)
+        )
+
+    for _ in range(max_iter):
+        C = centroids  # captured by value in the closure below
+
+        def partial(batches: Iterator[pd.DataFrame]) -> dict[str, np.ndarray]:
+            s = np.zeros_like(C)
+            cnt = np.zeros(len(C), dtype=np.int64)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = _normalize(
+                    np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+                )
+                cell = np.argmax(V @ C.T, axis=1)
+                np.add.at(s, cell, V)
+                cnt += np.bincount(cell, minlength=len(C))
+            return {"s": s, "cnt": cnt}
+
+        merged = tree_reduce_ndarrays(train, partial)
+        s, cnt = merged["s"], merged["cnt"]
+        new = np.where(cnt[:, None] > 0, s / np.maximum(cnt, 1)[:, None], C)
+        new = _normalize(new)
+        shift = float(((new - centroids) ** 2).sum())
+        centroids = new
+        if shift <= tol:
+            break
+    return centroids
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Add the ``cell`` column (max-dot-product centroid) — one scan."""
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    cols = corpus.columns
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = _normalize(np.stack(pdf[emb_col].to_numpy()).astype(np.float64))
+            out = pdf.copy()
+            out["cell"] = np.argmax(V @ C.T, axis=1).astype(np.int32)
+            yield out
+
+    schema_str = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in corpus.schema.fields
+    )
+    return corpus.select(*cols).mapInPandas(assign, schema=f"{schema_str}, cell int")
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+    train_sample: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: each query probes its ``nprobe`` nearest cells and
+    is re-ranked exactly against just those cells' vectors. Returns
+    (query_id, neighbor_id, cosine, rank)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_cells, emb_col, id_col, train_sample=train_sample
+        )
+    cells = ivf_assign(corpus, centroids, emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("e_c"), "cell"
+    )
+
+    # queries are small by definition: probe cells computed driver-side
+    qpdf = queries.select(id_col, emb_col).toPandas()
+    Q = _normalize(np.stack(qpdf[emb_col].to_numpy()).astype(np.float64))
+    sims = Q @ centroids.T
+    probe_rows = []
+    for qi in range(len(qpdf)):
+        order = np.argsort(-sims[qi], kind="stable")[:nprobe]
+        for c in order:
+            probe_rows.append(
+                (int(qpdf[id_col].iloc[qi]), [float(v) for v in Q[qi]], int(c))
+            )
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, schema="query_id long, e_q array<double>, cell int"
+    )
+
+    from fastselect_spark.dedup.embedding import _cosine_col
+
+    # probes are (n_queries * nprobe) rows — always the broadcast side
+    cand = cells.join(F.broadcast(probes), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.withColumn("cosine", _cosine_col(F.col("e_q"), F.col("e_c")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+        )
+    )

@@ -26,7 +26,13 @@ from fastselect_spark.multimodal.binary import (
     deterministic_fake_decoder,
     unavailable_decoder,
 )
-from fastselect_spark.similarity import cosine_topk, cosine_topk_lsh
+from fastselect_spark.similarity import (
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+    ivf_assign,
+    train_ivf_centroids,
+)
 from fastselect_spark.text import (
     add_fingerprint,
     add_language_id,
@@ -255,6 +261,38 @@ def test_cosine_topk_lsh_subset_of_exact(embeddings):
     approx = cosine_topk_lsh(
         embeddings, queries, k=3, n_planes=8, n_tables=2, seed=42
     ).toPandas()
+    exact = cosine_topk(embeddings, queries, k=embeddings.count()).toPandas()
+    escore = {(r.query_id, r.neighbor_id): r.cosine for r in exact.itertuples()}
+    for r in approx.itertuples():
+        assert abs(escore[(r.query_id, r.neighbor_id)] - r.cosine) < 2e-6
+
+
+def test_ivf_centroids_unit_norm_and_assign_partition(planted_embeddings):
+    centroids = train_ivf_centroids(planted_embeddings, n_cells=6)
+    np.testing.assert_allclose(np.linalg.norm(centroids, axis=1), 1.0, rtol=1e-9)
+    cells = ivf_assign(planted_embeddings, centroids).toPandas()
+    assert cells["cell"].between(0, 5).all()
+    assert len(cells) == planted_embeddings.count()
+    # planted near-identical pairs land in the same cell
+    by_id = dict(zip(cells["vec_id"], cells["cell"]))
+    same = sum(by_id[i] == by_id[200 + i] for i in range(10))
+    assert same == 10
+
+
+def test_cosine_topk_ivf_recall(planted_embeddings):
+    """Planted near-duplicates must be found as top-1 through the IVF probe
+    path (the planted pair shares a cell; nprobe covers the rest)."""
+    queries = planted_embeddings.where(F.col("vec_id") < 10)
+    approx = cosine_topk_ivf(
+        planted_embeddings, queries, k=1, n_cells=6, nprobe=2
+    ).toPandas()
+    top1 = {r.query_id: r.neighbor_id for r in approx.itertuples()}
+    assert sum(top1.get(i) == 200 + i for i in range(10)) == 10
+
+
+def test_cosine_topk_ivf_subset_of_exact(embeddings):
+    queries = embeddings.where(F.col("vec_id") < 5)
+    approx = cosine_topk_ivf(embeddings, queries, k=3, n_cells=8, nprobe=3).toPandas()
     exact = cosine_topk(embeddings, queries, k=embeddings.count()).toPandas()
     escore = {(r.query_id, r.neighbor_id): r.cosine for r in exact.itertuples()}
     for r in approx.itertuples():
