@@ -84,3 +84,53 @@ def test_mrmr_matrix_matches_oracle_greedy(spark, coded):
     rel_o, red_o = mi_matrices_oracle(X.astype(np.int64), y.astype(np.int64))
     expected = mrmr_greedy(rel_o, red_o, 5, "MID")
     np.testing.assert_array_equal(picked, expected)
+
+
+# ---------- staged-matrix layout roundtrip ----------
+
+def test_stage_roundtrip_narrow_and_packed(spark):
+    """stage_matrix writes scalar columns below WIDE_P and a packed binary
+    block above it; load_staged must reconstruct the identical (X, y) in
+    mid order either way."""
+    import pandas as pd
+
+    from fastselect_spark.selection._stage import (
+        WIDE_P,
+        load_staged,
+        stage_matrix,
+    )
+
+    rng = np.random.default_rng(3)
+    for p in (4, WIDE_P + 5):
+        n = 50
+        X = rng.standard_normal((n, p))
+        y = rng.integers(0, 3, n)
+        cols = [f"f{i}" for i in range(p)]
+        pdf = pd.DataFrame(X, columns=cols)
+        pdf["label"] = y
+        df = spark.createDataFrame(pdf).repartition(4)
+        path = stage_matrix(df, cols, "label")
+        mid, Xs, ys, extras = load_staged(path, cols)
+        assert Xs.shape == (n, p)
+        assert (np.diff(mid) > 0).all()  # sorted, unique
+        # same multiset of rows (order differs: partition order vs input)
+        got = np.concatenate([Xs, ys[:, None]], axis=1)
+        exp = np.concatenate([X, y[:, None].astype(float)], axis=1)
+        got_sorted = got[np.lexsort(got.T[::-1])]
+        exp_sorted = exp[np.lexsort(exp.T[::-1])]
+        np.testing.assert_allclose(got_sorted, exp_sorted, rtol=1e-12)
+
+
+def test_stage_extra_cols_preserved(spark):
+    import pandas as pd
+
+    from fastselect_spark.selection._stage import load_staged, stage_matrix
+
+    pdf = pd.DataFrame(
+        {"f0": [1.0, 2.0, 3.0], "label": [0, 1, 0], "fold": [2, 0, 1]}
+    )
+    df = spark.createDataFrame(pdf)
+    path = stage_matrix(df, ["f0"], "label", extra_cols=("fold",))
+    mid, X, y, extras = load_staged(path, ["f0"])
+    by_val = dict(zip(X[:, 0], extras["fold"]))
+    assert by_val == {1.0: 2, 2.0: 0, 3.0: 1}

@@ -75,6 +75,68 @@ def test_streaming_sessions_match_batch(spark, staged):
     assert np.allclose(tot1.values, tot2.values)
 
 
+def test_streaming_watermark_drops_late_data(spark, tmp_path_factory):
+    """Late-data semantics: once a session is finalized (its end fell below
+    the watermark and it was emitted), a later-arriving event for that
+    period is DROPPED — the append-mode result stays correct and is never
+    re-emitted. Three single-file micro-batches: batch 1's mover pushes the
+    watermark past A's session, which is emitted with 1 turn; batch 2's
+    10:01 event for A arrives below the watermark with A's state evicted
+    and must be dropped (observable in numRowsDroppedByWatermark).
+    Verified Spark nuance: a late-but-state-live row (same watermark
+    relationship, state not yet evicted) still merges — the guarantee the
+    watermark gives is bounded state + no post-emission mutation."""
+    import time as _time
+    from datetime import datetime
+
+    def ts(h, m):
+        return datetime(2024, 1, 1, h, m, 0)
+
+    root = tmp_path_factory.mktemp("late")
+    src = str(root / "in")
+    file_batches = [
+        [
+            ("A", 0, "user", "hello world", None, ts(10, 0)),
+            ("B", 0, "user", "watermark mover", None, ts(11, 0)),
+        ],
+        [("C", 0, "user", "mover two", None, ts(11, 30))],
+        [
+            ("A", 1, "user", "too late", None, ts(10, 1)),
+            ("D", 0, "user", "tail event", None, ts(12, 0)),
+        ],
+    ]
+    for rows in file_batches:
+        spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.2)  # distinct mod-times => deterministic batch order
+
+    stream = read_transcripts_stream(spark, src, max_files_per_trigger=1)
+    out = streaming_session_stats(stream, gap_seconds=300, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_sess")
+        .outputMode("append")
+        .option("checkpointLocation", str(root / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("late_sess").toPandas()
+    # A emitted exactly once, with only the on-time turn — the late 10:01
+    # arrival was dropped, not appended as a duplicate session
+    a = got[got.conv_id == "A"]
+    assert len(a) == 1 and int(a["n_turns"].iloc[0]) == 1
+    dropped = sum(
+        int((p["stateOperators"][0] or {}).get("numRowsDroppedByWatermark", 0))
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
+    # D's session is still open (above watermark) => not emitted
+    assert "D" not in set(got["conv_id"])
+
+
 def test_streaming_token_rates(spark, staged):
     path, root, pdf = staged
     stream = read_transcripts_stream(spark, path)
