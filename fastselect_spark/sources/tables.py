@@ -34,13 +34,37 @@ def _iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def read_transcripts_table(spark: SparkSession, source: str) -> DataFrame:
+def read_transcripts_table(
+    spark: SparkSession, source: str, schema=None
+) -> DataFrame:
     """Read transcripts from an Iceberg identifier, an Iceberg path, or a
-    parquet path — whichever the environment supports."""
-    if not os.path.exists(source) and "." in source:
-        return spark.read.table(source)  # catalog identifier
+    file path — whichever the environment supports. File formats resolve by
+    extension: ``.parquet`` (default), ``.orc``, ``.csv`` (header row,
+    ``schema`` strongly recommended — inference costs an extra scan),
+    ``.json`` / ``.jsonl`` (newline-delimited)."""
+    low = source.lower()
+    known_ext = (".parquet", ".orc", ".csv", ".json", ".jsonl")
+    if (
+        not os.path.exists(source)
+        and "/" not in source
+        and not low.endswith(known_ext)
+    ):
+        # catalog identifier (catalog.db.table / db.table) or view name
+        return spark.read.table(source)
     if os.path.isdir(os.path.join(source, "metadata")) and _iceberg_available(spark):
         return spark.read.format("iceberg").load(source)
+    if low.endswith(".csv"):
+        reader = spark.read.option("header", "true")
+        if schema is not None:
+            return reader.schema(schema).csv(source)
+        return reader.option("inferSchema", "true").csv(source)
+    if low.endswith((".json", ".jsonl")):
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.json(source)
+    if low.endswith(".orc"):
+        return spark.read.orc(source)
     return spark.read.parquet(source)
 
 
