@@ -507,6 +507,27 @@ def _q_streaming_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: first arrival per content fingerprint. The
+    emitted fingerprint SET is deterministic and equals batch SELECT
+    DISTINCT (which physical row survives is arrival-order-dependent, so
+    only the fingerprint is emitted)."""
+    from fastselect_spark.streaming import (
+        read_transcripts_stream,
+        streaming_dedup,
+    )
+
+    path = _staged_transcripts_path(spark, sf_dir)
+    stream = read_transcripts_stream(spark, path)
+    out = _run_available_now(
+        spark,
+        streaming_dedup(stream).select("fp_exact"),
+        "fs_stream_dedup",
+        mode="append",
+    )
+    return out.select("fp_exact")
+
+
 def _q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastselect_spark.featurize import add_lag_lead
 
@@ -814,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_streaming_sessions,
         "streaming_token_rates": _q_streaming_token_rates,
         "streaming_sliding_rates": _q_streaming_sliding_rates,
+        "streaming_dedup": _q_streaming_dedup,
         "streaming_stateful_progress": _q_streaming_stateful,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "top_customers": _q_top_customers,
@@ -1941,6 +1963,12 @@ def oracle_sql() -> dict[str, str]:
         "multisurf_scores": _MULTISURF_ORACLE,
         "multisurf_star_scores": _MULTISURF_STAR_ORACLE,
         "streaming_sliding_rates": _STREAM_SLIDING_ORACLE,
+        "streaming_dedup": f"""
+        WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+        SELECT DISTINCT
+            MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp_exact
+        FROM transcripts
+        """,
         "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2)                  AS sum_qty,

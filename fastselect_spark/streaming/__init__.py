@@ -3,6 +3,10 @@ from fastselect_spark.streaming.sessions import (  # noqa: F401
     streaming_session_stats,
     streaming_token_rates,
 )
+from fastselect_spark.streaming.dedup import (  # noqa: F401
+    streaming_dedup,
+    streaming_dedup_within_watermark,
+)
 from fastselect_spark.streaming.stateful import (  # noqa: F401
     stateful_conversation_progress,
 )

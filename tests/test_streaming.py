@@ -150,3 +150,37 @@ def test_streaming_token_rates(spark, staged):
     assert got["total_tokens"].sum() == expect_tokens
     # windows are aligned hour buckets
     assert (got["window_start"].dt.minute == 0).all()
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, staged):
+    """The emitted fingerprint set equals batch SELECT DISTINCT over the
+    same normalization; duplicate content arriving in later micro-batches
+    is suppressed by state."""
+    import hashlib
+    import re
+
+    from fastselect_spark.streaming import streaming_dedup
+
+    path, root, pdf = staged
+    stream = read_transcripts_stream(spark, path)
+    q = (
+        streaming_dedup(stream)
+        .select("fp_exact")
+        .writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ckpt_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = set(spark.table("stream_dedup").toPandas()["fp_exact"])
+
+    def fp(t):
+        norm = re.sub(r"\s+", " ", (t or "").strip()).lower()
+        return hashlib.md5(norm.encode()).hexdigest()
+
+    expect = {fp(t) for t in pdf["text"]}
+    assert got == expect
+    # each fingerprint emitted exactly once
+    assert len(spark.table("stream_dedup").toPandas()) == len(expect)
