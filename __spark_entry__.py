@@ -278,6 +278,17 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over the n-gram-Jaccard
+    near-dup pair graph (min-label propagation, all Catalyst ops), plus the
+    canonical min-id representative per cluster."""
+    from fastselect_spark.dedup import connected_components, ngram_jaccard_pairs
+
+    _register(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(spark.table("documents"), shingle_k=3, threshold=0.12)
+    return connected_components(pairs)
+
+
 def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastselect_spark.similarity import cosine_topk
 
@@ -823,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality_by_source": _q_lang_quality_by_source,
         "dedup_exact_groups": _q_dedup_exact_groups,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_components": _q_dedup_components,
         "minhash_near_dups": _q_minhash_near_dups,  # hash family: rows-only
         "simhash_near_dups": _q_simhash_near_dups,  # hash family: rows-only
         "embedding_topk": _q_embedding_topk,
@@ -1682,6 +1694,24 @@ JOIN cnt cb ON cb.doc_id = id_b
 WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.12
 """
 
+# Duplicate clustering: min reachable id through the near-dup pair graph.
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE
+pairs AS ({_NGRAM_ORACLE}),
+e AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+reach(node, comp) AS (
+    SELECT node, node AS comp FROM nodes
+    UNION
+    SELECT e.src, r.comp FROM reach r JOIN e ON e.dst = r.node
+)
+SELECT node AS doc_id, MIN(comp) AS comp FROM reach GROUP BY 1
+"""
+
 _ASOF_ORACLE = (
     _FEATURIZE_BASE
     + """
@@ -1900,6 +1930,7 @@ def oracle_sql() -> dict[str, str]:
         FROM fp GROUP BY 1 HAVING COUNT(*) > 1
         """,
         "ngram_jaccard": _NGRAM_ORACLE,
+        "dedup_components": _COMPONENTS_ORACLE,
         "embedding_topk": _EMBED_TOPK_ORACLE,
         "transcripts_derive": TRANSCRIPTS_FROM_EVENTS_SQL,
         "featurize_sessions": _FEATURIZE_BASE

@@ -327,3 +327,23 @@ def test_sample_frames_counts(spark):
     expect = sum(int(d) // 5000 + 1 for d in vids["duration_ms"])
     assert len(fp) == expect
     assert all(len(f) == FEATURE_DIM for f in fp["features"])
+
+
+# ---------- duplicate clustering (connected components) ----------
+
+def test_connected_components_chain_and_island(spark):
+    """A 4-node chain and a separate pair resolve to two components with
+    min-id labels; a chain exercises multi-round propagation."""
+    from fastselect_spark.dedup import connected_components, duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(3, 7), (7, 12), (12, 20), (40, 41)], "id_a long, id_b long"
+    )
+    comp = connected_components(pairs).toPandas()
+    got = dict(zip(comp["doc_id"], comp["comp"]))
+    assert got == {3: 3, 7: 3, 12: 3, 20: 3, 40: 40, 41: 40}
+
+    clusters = duplicate_clusters(pairs).toPandas().sort_values("comp")
+    assert clusters["comp"].tolist() == [3, 40]
+    assert clusters["keep_id"].tolist() == [3, 40]
+    assert clusters["n_members"].tolist() == [4, 2]
