@@ -220,16 +220,21 @@ def _q_jmi_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastselect_spark.text import add_quality_score, add_token_count
+    from fastselect_spark.text import (
+        add_quality_score,
+        add_stopword_ratio,
+        add_token_count,
+    )
 
     _register(spark, sf_dir, "documents")
     docs = spark.table("documents")
-    out = add_quality_score(add_token_count(docs))
+    out = add_stopword_ratio(add_quality_score(add_token_count(docs)))
     return out.select(
         "doc_id",
         F.col("n_ws_tokens").cast("int").alias("n_ws_tokens"),
         F.col("n_bpe_tokens").cast("int").alias("n_bpe_tokens"),
         F.round("quality_score", 6).alias("quality_score"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
     )
 
 
@@ -1900,7 +1905,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS INT) AS n_ws_tokens,
                CAST(LEN(REGEXP_EXTRACT_ALL(text,
                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens,
-               ROUND({_QUALITY_EXPR}, 6) AS quality_score
+               ROUND({_QUALITY_EXPR}, 6) AS quality_score,
+               ROUND(
+                   LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                       t -> t IN ('the','a','an','and','or','of','to','in','is',
+                                  'it','that','for','on','with','as','was','at',
+                                  'by','be','this'))) * 1.0
+                   / GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')), 1),
+               6) AS stopword_ratio
         FROM documents
         """,
         "lang_quality_by_source": f"""

@@ -3,4 +3,5 @@ from fastselect_spark.text.analysis import (  # noqa: F401
     add_quality_score,
     add_token_count,
     add_fingerprint,
+    add_stopword_ratio,
 )

@@ -41,6 +41,25 @@ def add_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df
 
 
+# English stopword set for the quality-filter stopword ratio (classic
+# Gopher/C4-style pretraining heuristic: natural prose has a stable
+# fraction of function words; boilerplate and code do not).
+_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be", "this",
+]
+
+
+def add_stopword_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``stopword_ratio`` = fraction of (lowercased, whitespace) tokens that
+    are English stopwords — pure JVM higher-order ``filter``, no UDF."""
+    toks = _tokens(F.lower(F.col(text_col)))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    return df.withColumn(
+        "stopword_ratio", n_stop / F.greatest(F.size(toks), F.lit(1))
+    )
+
+
 def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality in [0, 1] from length, punctuation ratio,
     mean word length, and alpha ratio (classic pretraining-corpus filters)."""

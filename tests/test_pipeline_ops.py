@@ -347,3 +347,27 @@ def test_connected_components_chain_and_island(spark):
     assert clusters["comp"].tolist() == [3, 40]
     assert clusters["keep_id"].tolist() == [3, 40]
     assert clusters["n_members"].tolist() == [4, 2]
+
+
+def test_stopword_ratio(spark):
+    from fastselect_spark.text import add_stopword_ratio
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "the cat is on the mat",      # 4 of 6 stopwords
+                "zebra quokka wombat",         # 0 of 3
+                "THE THE the",                 # case-folded: 3 of 3
+            ],
+        }
+    )
+    out = (
+        add_stopword_ratio(spark.createDataFrame(pdf))
+        .orderBy("doc_id")
+        .toPandas()["stopword_ratio"]
+        .tolist()
+    )
+    assert abs(out[0] - 4 / 6) < 1e-9
+    assert out[1] == 0.0
+    assert out[2] == 1.0
