@@ -25,6 +25,14 @@ Reference semantics reproduced:
 - StratifiedKFold(shuffle=True, random_state=42) reimplemented with
   sklearn's exact fold-construction algorithm (driver-side, parity scale);
 - model vote: max CV-count, tie-break by mean test BA (MDR.py:304-323).
+
+DELIBERATE parity divergence: kernel BAs are float64 here, while the
+reference's _batch_balanced_accuracy_cpu returns float32 (MDR.py:129) —
+two combos whose BAs tie at float32 resolution but differ in float64 can
+argmax to a different winner. We keep float64 because the per-fold argmax
+then agrees with the double-precision DuckDB oracle (the driver-contract
+gate); the count-space inputs make such ties exact-rational events that
+the parity fixtures never exercise.
 """
 
 from __future__ import annotations
@@ -36,15 +44,13 @@ from itertools import combinations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
+
 
 from fastselect_spark.selection._stage import (
     LABEL,
-    MID,
     PACKED,
     WIDE_P,
-    load_staged,
-    stage_matrix,
+    make_stage,
 )
 
 
@@ -124,46 +130,59 @@ class MDRClassifier:
         ``fold_col`` there is no driver collect at all, which is the path
         to use at scale (and what the driver-contract oracle uses)."""
         self.feature_cols_ = list(feature_cols)
+        extra = (fold_col,) if fold_col else ()
+        stage = make_stage(df, feature_cols, label_col, extra_cols=extra)
+        try:
+            return self._fit_on_stage(stage, fold_col)
+        finally:
+            stage.cleanup()
+
+    def _fit_on_stage(self, stage, fold_col: str | None) -> "MDRClassifier":
+        feature_cols = self.feature_cols_
         p = len(feature_cols)
         k = self.k
         cv = self.cv
         n_cells = 3**k
-        spark = df.sparkSession
+        spark = stage.spark
+        load = stage.loader()
 
-        extra = (fold_col,) if fold_col else ()
-        path = stage_matrix(df, feature_cols, label_col, extra_cols=extra)
-        staged = spark.read.parquet(path)
+        # input validation (reference raises on bad codes, MDR.py:220-235).
+        # One vectorized pass per partition — a p-term OR predicate would
+        # plan a 3000-node boolean expression whose codegen alone costs
+        # ~10s at p=1000. Small mode: the matrix is already on the driver.
+        if stage.mode == "small":
+            _, Xv, yv, _ = stage.bc.value
+            if not np.isin(Xv, (0.0, 1.0, 2.0)).all():
+                raise ValueError("MDR requires genotype features coded 0/1/2.")
+            if not np.isin(yv, (0.0, 1.0)).all():
+                raise ValueError("MDR requires binary labels coded 0/1.")
+        else:
+            def validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                bad_x = bad_y = False
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    if PACKED in pdf.columns:
+                        Xb = np.frombuffer(
+                            b"".join(pdf[PACKED].tolist()), dtype=np.float64
+                        ).reshape(len(pdf), p)
+                    else:
+                        Xb = pdf[feature_cols].to_numpy(dtype=np.float64)
+                    yb = pdf[LABEL].to_numpy(dtype=np.float64)
+                    if not np.isin(Xb, (0.0, 1.0, 2.0)).all():
+                        bad_x = True
+                    if not np.isin(yb, (0.0, 1.0)).all():
+                        bad_y = True
+                yield pd.DataFrame({"bad_x": [bad_x], "bad_y": [bad_y]})
 
-        # distributed validation (reference raises on bad codes,
-        # MDR.py:220-235). One vectorized pass per partition — a p-term OR
-        # predicate would plan a 3000-node boolean expression whose codegen
-        # alone costs ~10s at p=1000.
-        def validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            bad_x = bad_y = False
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                if PACKED in pdf.columns:
-                    Xb = np.frombuffer(
-                        b"".join(pdf[PACKED].tolist()), dtype=np.float64
-                    ).reshape(len(pdf), p)
-                else:
-                    Xb = pdf[feature_cols].to_numpy(dtype=np.float64)
-                yb = pdf[LABEL].to_numpy(dtype=np.float64)
-                if not np.isin(Xb, (0.0, 1.0, 2.0)).all():
-                    bad_x = True
-                if not np.isin(yb, (0.0, 1.0)).all():
-                    bad_y = True
-            yield pd.DataFrame({"bad_x": [bad_x], "bad_y": [bad_y]})
-
-        val_cols = [PACKED] if p > WIDE_P else list(feature_cols)
-        flags = staged.select(*val_cols, LABEL).mapInPandas(
-            validate, schema="bad_x boolean, bad_y boolean"
-        ).collect()
-        if any(r["bad_x"] for r in flags):
-            raise ValueError("MDR requires genotype features coded 0/1/2.")
-        if any(r["bad_y"] for r in flags):
-            raise ValueError("MDR requires binary labels coded 0/1.")
+            val_cols = [PACKED] if p > WIDE_P else list(feature_cols)
+            flags = stage.staged_df.select(*val_cols, LABEL).mapInPandas(
+                validate, schema="bad_x boolean, bad_y boolean"
+            ).collect()
+            if any(r["bad_x"] for r in flags):
+                raise ValueError("MDR requires genotype features coded 0/1/2.")
+            if any(r["bad_y"] for r in flags):
+                raise ValueError("MDR requires binary labels coded 0/1.")
 
         combos = list(combinations(range(p), k))
         n_combos = len(combos)
@@ -172,15 +191,12 @@ class MDRClassifier:
         folds_bc = None
         if fold_col is None:
             # sklearn-parity path: label column (only) to the driver
-            lab = staged.select(MID, LABEL).toPandas().sort_values(MID)
-            test_folds = stratified_kfold_assign(
-                lab[LABEL].to_numpy(), cv, seed=42
-            )
+            test_folds = stratified_kfold_assign(stage.labels(), cv, seed=42)
             folds_bc = spark.sparkContext.broadcast(test_folds.astype(np.int8))
 
         # distribute combo chunks
         parts = min(max(spark.sparkContext.defaultParallelism, 4), n_combos)
-        combo_df = spark.range(n_combos).repartition(parts)
+        combo_df = spark.range(0, n_combos, 1, parts)  # born partitioned, no Exchange
 
         def _load_folds(extras) -> np.ndarray:
             if fold_col is not None:
@@ -206,7 +222,7 @@ class MDRClassifier:
         # combos; shipping their full count tensors measured 720MB of
         # driver ingress and a 14x wall regression)
         def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            _, X, y, extras = load_staged(path, feature_cols)
+            _, X, y, extras = load()
             Xi = X.astype(np.int64)
             yi = y.astype(np.int64)
             folds = _load_folds(extras)
@@ -244,7 +260,7 @@ class MDRClassifier:
         def tensor_task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for _ in batches:
                 pass
-            _, X, y, extras = load_staged(path, feature_cols)
+            _, X, y, extras = load()
             Xi = X.astype(np.int64)
             yi = y.astype(np.int64)
             folds = _load_folds(extras)

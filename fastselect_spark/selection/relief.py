@@ -3,17 +3,18 @@
 
 Physical strategy (SURVEY.md §2.2 O1): these are all-pairs neighbor-margin
 scores — O(n²·p) by definition, with no relational equivalent. The narrow
-numeric projection is STAGED to scratch storage by a distributed write (the
-driver never materializes a row — see ``_stage.py``); the PER-SAMPLE outer
-loop is then distributed over the staged table's own partitions via
-``mapInPandas``, with each task reading the full reference matrix
-executor-side (cached per worker process) and emitting one per-feature
-partial score vector, merged by summation (the distributed equivalent of
-the reference's thread-private ``temp[n, p]`` accumulator,
-ReliefF.py:141,219-220). Probe rows are processed in row chunks sized so
-the distance block stays ~8 MB; the per-feature inner loop keeps column
-temporaries at one (rows, n) block at a time — memory is bounded in both
-axes regardless of p.
+numeric projection is materialized behind a size-gated
+:class:`~fastselect_spark.selection._stage.MatrixStage` (collect+broadcast
+for kilobyte matrices, distributed parquet stage above — the driver never
+materializes a row on the scale path); the PER-SAMPLE outer loop is then
+distributed via ``mapInPandas`` over a one-column probe stream, with each
+task reading the full reference matrix executor-side (cached per worker
+process) and emitting one per-feature partial score vector, merged by
+summation (the distributed equivalent of the reference's thread-private
+``temp[n, p]`` accumulator, ReliefF.py:141,219-220). Probe rows are
+processed in row chunks sized so the distance block stays ~8 MB; the
+per-feature inner loop keeps column temporaries at one (rows, n) block at a
+time — memory is bounded in both axes regardless of p.
 
 Numeric parity notes (the allclose traps, SURVEY.md §2.2):
 - mixed distance: discrete -> indicator diff; continuous -> |xi-xj| * recip
@@ -41,81 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fastselect_spark.selection._stage import (
-    LABEL,
-    MID,
-    WIDE_P,
-    load_staged,
-    stage_matrix,
-)
-
-
-def _preflight(df: DataFrame, feature_cols: list[str], discrete_limit: int):
-    """One combined agg job: exact distinct counts + min/max per feature
-    (reference fit-time metadata, ReliefF.py:366-380)."""
-    aggs = []
-    for c in feature_cols:
-        aggs += [
-            F.countDistinct(c).alias(f"__d_{c}"),
-            F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
-            F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
-        ]
-    row = df.agg(*aggs).collect()[0]
-    is_discrete = np.array(
-        [row[f"__d_{c}"] <= discrete_limit for c in feature_cols], dtype=bool
-    )
-    ranges = np.array(
-        [(row[f"__mx_{c}"] or 0.0) - (row[f"__mn_{c}"] or 0.0) for c in feature_cols]
-    )
-    return is_discrete, ranges
-
-
-def _class_stats(staged: DataFrame) -> tuple[np.ndarray, np.ndarray]:
-    """Sorted class values + counts from one tiny groupBy on the stage."""
-    rows = staged.groupBy(LABEL).count().collect()
-    pairs = sorted((float(r[LABEL]), int(r["count"])) for r in rows)
-    classes = np.array([v for v, _ in pairs], dtype=np.float64)
-    counts = np.array([c for _, c in pairs], dtype=np.int64)
-    return classes, counts
-
-
-def _fit_metadata(
-    staged: DataFrame, path: str, feature_cols: list[str], discrete_limit: int
-):
-    """is_discrete / ranges (reference fit metadata, ReliefF.py:366-380).
-
-    Narrow p (scalar stage layout): the one-job distributed agg
-    (_preflight). Wide p (packed stage layout): a countDistinct per column
-    plans a p-branch Expand whose codegen alone costs minutes at p=1000, so
-    one executor task loads the staged matrix and computes the metadata
-    there (identical values; the driver only receives two p-sized
-    vectors)."""
-    if len(feature_cols) <= WIDE_P:
-        return _preflight(staged, feature_cols, discrete_limit)
-
-    def one(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _ in batches:
-            pass
-        _, X, _, _ = load_staged(path, feature_cols)
-        p = X.shape[1]
-        is_d = np.empty(p, dtype=bool)
-        for f in range(p):
-            is_d[f] = len(np.unique(X[:, f])) <= discrete_limit
-        rng = (X.max(axis=0) - X.min(axis=0)) if len(X) else np.zeros(p)
-        yield pd.DataFrame(
-            {"is_d": [is_d.tobytes()], "rng": [rng.astype(np.float64).tobytes()]}
-        )
-
-    row = (
-        staged.sparkSession.range(1)
-        .coalesce(1)
-        .mapInPandas(one, schema="is_d binary, rng binary")
-        .collect()[0]
-    )
-    return (
-        np.frombuffer(row["is_d"], dtype=bool).copy(),
-        np.frombuffer(row["rng"], dtype=np.float64).copy(),
-    )
+from fastselect_spark.selection._stage import MID, MatrixStage, make_stage
 
 
 def _dist_block(
@@ -148,17 +75,19 @@ _TARGET_BLOCK_BYTES = 8 << 20
 
 
 def _distribute_row_blocks(
-    staged: DataFrame, path: str, feature_cols: list[str], prep_fn, kernel
+    stage: MatrixStage, subset: list[str] | None, prep_fn, kernel
 ) -> np.ndarray:
-    """Distribute the per-sample outer loop over the STAGED table's own
-    partitions. Each task: loads the reference matrix executor-side (cached
-    per worker), runs ``prep_fn(X, y) -> ctx`` once, maps its probe mids to
-    global row indices, and streams ``kernel(idx_chunk, ctx)`` partials —
-    chunked so the (chunk, n) distance block stays ~8 MB. The driver only
-    ever receives per-task p-sized vectors."""
+    """Distribute the per-sample outer loop over the stage's probe stream.
+    Each task: loads the reference matrix executor-side (cached per worker,
+    column-sliced to ``subset`` if given), runs ``prep_fn(X, y) -> ctx``
+    once, maps its probe mids to global row indices, and streams
+    ``kernel(idx_chunk, ctx)`` partials — chunked so the (chunk, n) distance
+    block stays ~8 MB. The driver only ever receives per-task p-sized
+    vectors."""
+    load = stage.loader(subset)
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        mid, X, y, _ = load_staged(path, feature_cols)
+        mid, X, y, _ = load()
         n = len(mid)
         ctx = prep_fn(X, y)
         chunk = max(1, _TARGET_BLOCK_BYTES // (8 * max(n, 1)))
@@ -173,9 +102,7 @@ def _distribute_row_blocks(
         if total is not None:
             yield pd.DataFrame({"data": [total.tobytes()]})
 
-    parts = max(staged.sparkSession.sparkContext.defaultParallelism, 4)
-    probe_df = staged.select(MID).repartition(parts)
-    rows = probe_df.mapInPandas(mapper, schema="data binary").collect()
+    rows = stage.probe_df().mapInPandas(mapper, schema="data binary").collect()
     out = None
     for r in rows:
         arr = np.frombuffer(r["data"], dtype=np.float64)
@@ -221,6 +148,23 @@ class _ReliefBase:
         self.feature_importances_ = scores
         self.top_features_ = np.argsort(scores, kind="stable")[::-1][:n_select]
 
+    def _setup(
+        self,
+        df: DataFrame,
+        feature_cols: list[str],
+        label_col: str,
+        _stage: MatrixStage | None,
+    ):
+        """Shared fit preamble: stage materialization + class stats (free on
+        the small path — from the collected label vector).
+        Returns (stage, owns, classes, counts, n)."""
+        owns = _stage is None
+        stage = (
+            make_stage(df, feature_cols, label_col) if _stage is None else _stage
+        )
+        classes, counts = stage.class_stats()
+        return stage, owns, classes, counts, int(counts.sum())
+
 
 class ReliefFSelector(_ReliefBase):
     """Distributed ReliefF with the reference's CPU-kernel semantics
@@ -237,79 +181,86 @@ class ReliefFSelector(_ReliefBase):
         self.n_neighbors = n_neighbors
 
     def fit(
-        self, df: DataFrame, feature_cols: list[str], label_col: str = "label"
+        self,
+        df: DataFrame,
+        feature_cols: list[str],
+        label_col: str = "label",
+        _stage: MatrixStage | None = None,
     ) -> "ReliefFSelector":
         self.feature_cols_ = list(feature_cols)
         p = len(feature_cols)
         self.n_features_in_ = p
         n_select = _resolve_n_select(self.n_features_to_select, p)
 
-        path = stage_matrix(df, feature_cols, label_col)
-        staged = df.sparkSession.read.parquet(path)
-        classes, counts = _class_stats(staged)
-        n = int(counts.sum())
-        if len(classes) < 2:
-            self.feature_importances_ = np.zeros(p, dtype=np.float64)
-            self.top_features_ = np.arange(n_select)
+        stage, owns, classes, counts, n = self._setup(
+            df, feature_cols, label_col, _stage
+        )
+        try:
+            if len(classes) < 2:
+                self.feature_importances_ = np.zeros(p, dtype=np.float64)
+                self.top_features_ = np.arange(n_select)
+                return self
+            if self.n_neighbors >= counts.min():
+                warnings.warn(
+                    f"n_neighbors ({self.n_neighbors}) is greater than or "
+                    f"equal to the smallest class size ({counts.min()}).",
+                    UserWarning,
+                )
+
+            is_disc, ranges = stage.metadata(feature_cols, self.discrete_limit)
+            self.is_discrete_ = is_disc
+            ranges = ranges.copy()
+            ranges[is_disc] = 1.0
+            ranges[ranges == 0] = 1.0
+            recip = 1.0 / ranges
+
+            class_probs = counts / n
+            k = self.n_neighbors
+            K = len(classes)
+
+            def prep(X: np.ndarray, y: np.ndarray):
+                # ReliefF kernel operates on float32 data (ReliefF.py:398-401)
+                Xq = X.astype(np.float32).astype(np.float64)
+                y_enc = np.searchsorted(classes, y).astype(np.int32)
+                return Xq, y_enc
+
+            def kernel(idx: np.ndarray, ctx) -> np.ndarray:
+                Xq, yb = ctx
+                acc = np.zeros(p, dtype=np.float64)
+                D = _dist_block(Xq[idx], Xq, recip, is_disc).astype(np.float32)
+                for bi, i in enumerate(idx):
+                    d = D[bi].copy()
+                    d[i] = np.inf
+                    order = np.argsort(d, kind="stable")
+                    lbl = yb[i]
+                    olab = yb[order]
+                    hits = order[olab == lbl][:k]
+                    h_found = len(hits)
+                    denom = 1.0 - class_probs[lbl]
+                    if denom == 0:
+                        denom = 1.0
+                    update = np.zeros(p, dtype=np.float64)
+                    if h_found > 0:
+                        hd = _feature_diffs(Xq[i], Xq[hits], recip, is_disc)
+                        update -= hd.sum(axis=0) / h_found
+                    miss_sum = np.zeros(p, dtype=np.float64)
+                    for c in range(K):
+                        if c == lbl:
+                            continue
+                        mc = order[olab == c][:k]
+                        if len(mc):
+                            md = _feature_diffs(Xq[i], Xq[mc], recip, is_disc)
+                            miss_sum += (class_probs[c] / denom) * md.sum(axis=0)
+                    update += miss_sum / k
+                    acc += update
+                return acc
+
+            scores = _distribute_row_blocks(stage, feature_cols, prep, kernel) / n
+            self._finalize(scores, n_select)
             return self
-        if self.n_neighbors >= counts.min():
-            warnings.warn(
-                f"n_neighbors ({self.n_neighbors}) is greater than or equal to "
-                f"the smallest class size ({counts.min()}).",
-                UserWarning,
-            )
-
-        is_disc, ranges = _fit_metadata(staged, path, feature_cols, self.discrete_limit)
-        self.is_discrete_ = is_disc
-        ranges = ranges.copy()
-        ranges[is_disc] = 1.0
-        ranges[ranges == 0] = 1.0
-        recip = 1.0 / ranges
-
-        class_probs = counts / n
-        k = self.n_neighbors
-        K = len(classes)
-
-        def prep(X: np.ndarray, y: np.ndarray):
-            # ReliefF kernel operates on float32 data (ReliefF.py:398-401)
-            Xq = X.astype(np.float32).astype(np.float64)
-            y_enc = np.searchsorted(classes, y).astype(np.int32)
-            return Xq, y_enc
-
-        def kernel(idx: np.ndarray, ctx) -> np.ndarray:
-            Xq, yb = ctx
-            acc = np.zeros(p, dtype=np.float64)
-            D = _dist_block(Xq[idx], Xq, recip, is_disc).astype(np.float32)
-            for bi, i in enumerate(idx):
-                d = D[bi].copy()
-                d[i] = np.inf
-                order = np.argsort(d, kind="stable")
-                lbl = yb[i]
-                olab = yb[order]
-                hits = order[olab == lbl][:k]
-                h_found = len(hits)
-                denom = 1.0 - class_probs[lbl]
-                if denom == 0:
-                    denom = 1.0
-                update = np.zeros(p, dtype=np.float64)
-                if h_found > 0:
-                    hd = _feature_diffs(Xq[i], Xq[hits], recip, is_disc)
-                    update -= hd.sum(axis=0) / h_found
-                miss_sum = np.zeros(p, dtype=np.float64)
-                for c in range(K):
-                    if c == lbl:
-                        continue
-                    mc = order[olab == c][:k]
-                    if len(mc):
-                        md = _feature_diffs(Xq[i], Xq[mc], recip, is_disc)
-                        miss_sum += (class_probs[c] / denom) * md.sum(axis=0)
-                update += miss_sum / k
-                acc += update
-            return acc
-
-        scores = _distribute_row_blocks(staged, path, feature_cols, prep, kernel) / n
-        self._finalize(scores, n_select)
-        return self
+        finally:
+            if owns:
+                stage.cleanup()
 
 
 class SURFSelector(_ReliefBase):
@@ -326,52 +277,58 @@ class SURFSelector(_ReliefBase):
         self.use_star = use_star
 
     def fit(
-        self, df: DataFrame, feature_cols: list[str], label_col: str = "label"
+        self,
+        df: DataFrame,
+        feature_cols: list[str],
+        label_col: str = "label",
+        _stage: MatrixStage | None = None,
     ) -> "SURFSelector":
         self.feature_cols_ = list(feature_cols)
         p = len(feature_cols)
         self.n_features_in_ = p
         n_select = _resolve_n_select(self.n_features_to_select, p)
 
-        path = stage_matrix(df, feature_cols, label_col)
-        staged = df.sparkSession.read.parquet(path)
-        classes, counts = _class_stats(staged)
-        n = int(counts.sum())
+        stage, owns, classes, counts, n = self._setup(
+            df, feature_cols, label_col, _stage
+        )
+        try:
+            is_disc, ranges = stage.metadata(feature_cols, self.discrete_limit)
+            self.is_discrete_ = is_disc
+            ranges = ranges.copy()
+            ranges[is_disc] = 1.0
+            ranges[ranges == 0] = 1.0
+            recip = 1.0 / ranges
+            use_star = self.use_star
 
-        is_disc, ranges = _fit_metadata(staged, path, feature_cols, self.discrete_limit)
-        self.is_discrete_ = is_disc
-        ranges = ranges.copy()
-        ranges[is_disc] = 1.0
-        ranges[ranges == 0] = 1.0
-        recip = 1.0 / ranges
-        use_star = self.use_star
+            def prep(X: np.ndarray, y: np.ndarray):
+                return X, y
 
-        def prep(X: np.ndarray, y: np.ndarray):
-            return X, y
+            def kernel(idx: np.ndarray, ctx) -> np.ndarray:
+                Xb, yb = ctx
+                acc = np.zeros(p, dtype=np.float64)
+                D = _dist_block(Xb[idx], Xb, recip, is_disc).astype(np.float32)
+                for bi, i in enumerate(idx):
+                    d = D[bi].copy()
+                    d[i] = 0.0  # self-distance counted as 0 in the mean
+                    avg = d.sum() / (len(yb) - 1)
+                    diffs = _feature_diffs(Xb[i], Xb, recip, is_disc)
+                    hit = yb == yb[i]
+                    near = d < avg
+                    near[i] = False
+                    far = ~near
+                    far[i] = False
+                    upd = diffs[near & ~hit].sum(axis=0) - diffs[near & hit].sum(axis=0)
+                    if use_star:
+                        upd += diffs[far & hit].sum(axis=0) - diffs[far & ~hit].sum(axis=0)
+                    acc += upd
+                return acc
 
-        def kernel(idx: np.ndarray, ctx) -> np.ndarray:
-            Xb, yb = ctx
-            acc = np.zeros(p, dtype=np.float64)
-            D = _dist_block(Xb[idx], Xb, recip, is_disc).astype(np.float32)
-            for bi, i in enumerate(idx):
-                d = D[bi].copy()
-                d[i] = 0.0  # self-distance counted as 0 in the mean
-                avg = d.sum() / (len(yb) - 1)
-                diffs = _feature_diffs(Xb[i], Xb, recip, is_disc)
-                hit = yb == yb[i]
-                near = d < avg
-                near[i] = False
-                far = ~near
-                far[i] = False
-                upd = diffs[near & ~hit].sum(axis=0) - diffs[near & hit].sum(axis=0)
-                if use_star:
-                    upd += diffs[far & hit].sum(axis=0) - diffs[far & ~hit].sum(axis=0)
-                acc += upd
-            return acc
-
-        scores = _distribute_row_blocks(staged, path, feature_cols, prep, kernel) / n
-        self._finalize(scores, n_select)
-        return self
+            scores = _distribute_row_blocks(stage, feature_cols, prep, kernel) / n
+            self._finalize(scores, n_select)
+            return self
+        finally:
+            if owns:
+                stage.cleanup()
 
 
 class MultiSURFSelector(_ReliefBase):
@@ -392,63 +349,69 @@ class MultiSURFSelector(_ReliefBase):
         self.use_star = use_star
 
     def fit(
-        self, df: DataFrame, feature_cols: list[str], label_col: str = "label"
+        self,
+        df: DataFrame,
+        feature_cols: list[str],
+        label_col: str = "label",
+        _stage: MatrixStage | None = None,
     ) -> "MultiSURFSelector":
         self.feature_cols_ = list(feature_cols)
         p = len(feature_cols)
         self.n_features_in_ = p
         n_select = _resolve_n_select(self.n_features_to_select, p)
 
-        path = stage_matrix(df, feature_cols, label_col)
-        staged = df.sparkSession.read.parquet(path)
-        classes, counts = _class_stats(staged)
-        n = int(counts.sum())
+        stage, owns, classes, counts, n = self._setup(
+            df, feature_cols, label_col, _stage
+        )
+        try:
+            is_disc, ranges = stage.metadata(feature_cols, self.discrete_limit)
+            self.is_discrete_ = is_disc
+            ranges = ranges.copy()
+            ranges[ranges == 0] = 1.0  # no discrete override (MultiSURF.py:410-412)
+            recip = 1.0 / ranges
+            use_star = self.use_star
 
-        is_disc, ranges = _fit_metadata(staged, path, feature_cols, self.discrete_limit)
-        self.is_discrete_ = is_disc
-        ranges = ranges.copy()
-        ranges[ranges == 0] = 1.0  # no discrete override (MultiSURF.py:410-412)
-        recip = 1.0 / ranges
-        use_star = self.use_star
+            def prep(X: np.ndarray, y: np.ndarray):
+                # float32 data (MultiSURF.py:384-386)
+                return X.astype(np.float32).astype(np.float64), y
 
-        def prep(X: np.ndarray, y: np.ndarray):
-            # float32 data (MultiSURF.py:384-386)
-            return X.astype(np.float32).astype(np.float64), y
+            def kernel(idx: np.ndarray, ctx) -> np.ndarray:
+                Xb, yb = ctx
+                nn = len(yb)
+                acc = np.zeros(p, dtype=np.float64)
+                D = _dist_block(Xb[idx], Xb, recip, is_disc)
+                for bi, i in enumerate(idx):
+                    d = D[bi].copy()
+                    d[i] = 0.0
+                    sum_d = d.sum()
+                    sum_d2 = (d * d).sum()
+                    mu = sum_d / (nn - 1)
+                    var = max(0.0, sum_d2 / (nn - 1) - mu * mu)
+                    thresh = mu - 0.5 * np.sqrt(var)
+                    diffs = _feature_diffs(Xb[i], Xb, recip, is_disc)
+                    hit = yb == yb[i]
+                    near = d < thresh
+                    near[i] = False
+                    nh = near & hit
+                    nm = near & ~hit
+                    n_hits = int(nh.sum())
+                    n_miss = int(nm.sum())
+                    hit_diffs = diffs[nh].sum(axis=0)
+                    miss_diffs = diffs[nm].sum(axis=0)
+                    if use_star:
+                        fm = (~near) & (~hit)
+                        fm[i] = False
+                        miss_diffs -= diffs[fm].sum(axis=0)
+                    if n_hits > 0:
+                        hit_diffs = hit_diffs / n_hits
+                    if n_miss > 0:
+                        miss_diffs = miss_diffs / n_miss
+                    acc += miss_diffs - hit_diffs
+                return acc
 
-        def kernel(idx: np.ndarray, ctx) -> np.ndarray:
-            Xb, yb = ctx
-            nn = len(yb)
-            acc = np.zeros(p, dtype=np.float64)
-            D = _dist_block(Xb[idx], Xb, recip, is_disc)
-            for bi, i in enumerate(idx):
-                d = D[bi].copy()
-                d[i] = 0.0
-                sum_d = d.sum()
-                sum_d2 = (d * d).sum()
-                mu = sum_d / (nn - 1)
-                var = max(0.0, sum_d2 / (nn - 1) - mu * mu)
-                thresh = mu - 0.5 * np.sqrt(var)
-                diffs = _feature_diffs(Xb[i], Xb, recip, is_disc)
-                hit = yb == yb[i]
-                near = d < thresh
-                near[i] = False
-                nh = near & hit
-                nm = near & ~hit
-                n_hits = int(nh.sum())
-                n_miss = int(nm.sum())
-                hit_diffs = diffs[nh].sum(axis=0)
-                miss_diffs = diffs[nm].sum(axis=0)
-                if use_star:
-                    fm = (~near) & (~hit)
-                    fm[i] = False
-                    miss_diffs -= diffs[fm].sum(axis=0)
-                if n_hits > 0:
-                    hit_diffs = hit_diffs / n_hits
-                if n_miss > 0:
-                    miss_diffs = miss_diffs / n_miss
-                acc += miss_diffs - hit_diffs
-            return acc
-
-        scores = _distribute_row_blocks(staged, path, feature_cols, prep, kernel) / n
-        self._finalize(scores, n_select)
-        return self
+            scores = _distribute_row_blocks(stage, feature_cols, prep, kernel) / n
+            self._finalize(scores, n_select)
+            return self
+        finally:
+            if owns:
+                stage.cleanup()
