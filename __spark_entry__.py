@@ -338,13 +338,16 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed variant (random-hyperplane signatures): candidates only
-    from same-signature buckets — approximate recall, rows-only check."""
+    """LSH-bucketed variant: 12 independent 6-bit hyperplane tables,
+    one-bit multiprobed, candidates unioned (OR-amplification) then
+    exact-verified. Seed-deterministic AND measured recall 1.0 at this
+    operating point, so the EXACT brute-force SQL is its hard oracle —
+    a hash mismatch here means the LSH recall regressed."""
     from fastselect_spark.dedup import embedding_near_duplicates
 
     _register(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(
-        spark.table("embeddings"), threshold=0.42, n_planes=6
+        spark.table("embeddings"), threshold=0.42, n_planes=6, n_tables=12
     )
 
 
@@ -844,7 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,  # hash family: rows-only
         "embedding_topk": _q_embedding_topk,
         "embedding_near_dups": _q_embedding_near_dups,
-        "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,  # approx: rows-only
+        "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,  # oracle = exact SQL
         "ann_lsh_topk": _q_ann_lsh_topk,  # approx: rows-only
         "ann_ivf_topk": _q_ann_ivf_topk,  # approx (kmeans cells): rows-only
         "multimodal_features": _q_multimodal_features,  # synth media: rows-only
@@ -1989,6 +1992,10 @@ def oracle_sql() -> dict[str, str]:
         "asof_pandas": _ASOF_ORACLE,
         "lang_id": _LANG_ID_ORACLE,
         "embedding_near_dups": _EMBED_NEAR_DUP_ORACLE,
+        # the LSH variant is seed-deterministic with measured recall 1.0 at
+        # its operating point (12 tables x 6 planes, multiprobe), so the
+        # exact SQL doubles as its regression oracle
+        "embedding_near_dups_lsh": _EMBED_NEAR_DUP_ORACLE,
         "streaming_sessions": _STREAM_SESSIONS_ORACLE,
         "streaming_token_rates": _STREAM_RATES_ORACLE,
         "streaming_stateful_progress": _STREAM_STATEFUL_ORACLE,

@@ -219,6 +219,44 @@ def test_embedding_near_duplicates_lsh_recall(planted_embeddings):
     assert len(got & exact) >= 8  # recall >= 0.8 with 10 planes on ~1deg pairs
 
 
+@pytest.fixture(scope="module")
+def midrange_embeddings(spark):
+    """Pairs planted at cosine 0.4-0.6 — the REALISTIC near-dup regime where
+    a single AND-only signature collapses to ~7% recall (the round-2
+    finding). v2 = c*u + sqrt(1-c^2)*w with w ⊥ u pins the exact cosine."""
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((80, 32))
+    rows = [{"vec_id": i, "embedding": base[i].astype(np.float32).tolist()}
+            for i in range(80)]
+    targets = {}
+    for i in range(15):
+        c = 0.4 + 0.2 * (i / 14.0)  # cosines 0.40 .. 0.60
+        u = base[i] / np.linalg.norm(base[i])
+        w = rng.standard_normal(32)
+        w -= (w @ u) * u
+        w /= np.linalg.norm(w)
+        v = c * u + np.sqrt(1 - c * c) * w
+        rows.append({"vec_id": 300 + i, "embedding": v.astype(np.float32).tolist()})
+        targets[(i, 300 + i)] = c
+    return spark.createDataFrame(pd.DataFrame(rows)), targets
+
+
+def test_embedding_lsh_recall_at_realistic_threshold(midrange_embeddings):
+    """OR-amplified multi-table LSH must recover >=90% of the exact pairs at
+    threshold 0.42 (where the pairs sit at cosine 0.4-0.6, NOT 0.9998)."""
+    df, _targets = midrange_embeddings
+    exact = embedding_near_duplicates(df, threshold=0.42, brute_force=True).toPandas()
+    epairs = {tuple(sorted(t)) for t in zip(exact["id_a"], exact["id_b"])}
+    lsh = embedding_near_duplicates(
+        df, threshold=0.42, n_planes=6, n_tables=12, seed=42
+    ).toPandas()
+    lpairs = {tuple(sorted(t)) for t in zip(lsh["id_a"], lsh["id_b"])}
+    # no false positives (exact verification) and high recall
+    assert lpairs <= epairs
+    assert len(epairs) >= 14  # the planted pairs are present in exact
+    assert len(lpairs & epairs) / len(epairs) >= 0.9
+
+
 # ---------- similarity search ----------
 
 def test_cosine_topk_matches_numpy(embeddings):
