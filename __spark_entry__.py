@@ -304,15 +304,27 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH with the md5 hash family: every stage (shingle hash,
+    min-reduction, band hash, bucket join, Jaccard verify) is transliterated
+    into the DuckDB oracle, so the gate hash-checks the FULL pipeline. The
+    xxhash64 family (same code path, faster leaf hash) is the scale
+    default, covered by the recall tests."""
     from fastselect_spark.dedup import minhash_near_duplicates
 
     _register(spark, sf_dir, "documents")
     return minhash_near_duplicates(
-        spark.table("documents"), threshold=0.5, num_hashes=64, bands=16
+        spark.table("documents"),
+        threshold=0.5,
+        num_hashes=64,
+        bands=16,
+        hash_family="md5",
     )
 
 
 def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit md5-based SimHash: token hash, per-bit votes, signature,
+    4x15-bit banding and Hamming verify all recomputed independently by
+    the DuckDB oracle."""
     from fastselect_spark.dedup import simhash_near_duplicates
 
     _register(spark, sf_dir, "documents")
@@ -843,8 +855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact_groups,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_components": _q_dedup_components,
-        "minhash_near_dups": _q_minhash_near_dups,  # hash family: rows-only
-        "simhash_near_dups": _q_simhash_near_dups,  # hash family: rows-only
+        "minhash_near_dups": _q_minhash_near_dups,  # md5 family: SQL-transliterated
+        "simhash_near_dups": _q_simhash_near_dups,  # md5 family: SQL-transliterated
         "embedding_topk": _q_embedding_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,  # oracle = exact SQL
@@ -1779,6 +1791,108 @@ s AS (
 SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM s WHERE cosine >= 0.42
 """
 
+# MinHash (md5 family) transliterated end-to-end: 60-bit md5-prefix hash
+# h(seed, shingle) = int(md5(seed||':'||shingle)[:15], 16) agrees between
+# Spark's conv(substring(md5(..),1,15),16,10) and DuckDB's
+# CAST('0x'||substr(md5(..),1,15) AS BIGINT); banding = md5-60 of the
+# comma-joined 4-slot slices; candidates share >=1 band; Jaccard verified
+# on the distinct shingle sets. Mirrors dedup/minhash.py with
+# num_hashes=64, bands=16, shingle_k=3, threshold=0.5.
+_MINHASH_ORACLE = """
+WITH docs AS (
+    SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+    FROM documents
+),
+tok AS (SELECT doc_id, norm, string_split(norm, ' ') AS t FROM docs),
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(
+                         generate_series(1, len(t) - 2),
+                         i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+                ELSE [norm] END AS shingles
+    FROM tok
+),
+shl AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+mh AS (
+    SELECT doc_id, seed,
+           MIN(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || s), 1, 15)
+               AS BIGINT)) AS mh
+    FROM shl CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS seed) seeds
+    GROUP BY doc_id, seed
+),
+bands AS (
+    SELECT doc_id, seed // 4 AS band,
+           CAST('0x' || substr(md5(string_agg(CAST(mh AS VARCHAR), ','
+               ORDER BY seed)), 1, 15) AS BIGINT) AS band_hash
+    FROM mh GROUP BY doc_id, seed // 4
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT id_a, id_b, sa.shingles AS sh_a, sb.shingles AS sh_b
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.id_a
+    JOIN sh sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b,
+       CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+       / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) AS jaccard
+FROM pairs
+WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= 0.5
+"""
+
+# SimHash transliterated end-to-end: 60-bit md5-prefix token hashes,
+# per-bit +/-1 votes, sig bit set where votes > 0, 4 x 15-bit banding,
+# pairs sharing >=1 intact chunk, Hamming via bit_count(xor) <= 8.
+# Mirrors dedup/simhash.py (tokens = lowercase whitespace split).
+_SIMHASH_ORACLE = """
+WITH docs AS (
+    SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+    FROM documents
+),
+tokl AS (
+    SELECT doc_id, UNNEST(string_split(norm, ' ')) AS tok
+    FROM docs WHERE norm <> ''
+),
+th AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+    FROM tokl WHERE tok <> ''
+),
+votes AS (
+    SELECT doc_id, b,
+           SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM th CROSS JOIN (SELECT UNNEST(generate_series(0, 59)) AS b) bits
+    GROUP BY doc_id, b
+),
+sig0 AS (
+    SELECT doc_id,
+           SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS sig
+    FROM votes GROUP BY doc_id
+),
+sig AS (
+    SELECT d.doc_id, COALESCE(s.sig, CAST(0 AS BIGINT)) AS sig
+    FROM docs d LEFT JOIN sig0 s USING (doc_id)
+),
+banded AS (
+    SELECT doc_id, sig, b AS band, (sig >> (15 * b)) & 32767 AS chunk
+    FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS b) bs
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.sig AS sig_a, b.sig AS sig_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
+"""
+
 # Streaming oracles: complete-mode availableNow emits ALL windows/sessions,
 # so the batch SQL over the same transcripts is exact. session_window range
 # is [first_ts, last_ts + gap) => a new session starts when gap >= 300s.
@@ -1991,6 +2105,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_salted": _ASOF_ORACLE,
         "asof_pandas": _ASOF_ORACLE,
         "lang_id": _LANG_ID_ORACLE,
+        "minhash_near_dups": _MINHASH_ORACLE,
+        "simhash_near_dups": _SIMHASH_ORACLE,
         "embedding_near_dups": _EMBED_NEAR_DUP_ORACLE,
         # the LSH variant is seed-deterministic with measured recall 1.0 at
         # its operating point (12 tables x 6 planes, multiprobe), so the

@@ -1,21 +1,38 @@
 """MinHash + LSH near-duplicate detection.
 
 Pipeline (all JVM-side higher-order array expressions until the final
-bucket join): token shingles -> per-permutation min of seeded xxhash64
-(the minhash signature) -> band hashes -> bucket self-join on
+bucket join): token shingles -> per-permutation min of a seeded hash (the
+minhash signature) -> band hashes -> bucket self-join on
 (band, band_hash) -> exact shingle-Jaccard verification of candidates.
+
+Two hash families, identical pipeline:
+
+- ``'xxhash64'`` (default): h_i(x) = xxhash64(shingle, seed=i) — the scale
+  path (xxHash is ~10x the throughput of a cryptographic hash and the
+  shingle hashing dominates signature cost at corpus scale).
+- ``'md5'``: h_i(x) = int(md5(i || ':' || shingle)[:15 hex], 16) — a 60-bit
+  modular hash computable IDENTICALLY in ANSI SQL on any engine
+  (DuckDB: CAST('0x'||substr(md5(..),1,15) AS BIGINT)), which is what lets
+  the driver-contract gate hash-check the full minhash pipeline end-to-end
+  against an independent SQL oracle. Same banding/join/verification code.
 
 Scale notes: the only shuffles are the bucket join (keys are band hashes —
 uniformly distributed, skew-free by construction unless a shingle-set is
 pathologically common, which the exact-dup pass upstream removes) and the
 final distinct on pairs. Candidate count is bounded by bucket sizes, never
-O(n²). Signature math never leaves the JVM.
+O(n²). Signature math never leaves the JVM in either family.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _md5_60bit(col: Column) -> Column:
+    """60-bit integer from the first 15 hex chars of md5 — exactly
+    reproducible in DuckDB/ANSI SQL (no engine-specific hash)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def _shingles(text_col: Column, k: int) -> Column:
@@ -39,20 +56,27 @@ def add_minhash_signature(
     text_col: str = "text",
     shingle_k: int = 3,
     num_hashes: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Adds ``shingles`` and the ``minhash`` signature array (length
-    num_hashes). Permutation h_i(x) = xxhash64(shingle, seed=i) — i.e. one
-    independent 64-bit hash family member per slot, min-reduced per doc."""
+    num_hashes): one independent hash-family member per slot, min-reduced
+    per doc. See module docstring for the family trade-off."""
     df = df.withColumn("shingles", _shingles(F.col(text_col), shingle_k))
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    if hash_family == "xxhash64":
+        slot = lambda s, sh: F.xxhash64(sh, s)  # noqa: E731
+    elif hash_family == "md5":
+        slot = lambda s, sh: _md5_60bit(  # noqa: E731
+            F.concat_ws(":", s.cast("string"), sh)
+        )
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     df = df.withColumn(
         "minhash",
         F.transform(
             seeds,
             lambda s: F.array_min(
-                F.transform(
-                    F.col("shingles"), lambda sh: F.xxhash64(sh, s)
-                )
+                F.transform(F.col("shingles"), lambda sh: slot(s, sh))
             ),
         ),
     )
@@ -60,19 +84,24 @@ def add_minhash_signature(
 
 
 def _band_table(
-    df: DataFrame, id_col: str, bands: int, rows_per_band: int
+    df: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, band, band_hash) rows — deliberately WITHOUT the shingle arrays:
     the band explode replicates every row ×bands, so carrying shingles here
     would amplify the self-join shuffle by the band count. Shingles are
     re-joined onto the (bounded) candidate pairs afterwards instead."""
+    band_hash = F.xxhash64 if hash_family == "xxhash64" else _md5_60bit
     band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = df.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 band_ids,
-                lambda b: F.xxhash64(
+                lambda b: band_hash(
                     F.concat_ws(
                         ",",
                         F.transform(
@@ -95,6 +124,7 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Return verified near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -102,8 +132,8 @@ def minhash_near_duplicates(
     jaccard ≈ (1/16)^(1/4) ≈ 0.5 — tune bands/num_hashes per threshold.
     """
     rows_per_band = num_hashes // bands
-    sig = add_minhash_signature(df, text_col, shingle_k, num_hashes)
-    banded = _band_table(sig, id_col, bands, rows_per_band)
+    sig = add_minhash_signature(df, text_col, shingle_k, num_hashes, hash_family)
+    banded = _band_table(sig, id_col, bands, rows_per_band, hash_family)
 
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")

@@ -1,16 +1,24 @@
 """SimHash near-duplicate detection.
 
-Signature: 64-bit SimHash over token hashes, computed in a vectorized Arrow
-pandas UDF (bit-matrix accumulation in NumPy — the designated escape hatch
-where pure SQL bit-unpacking would be unreadable and slower). Candidate
-generation: band the 64-bit signature into 16-bit chunks (any pair within
-Hamming distance 3 shares at least one intact chunk — pigeonhole), bucket
-self-join, verify with JVM-side ``bit_count(a XOR b)``.
+Signature: 60-bit SimHash over md5-derived token hashes, computed in a
+vectorized Arrow pandas UDF (bit-matrix accumulation in NumPy — the
+designated escape hatch where pure SQL bit-unpacking would be unreadable
+and slower). The token hash is the 60-bit md5 prefix (int of the first 15
+hex chars) so every stage — token hash, per-bit vote, signature, banding,
+Hamming verify — is reproducible in ANSI SQL on an independent engine
+(the driver-contract DuckDB oracle recomputes the whole pipeline).
+
+Candidate generation: band the 60-bit signature into 4 × 15-bit chunks
+(any pair within Hamming distance 3 shares at least one intact chunk —
+pigeonhole), bucket self-join, verify with JVM-side ``bit_count(a XOR b)``.
+For max_hamming > 3 the pigeonhole guarantee lapses: the output is then
+the DETERMINISTIC banded subset (pairs sharing >=1 intact chunk), which is
+what the SQL oracle replicates.
 """
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -18,26 +26,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-_N_BANDS = 4  # 4 x 16-bit chunks of the 64-bit signature
+SIG_BITS = 60
+_N_BANDS = 4  # 4 x 15-bit chunks of the 60-bit signature
+_CHUNK_BITS = SIG_BITS // _N_BANDS
 
 
-def _token_hash64(tok: str) -> np.int64:
-    """Deterministic 64-bit token hash from two CRC32 views."""
-    b = tok.encode("utf-8")
-    return np.int64(
-        (np.uint64(zlib.crc32(b)) << np.uint64(32)) | np.uint64(zlib.crc32(b[::-1]))
-    )
+def _token_hash60(tok: str) -> int:
+    """60-bit md5-prefix token hash — matches
+    CAST('0x'||substr(md5(tok),1,15) AS BIGINT) in DuckDB and
+    conv(substring(md5(tok),1,15),16,10) in Spark SQL."""
+    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
 
 
 def _simhash_series(texts: pd.Series) -> pd.Series:
     out = np.empty(len(texts), dtype=np.int64)
-    bit_idx = np.arange(64, dtype=np.uint64)
+    bit_idx = np.arange(SIG_BITS, dtype=np.uint64)
     for i, t in enumerate(texts):
         toks = ("" if t is None else t).lower().split()
         if not toks:
             out[i] = 0
             continue
-        hashes = np.array([_token_hash64(tok) for tok in toks], dtype=np.uint64)
+        hashes = np.array([_token_hash60(tok) for tok in toks], dtype=np.uint64)
         bits = ((hashes[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
         votes = bits.sum(axis=0) * 2 - len(toks)  # +1 per set bit, -1 per clear
         sig = np.uint64(0)
@@ -62,12 +71,13 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """Pairs (id_a < id_b) with Hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Exact for max_hamming <= 3 with 4 bands (pigeonhole guarantee)."""
+    Exact for max_hamming <= 3 with 4 bands (pigeonhole guarantee); a
+    deterministic banded subset above that."""
     sig = add_simhash(df, text_col).select(id_col, "simhash")
     chunks = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(
-            f"c{b}"
-        )
+        F.shiftrightunsigned(F.col("simhash"), _CHUNK_BITS * b)
+        .bitwiseAND(F.lit((1 << _CHUNK_BITS) - 1))
+        .alias(f"c{b}")
         for b in range(_N_BANDS)
     ]
     banded = sig.select(
