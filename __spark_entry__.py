@@ -1893,6 +1893,67 @@ SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
 """
 
+# Multimodal synthesis + fake decode, recomputed WITHOUT Spark: the media
+# table is an md5-chain derivation keyed on (seed=42, media_id) — kind,
+# size and the payload HEX are pure SQL; the fake decoder digests
+# sha256(lowercase-hex(payload)), so the oracle never needs a BLOB sha.
+# Feature word j = little-endian uint16 of digest bytes (2j, 2j+1):
+# '0x' || hex[4j+3..4j+4] || hex[4j+1..4j+2], / 65535.
+_MEDIA_BASE_SQL = """
+ids AS (SELECT UNNEST(generate_series(0, 59)) AS media_id),
+base AS (
+    SELECT media_id,
+           CAST('0x'||substr(md5('42:kind:'||media_id),1,15) AS BIGINT) % 3 AS kh,
+           64 + CAST('0x'||substr(md5('42:size:'||media_id),1,15) AS BIGINT) % 4032 AS size
+    FROM ids
+),
+kinds AS (
+    SELECT media_id,
+           CASE kh WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           size
+    FROM base
+),
+hexes AS (
+    SELECT media_id, kind, size,
+           substr(array_to_string(list_transform(
+               generate_series(0, CAST((size + 15) // 16 AS INT) - 1),
+               j -> md5('42:payload:'||media_id||':'||j)), ''), 1, 2 * size) AS phex
+    FROM kinds
+),
+dig AS (SELECT media_id, kind, size, sha256(phex) AS h FROM hexes),
+words AS (
+    SELECT media_id, kind, size, j,
+           CAST('0x'||substr(h, 4*j+3, 2)||substr(h, 4*j+1, 2) AS BIGINT) / 65535.0 AS f
+    FROM dig CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS j) js
+)
+"""
+
+_MULTIMODAL_ORACLE = f"""
+WITH {_MEDIA_BASE_SQL}
+SELECT media_id, kind, CAST(size AS BIGINT) AS n_bytes,
+       ROUND(MAX(CASE WHEN j = 0 THEN f END), 6) AS f0,
+       ROUND(SUM(f * f), 6) AS feat_sq_norm
+FROM words GROUP BY media_id, kind, size
+"""
+
+_FRAME_SAMPLING_ORACLE = f"""
+WITH {_MEDIA_BASE_SQL},
+vids AS (
+    SELECT w.media_id,
+           100 + CAST('0x'||substr(md5('42:dur:'||w.media_id),1,15) AS BIGINT) % 59900 AS dur,
+           MAX(CASE WHEN j = 0 THEN f END) AS f0
+    FROM words w WHERE kind = 'video'
+    GROUP BY w.media_id
+),
+frames AS (
+    SELECT media_id, f0, UNNEST(generate_series(0, CAST(dur AS INT), 5000)) AS fms
+    FROM vids
+)
+SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       ROUND(SUM(f0), 6) AS f0_sum
+FROM frames GROUP BY media_id
+"""
+
 # Streaming oracles: complete-mode availableNow emits ALL windows/sessions,
 # so the batch SQL over the same transcripts is exact. session_window range
 # is [first_ts, last_ts + gap) => a new session starts when gap >= 300s.
@@ -2107,6 +2168,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ID_ORACLE,
         "minhash_near_dups": _MINHASH_ORACLE,
         "simhash_near_dups": _SIMHASH_ORACLE,
+        "multimodal_features": _MULTIMODAL_ORACLE,
+        "video_frame_sampling": _FRAME_SAMPLING_ORACLE,
         "embedding_near_dups": _EMBED_NEAR_DUP_ORACLE,
         # the LSH variant is seed-deterministic with measured recall 1.0 at
         # its operating point (12 tables x 6 planes, multiprobe), so the

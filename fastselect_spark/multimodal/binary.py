@@ -44,28 +44,41 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
+def _h60(s: str) -> int:
+    """60-bit md5-prefix hash — the same modular derivation any SQL engine
+    can compute (CAST('0x'||substr(md5(s),1,15) AS BIGINT))."""
+    return int(hashlib.md5(s.encode("ascii")).hexdigest()[:15], 16)
+
+
 def synthesize_media_table(
     spark: SparkSession, n: int = 100, seed: int = 42
 ) -> DataFrame:
-    """Deterministic fake media rows (payload = seeded pseudo-random bytes)."""
-    rng = np.random.default_rng(seed)
-    kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
+    """Deterministic fake media rows. Every field — kind, sizes, payload
+    BYTES — derives from md5 chains keyed on (seed, media_id), so an
+    independent SQL engine can regenerate the identical table (the driver-
+    contract DuckDB oracle does exactly that); payload_i = fromhex(concat_j
+    md5('{seed}:payload:{i}:{j}'))[:size_i]."""
     rows = []
     for i in range(n):
-        size = int(rng.integers(64, 4096))
-        payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
-        kind = kinds[i]
+        kind = ["image", "audio", "video"][_h60(f"{seed}:kind:{i}") % 3]
+        size = 64 + _h60(f"{seed}:size:{i}") % 4032
+        n_blocks = (size + 15) // 16
+        phex = "".join(
+            hashlib.md5(f"{seed}:payload:{i}:{j}".encode()).hexdigest()
+            for j in range(n_blocks)
+        )[: 2 * size]
+        payload = bytes.fromhex(phex)
         # Nullable int columns: a pandas round-trip upcasts them to float64,
         # which MEDIA_SCHEMA's IntegerType rejects — create from rows directly.
         rows.append(
             {
                 "media_id": i,
-                "kind": str(kind),
+                "kind": kind,
                 "payload": payload,
                 "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                "width": int(rng.integers(32, 1024)) if kind != "audio" else None,
-                "height": int(rng.integers(32, 1024)) if kind != "audio" else None,
-                "duration_ms": int(rng.integers(100, 60000)) if kind != "image" else None,
+                "width": 32 + _h60(f"{seed}:width:{i}") % 992 if kind != "audio" else None,
+                "height": 32 + _h60(f"{seed}:height:{i}") % 992 if kind != "audio" else None,
+                "duration_ms": 100 + _h60(f"{seed}:dur:{i}") % 59900 if kind != "image" else None,
                 "n_bytes": size,
             }
         )
@@ -82,9 +95,15 @@ def unavailable_decoder(payload: bytes, kind: str) -> np.ndarray:
 
 
 def deterministic_fake_decoder(payload: bytes, kind: str) -> np.ndarray:
-    """Seeded fake: FEATURE_DIM floats derived from a payload digest."""
-    digest = hashlib.sha256(payload).digest()
-    raw = np.frombuffer(digest[: FEATURE_DIM * 2], dtype=np.uint16)
+    """Seeded fake: FEATURE_DIM floats derived from a payload digest.
+
+    The digest is sha256 over the LOWERCASE-HEX encoding of the payload
+    (not the raw bytes): the features stay a pure function of the binary
+    payload, while remaining computable by SQL engines whose sha256 only
+    accepts strings — the DuckDB oracle recomputes them from the md5-chain
+    hex without ever constructing a BLOB. Words are little-endian uint16."""
+    digest = hashlib.sha256(payload.hex().encode("ascii")).digest()
+    raw = np.frombuffer(digest[: FEATURE_DIM * 2], dtype="<u2")
     return (raw.astype(np.float64) / 65535.0)[:FEATURE_DIM]
 
 
