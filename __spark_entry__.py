@@ -364,8 +364,10 @@ def _q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table multiprobe LSH ANN top-k (the IVF-style scale path for
-    embedding_topk) — approximate, rows-only check."""
+    """Multi-table multiprobe LSH ANN top-k (12 x 6-bit tables). Seed-
+    deterministic with measured recall 1.0 at this operating point, so the
+    exact brute-force top-k SQL is its hard oracle — a hash mismatch means
+    the LSH recall regressed."""
     from fastselect_spark.similarity import cosine_topk_lsh
 
     _register(spark, sf_dir, "embeddings")
@@ -384,6 +386,40 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     return cosine_topk_ivf(
         emb, emb.where(F.col("vec_id") < 5), k=5, n_cells=8, nprobe=3
+    )
+
+
+def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified IVF recall IN the driver contract: per query, the number
+    of exact top-5 neighbors (n_exact — genuinely recomputed by the SQL
+    oracle) and the claim recall@5 >= 0.8 at (n_cells=8, nprobe=5). The
+    claim column hash-checks against a TRUE literal: if the probe path's
+    recall drops below 0.8 for any query, the row mismatches. IVF training
+    is deterministic (centroids seeded from the n_cells lowest-id rows),
+    so this is a stable regression gate, not a flaky stochastic check."""
+    from fastselect_spark.similarity import cosine_topk, cosine_topk_ivf
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = cosine_topk_ivf(emb, q, k=5, n_cells=8, nprobe=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact") >= 0.8
+            ).alias("recall_ge_080"),
+        )
     )
 
 
@@ -860,8 +896,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,  # oracle = exact SQL
-        "ann_lsh_topk": _q_ann_lsh_topk,  # approx: rows-only
+        "ann_lsh_topk": _q_ann_lsh_topk,  # oracle = exact top-k SQL
         "ann_ivf_topk": _q_ann_ivf_topk,  # approx (kmeans cells): rows-only
+        "ann_ivf_recall": _q_ann_ivf_recall,  # hash-checked recall claim
         "multimodal_features": _q_multimodal_features,  # synth media: rows-only
         "video_frame_sampling": _q_video_frame_sampling,  # synth media: rows-only
         "streaming_sessions": _q_streaming_sessions,
@@ -2122,6 +2159,37 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_ORACLE,
         "dedup_components": _COMPONENTS_ORACLE,
         "embedding_topk": _EMBED_TOPK_ORACLE,
+        # seed-deterministic recall 1.0 at its operating point (12x6-bit
+        # tables, multiprobe): the exact top-k SQL is the regression oracle
+        "ann_lsh_topk": _EMBED_TOPK_ORACLE,
+        # n_exact is genuinely recomputed (exact top-5 per query); the
+        # recall>=0.8 claim hash-checks against TRUE — a probe-path recall
+        # regression mismatches the row
+        "ann_ivf_recall": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+        z AS (
+            SELECT query_id, neighbor_id, UNNEST(qe) AS x, UNNEST(ce) AS y
+            FROM q, c WHERE query_id <> neighbor_id
+        ),
+        s AS (
+            SELECT query_id, neighbor_id,
+                   SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                   / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                      * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS cosine
+            FROM z GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT query_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM s
+        )
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+               TRUE AS recall_ge_080
+        FROM r WHERE rank <= 5 GROUP BY query_id
+        """,
         "transcripts_derive": TRANSCRIPTS_FROM_EVENTS_SQL,
         "featurize_sessions": _FEATURIZE_BASE
         + """

@@ -92,8 +92,8 @@ def cosine_topk_lsh(
     k: int = 10,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 10,
-    n_tables: int = 4,
+    n_planes: int = 6,
+    n_tables: int = 12,
     multiprobe: bool = True,
     seed: int = 42,
     dim: int | None = None,
@@ -102,7 +102,13 @@ def cosine_topk_lsh(
     across ``n_tables`` independent hash tables (OR-amplification), each
     optionally multi-probed with one-bit flips; then exact cosine + windowed
     top-k. Recall/candidate-count tuned by (n_planes, n_tables, multiprobe):
-    more tables or fewer planes => higher recall, bigger buckets."""
+    more tables or fewer planes => higher recall, bigger buckets.
+
+    Defaults target the REALISTIC regime where true neighbors sit at cosine
+    0.2-0.5 (uncorrelated corpora): per-pair collision at cosine s is
+    1-(1-(q^b + b q^(b-1)(1-q)))^T with q = 1-arccos(s)/π, b = n_planes,
+    T = n_tables — (b=6, T=12) ≈ 0.99 at s=0.4. Raise b by ~log2(n/n_0)
+    as the corpus grows to keep per-bucket candidate counts flat."""
     if dim is None:
         dim = int(corpus.select(F.size(emb_col).alias("d")).first()["d"])
     c_parts, q_parts = [], []
