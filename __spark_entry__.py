@@ -595,6 +595,85 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("fp_exact")
 
 
+def _q_streaming_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-BOUNDED streaming dedup (dropDuplicatesWithinWatermark,
+    10-minute delay) over a planted 3-micro-batch fixture that proves the
+    bounded-state trade-off both ways:
+
+    - IN-window duplicates are dropped AND extend the state's expiry:
+      alpha@10:05 (expiry 10:10 -> 10:15) and gamma@10:39 (state alive);
+    - OUT-of-window duplicates are re-emitted: batch 3's entry watermark
+      (10:20 = batch-2 max event 10:30 - delay) exceeds alpha's extended
+      expiry 10:15 and beta's 10:10:30, so both states are evicted at the
+      end of batch 3 and the batch-4 re-arrivals emit AGAIN (n_emitted=2).
+
+    Empirically verified Spark semantics encoded here and in the oracle:
+    eviction is LAZY — at the end of batch b, keys whose (last-duplicate
+    ts + delay) expiry is below b's ENTRY watermark (max event time of
+    batches < b, minus delay) are removed; rows arriving in b itself still
+    see the state. Batch boundaries are forced with maxFilesPerTrigger=1
+    over four parquet files with strictly increasing mtimes (the file
+    source processes oldest-first), so watermark progression — and
+    therefore the output — is deterministic. The oracle recomputes the
+    per-epoch emission rule from the same literal rows in pure SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    root = tempfile.mkdtemp(prefix="fs_wm_dedup_")
+    batches = [
+        [("2024-01-01 10:00:00", "alpha"), ("2024-01-01 10:00:30", "beta")],
+        [("2024-01-01 10:05:00", "alpha"), ("2024-01-01 10:30:00", "gamma")],
+        [("2024-01-01 10:45:00", "delta")],
+        [
+            ("2024-01-01 11:00:00", "alpha"),
+            ("2024-01-01 11:01:00", "beta"),
+            ("2024-01-01 10:39:00", "gamma"),
+        ],
+    ]
+    base_mtime = 1_700_000_000
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "ts": pa.array(
+                    [pd.Timestamp(t) for t, _ in rows], type=pa.timestamp("us")
+                ),
+                "text": pa.array([x for _, x in rows]),
+            }
+        )
+        fpath = os.path.join(root, f"b{i}.parquet")
+        _pq.write_table(tbl, fpath)
+        os.utime(fpath, (base_mtime + 10 * i, base_mtime + 10 * i))
+
+    from fastselect_spark.streaming import streaming_dedup_within_watermark
+
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    out = _run_available_now(
+        spark,
+        streaming_dedup_within_watermark(
+            stream, text_col="text", ts_col="ts", watermark="10 minutes"
+        ).select("fp_exact", "ts"),
+        "fs_stream_dedup_wm",
+        mode="append",
+    )
+    res = out.groupBy("fp_exact").agg(
+        F.count(F.lit(1)).cast("long").alias("n_emitted"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    res = res.localCheckpoint()  # materialize before the fixture dir is removed
+    shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
 def _q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastselect_spark.featurize import add_lag_lead
 
@@ -905,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_token_rates": _q_streaming_token_rates,
         "streaming_sliding_rates": _q_streaming_sliding_rates,
         "streaming_dedup": _q_streaming_dedup,
+        "streaming_dedup_within_watermark": _q_streaming_dedup_wm,
         "streaming_stateful_progress": _q_streaming_stateful,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "top_customers": _q_top_customers,
@@ -2265,6 +2345,73 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT
             MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp_exact
         FROM transcripts
+        """,
+        # dropDuplicatesWithinWatermark over the planted 4-batch fixture:
+        # the oracle recomputes the EMPIRICALLY-VERIFIED semantics from the
+        # same literal rows — dropped duplicates EXTEND the state expiry
+        # (exp(fp,b) = max fp-event-ts through batch b, + delay), and
+        # eviction is lazy: state dies at the first batch whose ENTRY
+        # watermark (max event ts of batches < b, minus delay) exceeds the
+        # extended expiry; a second epoch's first arrival in any LATER
+        # batch re-emits.
+        "streaming_dedup_within_watermark": """
+        WITH rows(batch, ts, text) AS (VALUES
+            (1, TIMESTAMP '2024-01-01 10:00:00', 'alpha'),
+            (1, TIMESTAMP '2024-01-01 10:00:30', 'beta'),
+            (2, TIMESTAMP '2024-01-01 10:05:00', 'alpha'),
+            (2, TIMESTAMP '2024-01-01 10:30:00', 'gamma'),
+            (3, TIMESTAMP '2024-01-01 10:45:00', 'delta'),
+            (4, TIMESTAMP '2024-01-01 11:00:00', 'alpha'),
+            (4, TIMESTAMP '2024-01-01 11:01:00', 'beta'),
+            (4, TIMESTAMP '2024-01-01 10:39:00', 'gamma')
+        ),
+        fp AS (
+            SELECT batch, ts,
+                   MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp_exact
+            FROM rows
+        ),
+        wmb AS (
+            SELECT b.batch,
+                   (SELECT MAX(p.ts) FROM fp p WHERE p.batch < b.batch)
+                       - INTERVAL 10 MINUTE AS wm_start
+            FROM (SELECT DISTINCT batch FROM fp) b
+        ),
+        expfb AS (
+            SELECT k.fp_exact, b.batch,
+                   (SELECT MAX(p.ts) FROM fp p
+                    WHERE p.fp_exact = k.fp_exact AND p.batch <= b.batch)
+                       + INTERVAL 10 MINUTE AS exp
+            FROM (SELECT DISTINCT fp_exact FROM fp) k
+            CROSS JOIN (SELECT DISTINCT batch FROM fp) b
+        ),
+        evict AS (
+            SELECT e.fp_exact, MIN(e.batch) AS evict_b
+            FROM expfb e JOIN wmb w ON w.batch = e.batch
+            WHERE w.wm_start IS NOT NULL AND w.wm_start > e.exp
+            GROUP BY e.fp_exact
+        ),
+        e1 AS (
+            SELECT fp_exact, ts FROM (
+                SELECT fp_exact, ts,
+                       ROW_NUMBER() OVER (PARTITION BY fp_exact
+                                          ORDER BY batch, ts) AS rn
+                FROM fp) t
+            WHERE rn = 1
+        ),
+        e2 AS (
+            SELECT f.fp_exact, MIN(f.ts) AS ts
+            FROM fp f JOIN evict v
+              ON v.fp_exact = f.fp_exact AND f.batch > v.evict_b
+            GROUP BY f.fp_exact
+        ),
+        emitted AS (
+            SELECT fp_exact, ts FROM e1
+            UNION ALL
+            SELECT fp_exact, ts FROM e2
+        )
+        SELECT fp_exact, CAST(COUNT(*) AS BIGINT) AS n_emitted,
+               MIN(ts) AS first_ts, MAX(ts) AS last_ts
+        FROM emitted GROUP BY fp_exact
         """,
         "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,

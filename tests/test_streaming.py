@@ -184,3 +184,66 @@ def test_streaming_dedup_matches_batch_distinct(spark, staged):
     assert got == expect
     # each fingerprint emitted exactly once
     assert len(spark.table("stream_dedup").toPandas()) == len(expect)
+
+
+def test_streaming_dedup_within_watermark_epochs(spark, tmp_path_factory):
+    """Bounded-state dedup trade-off, both directions (empirically verified
+    Spark semantics): duplicates arriving while state is live are dropped
+    AND extend the expiry (last-dup ts + delay); eviction is lazy at the
+    first batch whose ENTRY watermark exceeds the extended expiry; a
+    re-arrival in a LATER batch is emitted again as a new epoch."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastselect_spark.streaming import streaming_dedup_within_watermark
+
+    root = str(tmp_path_factory.mktemp("wm_dedup"))
+    batches = [
+        [("2024-01-01 10:00:00", "alpha"), ("2024-01-01 10:00:30", "beta")],
+        [("2024-01-01 10:05:00", "alpha"), ("2024-01-01 10:30:00", "gamma")],
+        [("2024-01-01 10:45:00", "delta")],
+        [
+            ("2024-01-01 11:00:00", "alpha"),
+            ("2024-01-01 11:01:00", "beta"),
+            ("2024-01-01 10:39:00", "gamma"),
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "ts": pa.array(
+                    [pd.Timestamp(t) for t, _ in rows], type=pa.timestamp("us")
+                ),
+                "text": pa.array([x for _, x in rows]),
+            }
+        )
+        f = os.path.join(root, f"b{i}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (1_700_000_000 + 10 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    q = (
+        streaming_dedup_within_watermark(
+            stream, text_col="text", ts_col="ts", watermark="10 minutes"
+        )
+        .select("text", "ts")
+        .writeStream.format("memory")
+        .queryName("wm_dedup_epochs")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("wm_dedup_epochs").toPandas()
+    counts = out.groupby("text").size().to_dict()
+    # alpha/beta re-emitted after their state was evicted; the in-window
+    # duplicates (alpha@10:05, gamma@10:39) were dropped
+    assert counts == {"alpha": 2, "beta": 2, "gamma": 1, "delta": 1}
