@@ -96,7 +96,10 @@ def _session_asof(spark: SparkSession, sf_dir: str, strategy: str, **kw) -> Data
     projection is persisted at the branch point: BOTH join sides consume it,
     and an unpersisted branch recomputes the whole window stack per side
     (only identical Exchanges are reused — the CLAUDE.md union-double-read
-    pitfall)."""
+    pitfall). The cache is released once the joined result is materialized
+    (localCheckpoint cuts the lineage so the returned frame no longer
+    references the cached branch) — three asof queries otherwise leak three
+    cached frames for the life of the gate/bench session."""
     feat = (
         featurize_transcripts(_transcripts(spark, sf_dir))
         .select("conv_id", "turn_idx", "ts", "session_id", "n_tokens")
@@ -113,9 +116,11 @@ def _session_asof(spark: SparkSession, sf_dir: str, strategy: str, **kw) -> Data
         strategy=strategy,
         **kw,
     )
-    return joined.select(
+    out = joined.select(
         "conv_id", "turn_idx", "sess_avg_tokens_asof", "sess_n_turns_asof"
-    )
+    ).localCheckpoint()
+    feat.unpersist()
+    return out
 
 
 def _q_asof_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -448,10 +448,17 @@ def scorers_mode() -> None:
 
     # --- Relief at 10x n: staged-matrix path, no driver-side collect -------
     # The fit stages the matrix to scratch and workers read it directly; the
-    # driver only receives p-sized partials, so its peak RSS should not move
-    # with n. ru_maxrss is monotone, so a near-zero delta across the 10x fit
-    # IS the no-growth evidence.
-    import resource
+    # driver only receives p-sized partials, so its CURRENT RSS should not
+    # move with n. VmRSS is sampled from /proc/self/status before and
+    # DURING/after the fit (a ru_maxrss delta is monotone and an earlier
+    # larger allocation would mask a collect — a false pass).
+
+    def _vm_rss_mb() -> float:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+        return 0.0
 
     nn, pp = 10_000, 100
     X = rng.standard_normal((nn, pp))
@@ -459,17 +466,34 @@ def scorers_mode() -> None:
     cols = [f"f{i}" for i in range(pp)]
     pdf = pd.DataFrame(X, columns=cols)
     pdf["label"] = y
+    del X, y
     df = spark.createDataFrame(pdf).repartition(int(CPUS)).persist()
+    del pdf
     df.count()
-    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    import gc
+    import threading
+
+    gc.collect()
+    rss_before = _vm_rss_mb()
+    peak_during = [rss_before]
+    stop = threading.Event()
+
+    def _sampler() -> None:  # catches transient collects munmap'd post-fit
+        while not stop.is_set():
+            peak_during[0] = max(peak_during[0], _vm_rss_mb())
+            stop.wait(0.05)
+
+    t = threading.Thread(target=_sampler, daemon=True)
+    t.start()
     timed(
         f"relieff_n{nn}_p{pp}_select10",
         lambda: ReliefFSelector(n_features_to_select=10).fit(df, cols, "label"),
         reps=1,
     )
-    rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    stop.set()
+    t.join()
     results["relieff_n10000_driver_rss_growth_mb"] = round(
-        (rss_after - rss_before) / 1024.0, 1
+        max(0.0, peak_during[0] - rss_before), 1
     )
     df.unpersist()
 

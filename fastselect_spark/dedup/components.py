@@ -9,15 +9,19 @@ each round a node adopts the minimum label among itself and its neighbors
 (one join + one min-aggregation per round, all Catalyst ops). Converges in
 O(component diameter) rounds; near-dup clusters are small-diameter by
 construction (a pair list, not a web graph), so this is typically 3-5
-rounds. Convergence is detected by the monotone label-sum invariant:
-labels only ever decrease, so an unchanged sum means a fixpoint — one tiny
-agg per round instead of an old-vs-new join. For adversarial
-long-chain graphs, switch to the large-star/small-star algorithm
-(Kiveris et al., "Connected Components in MapReduce and Beyond") — same
-join primitives, O(log n) rounds; not needed for dedup-shaped inputs.
+rounds. Convergence is detected by counting CHANGED labels in the same
+pass that computes them (a boolean-sum agg per round) — id-type-agnostic
+(works for string doc ids) and ANSI-safe (no raw id summation, which
+overflows a long for large id domains). If ``max_iter`` rounds pass
+without a fixpoint, a warning is raised and callers should switch to the
+large-star/small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond") — same join primitives, O(log n) rounds; not
+needed for dedup-shaped inputs.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -30,7 +34,9 @@ def connected_components(
     max_iter: int = 25,
 ) -> DataFrame:
     """(doc_id, component) for every node in ``pairs``; component = min id
-    reachable through the pair graph."""
+    reachable through the pair graph. Warns if max_iter is exhausted before
+    the fixpoint (partially-propagated labels would silently split long
+    chains otherwise)."""
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -41,7 +47,8 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .persist()
     )
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    persisted = labels  # the cached frame backing `labels` this round
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -55,16 +62,28 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
+                (
+                    F.coalesce(F.col("nbr_comp"), F.col("comp")) < F.col("comp")
+                ).cast("long").alias("__changed"),
             )
             .persist()
         )
-        cur_sum = new.agg(F.sum("comp")).collect()[0][0]
-        labels.unpersist()
-        labels = new
-        if cur_sum == prev_sum:  # labels are monotone non-increasing
+        n_changed = new.agg(F.sum("__changed")).collect()[0][0]
+        persisted.unpersist()
+        persisted = new
+        labels = new.select("node", "comp")
+        if not n_changed:
+            converged = True
             break
-        prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        warnings.warn(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds; labels may be partially propagated "
+            "(split clusters). Increase max_iter or use a "
+            "large-star/small-star implementation for long-chain graphs.",
+            UserWarning,
+        )
     return labels.select(F.col("node").alias("doc_id"), "comp")
 
 

@@ -184,6 +184,15 @@ def _mi_matrices_cube(
         return None
     raw = pdf[cols].to_numpy(dtype=np.float64)
     counts = pdf["count"].to_numpy(dtype=np.int64)
+    # the cube groups on double-cast codes: integers above 2^53 are not
+    # exactly representable and would SILENTLY collide in the groupBy —
+    # refuse rather than mis-count (CLAUDE.md ANSI/precision rule)
+    if len(raw) and np.nanmax(np.abs(raw)) >= 2.0**53:
+        raise ValueError(
+            "feature/label codes with |value| >= 2^53 lose integer "
+            "precision in the double-cast cube groupBy and can collide; "
+            "re-encode codes into a smaller domain first"
+        )
     if vocab is None:
         vocab = np.unique(raw)
     else:

@@ -409,3 +409,53 @@ def test_stopword_ratio(spark):
     assert abs(out[0] - 4 / 6) < 1e-9
     assert out[1] == 0.0
     assert out[2] == 1.0
+
+
+def test_connected_components_string_ids(spark):
+    """Label propagation is id-type-agnostic: string doc ids work (the old
+    label-SUM convergence check required numeric ids and could overflow
+    a long under ANSI mode for large id domains)."""
+    from fastselect_spark.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("docC", "docA"), ("docA", "docB"), ("docX", "docY")],
+        "id_a string, id_b string",
+    )
+    comp = connected_components(pairs).toPandas()
+    got = dict(zip(comp["doc_id"], comp["comp"]))
+    assert got == {
+        "docA": "docA", "docB": "docA", "docC": "docA",
+        "docX": "docX", "docY": "docX",
+    }
+
+
+def test_connected_components_max_iter_warns(spark):
+    """Exhausting max_iter without a fixpoint must WARN (silently returning
+    partially-propagated labels splits long chains)."""
+    import warnings as _w
+
+    from fastselect_spark.dedup import connected_components
+
+    # a 6-node chain needs ~5 rounds to converge; cap at 2
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        connected_components(pairs, max_iter=2).count()
+    assert any("did not converge" in str(r.message) for r in rec)
+
+
+def test_mi_cube_rejects_unsafe_codes(spark):
+    """Codes with |value| >= 2^53 silently collide in the double-cast cube
+    groupBy — must raise instead of mis-counting."""
+    import pandas as pd_
+
+    from fastselect_spark.selection import mi_matrices
+
+    big = 2**53 + 1
+    df = spark.createDataFrame(
+        pd_.DataFrame({"f0": [big, big + 2, big], "y": [0, 1, 0]})
+    )
+    with pytest.raises(ValueError, match="2\\^53"):
+        mi_matrices(df, ["f0"], "y", compute_redundancy=False)
