@@ -472,6 +472,7 @@ def _q_video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _run_available_now(
     spark: SparkSession, out_df: DataFrame, name: str, mode: str = "complete"
 ) -> DataFrame:
+    import atexit
     import shutil
     import tempfile
 
@@ -484,10 +485,16 @@ def _run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    # the memory sink holds the rows; the checkpoint is dead weight once the
-    # availableNow query terminated
-    shutil.rmtree(ckpt, ignore_errors=True)
+    if not q.awaitTermination(300):
+        # defensive: never leave a zombie query running behind the memory
+        # sink (its state commits would race later queries and cleanup)
+        q.stop()
+        q.awaitTermination(30)
+    # The memory sink holds the rows; the checkpoint is dead weight once
+    # the availableNow query terminated — but state-store threads may still
+    # be flushing for a short window after awaitTermination returns, so
+    # deletion is deferred to interpreter exit rather than racing them.
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
     return spark.table(name)
 
 

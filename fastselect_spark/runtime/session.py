@@ -49,6 +49,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("FASTSELECT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Short-lived availableNow streaming queries don't benefit from
+        # background state-store snapshot maintenance, and the maintenance
+        # thread racing query teardown/checkpoint cleanup produces spurious
+        # CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT task failures. Long-running
+        # production streams should lower this again.
+        .config("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
+        # ...and silence the coordinator's snapshot-lag WARN spam that the
+        # raised interval otherwise produces on multi-batch local runs
+        .config(
+            "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag",
+            "false",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

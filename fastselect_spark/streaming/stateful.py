@@ -10,11 +10,16 @@ transcripts. This is the "custom stateful operator" path for semantics
 state, not per-window aggregates).
 
 State is bounded: one small tuple per active conversation, dropped after
-``state_ttl_minutes`` of event-time inactivity (processing-time timeout).
-Within a micro-batch, rows are processed in (conv_id, ts) order; in-order
-arrival per conversation is assumed (the Kafka-partition-by-conv_id layout);
-late cross-batch rows get a fresh-session fallback rather than corrupting
-state.
+``state_ttl_minutes`` of EVENT-TIME inactivity — the timeout timestamp is
+(last event ts + ttl) and fires when the watermark passes it. Event-time
+timers (not processing-time) matter beyond semantics: a processing-time
+timer keeps an availableNow/backfill run alive spinning EMPTY micro-batches
+until the wall-clock timer fires (measured: hundreds of 0-row batches and
+an awaitTermination timeout), whereas event-time timers drain in one final
+timer batch once the data is exhausted. Within a micro-batch, rows are
+processed in (conv_id, ts) order; in-order arrival per conversation is
+assumed (the Kafka-partition-by-conv_id layout); late cross-batch rows get
+a fresh-session fallback rather than corrupting state.
 """
 
 from __future__ import annotations
@@ -98,8 +103,11 @@ def _progress_fn(gap_seconds: float, state_ttl_minutes: int):
                 rows["tool_calls_so_far"].append(tool_calls)
             out.append(pd.DataFrame(rows))
         state.update((last_ts_us, session_id, turns, tokens, tool_calls))
-        # Spark 4 requires an int duration in ms (string forms raise NOT_INT)
-        state.setTimeoutDuration(int(state_ttl_minutes) * 60_000)
+        # Event-time TTL: fire when the watermark passes last event + ttl.
+        # The timestamp must be strictly above the current watermark or
+        # Spark rejects it — clamp for stragglers already behind it.
+        expiry_ms = last_ts_us // 1000 + int(state_ttl_minutes) * 60_000
+        state.setTimeoutTimestamp(max(expiry_ms, state.getCurrentWatermarkMs() + 1))
         if out:
             yield pd.concat(out, ignore_index=True)
 
@@ -110,12 +118,16 @@ def stateful_conversation_progress(
     stream: DataFrame,
     gap_seconds: float = 300.0,
     state_ttl_minutes: int = 60,
+    watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Running per-turn conversation features with explicit keyed state."""
-    return stream.groupBy("conv_id").applyInPandasWithState(
+    """Running per-turn conversation features with explicit keyed state.
+
+    ``watermark`` bounds event-time lateness for the timeout timers (the
+    emissions themselves are append-per-row and unaffected by it)."""
+    return stream.withWatermark("ts", watermark).groupBy("conv_id").applyInPandasWithState(
         _progress_fn(gap_seconds, state_ttl_minutes),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
