@@ -394,6 +394,54 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic key-hash Bernoulli sample (reproducible and
+    repartition-stable, unlike rand()-based df.sample): keep iff
+    md5-60bit('7:'||doc_id) % 1e6 < 250000."""
+    from fastselect_spark.corpus import deterministic_sample
+
+    _register(spark, sf_dir, "documents")
+    return deterministic_sample(
+        spark.table("documents"), fraction=0.25, key_col="doc_id", seed=7
+    ).select("doc_id", "source")
+
+
+def _q_corpus_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling rates — corpus MIXING toward a target source
+    distribution (the deterministic sampleBy)."""
+    from fastselect_spark.corpus import sample_by_source
+
+    _register(spark, sf_dir, "documents")
+    mixed = sample_by_source(
+        spark.table("documents"),
+        fractions={"src0": 1.0, "src1": 0.5, "src2": 0.1},
+        source_col="source",
+        key_col="doc_id",
+        seed=11,
+        default_fraction=0.02,
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+def _q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota: keep the 5 longest docs per source (rank by
+    n_chars desc, doc_id tie-break) — the balance-after-dedup step that
+    caps boilerplate-heavy sources."""
+    from fastselect_spark.corpus import cap_per_source
+
+    _register(spark, sf_dir, "documents")
+    return cap_per_source(
+        spark.table("documents"),
+        quota=5,
+        source_col="source",
+        order_by=[F.col("n_chars").desc()],
+        key_col="doc_id",
+    ).select("doc_id", "source", "n_chars", "source_rank")
+
+
 def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantified IVF recall IN the driver contract: per query, the number
     of exact top-5 neighbors (n_exact — genuinely recomputed by the SQL
@@ -990,6 +1038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,  # oracle = exact top-k SQL
         "ann_ivf_topk": _q_ann_ivf_topk,  # approx (kmeans cells): rows-only
         "ann_ivf_recall": _q_ann_ivf_recall,  # hash-checked recall claim
+        "corpus_sample": _q_corpus_sample,
+        "corpus_mix_by_source": _q_corpus_mix_by_source,
+        "source_quota_cap": _q_source_quota_cap,
         "multimodal_features": _q_multimodal_features,  # synth media: rows-only
         "video_frame_sampling": _q_video_frame_sampling,  # synth media: rows-only
         "streaming_sessions": _q_streaming_sessions,
@@ -2330,6 +2381,32 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _SIMHASH_ORACLE,
         "multimodal_features": _MULTIMODAL_ORACLE,
         "video_frame_sampling": _FRAME_SAMPLING_ORACLE,
+        "corpus_sample": """
+        SELECT doc_id, source FROM documents
+        WHERE CAST('0x'||substr(md5('7:'||doc_id),1,15) AS BIGINT) % 1000000
+              < 250000
+        """,
+        "corpus_mix_by_source": """
+        WITH kept AS (
+            SELECT * FROM documents
+            WHERE CAST('0x'||substr(md5('11:'||doc_id),1,15) AS BIGINT) % 1000000
+                  < CASE source WHEN 'src0' THEN 1000000
+                                WHEN 'src1' THEN 500000
+                                WHEN 'src2' THEN 100000
+                                ELSE 20000 END
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               MIN(doc_id) AS min_doc_id
+        FROM kept GROUP BY source
+        """,
+        "source_quota_cap": """
+        SELECT doc_id, source, n_chars, CAST(rn AS INT) AS source_rank FROM (
+            SELECT doc_id, source, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM documents) t
+        WHERE rn <= 5
+        """,
         "embedding_near_dups": _EMBED_NEAR_DUP_ORACLE,
         # the LSH variant is seed-deterministic with measured recall 1.0 at
         # its operating point (12 tables x 6 planes, multiprobe), so the

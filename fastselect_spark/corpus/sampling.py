@@ -1,0 +1,104 @@
+"""Corpus-management operators for training-data pipelines: deterministic
+sampling and per-source quota capping.
+
+Why not ``df.sample()``/``rand()``: at corpus scale a sample must be
+REPRODUCIBLE (rerun the pipeline, get the same corpus), STABLE under
+repartitioning (rand() is seeded per partition — a different file split
+changes the sample), and CONSISTENT across derived tables (the same doc
+keeps/drops everywhere it appears). Hashing a stable key gives all three:
+keep doc iff h(seed, key) mod M < fraction * M. The hash is the 60-bit
+md5 prefix — the same cross-engine family the dedup/multimodal oracles
+use, so the DuckDB gate recomputes the exact sample.
+
+Scale notes: ``deterministic_sample`` and ``sample_by_source`` are pure
+JVM row-local expressions — no shuffle, fully pushdown-friendly.
+``cap_per_source`` ranks within source groups (one hash exchange on the
+source key); rank-by-quality top-k is the standard dedup-then-balance
+step (cap boilerplate-heavy sources). For pathologically hot sources,
+pre-aggregate with AQE skew handling or raise the quota granularity
+(e.g. cap per (source, month)) — the window itself is the same plan the
+featurize stack already audits (single Exchange + WindowExec).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# keep/drop resolution: 1e6 buckets => fractions are exact to 1e-6
+_BUCKETS = 1_000_000
+
+
+def _hash_bucket(key: Column, seed: int) -> Column:
+    """Uniform bucket in [0, 1e6) from the 60-bit md5 prefix of
+    '{seed}:{key}' — identical in DuckDB:
+    CAST('0x'||substr(md5(seed||':'||key),1,15) AS BIGINT) % 1000000."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), key.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % _BUCKETS
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep each row iff hash(seed, key) lands in the first ``fraction`` of
+    bucket space — a reproducible, repartition-stable Bernoulli sample."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    thresh = int(round(fraction * _BUCKETS))
+    return df.where(_hash_bucket(F.col(key_col), seed) < F.lit(thresh))
+
+
+def sample_by_source(
+    df: DataFrame,
+    fractions: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-source sampling rates (corpus MIXING: up-/down-weight sources to
+    a target distribution) — the deterministic equivalent of
+    ``DataFrame.sampleBy``. Sources absent from ``fractions`` get
+    ``default_fraction``."""
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for source {s!r} must be in [0, 1]")
+    thresh = F.lit(int(round(default_fraction * _BUCKETS)))
+    for s, f in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(source_col) == s, F.lit(int(round(f * _BUCKETS)))
+        ).otherwise(thresh)
+    return df.where(_hash_bucket(F.col(key_col), seed) < thresh)
+
+
+def cap_per_source(
+    df: DataFrame,
+    quota: int,
+    source_col: str = "source",
+    order_by: list[Column] | None = None,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``quota`` rows per source, preferring rows by
+    ``order_by`` (default: the stable key ascending — callers typically
+    pass a quality score descending). Output keeps a ``source_rank``
+    column (1-based) so downstream stages can tighten the cap without
+    re-ranking."""
+    if quota < 1:
+        raise ValueError("quota must be >= 1")
+    order = list(order_by) if order_by else []
+    # stable total order: always break ties by the key
+    order.append(F.col(key_col).asc())
+    w = Window.partitionBy(source_col).orderBy(*order)
+    return (
+        df.withColumn("source_rank", F.row_number().over(w))
+        .where(F.col("source_rank") <= quota)
+    )

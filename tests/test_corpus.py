@@ -1,0 +1,90 @@
+"""Corpus-management ops: deterministic sampling, source mixing, quotas."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fastselect_spark.corpus import (
+    cap_per_source,
+    deterministic_sample,
+    sample_by_source,
+)
+
+
+def _h(seed: int, key) -> int:
+    return int(hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:15], 16) % 1_000_000
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        {"doc_id": i, "source": f"s{i % 4}", "n_chars": (i * 37) % 500}
+        for i in range(400)
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_deterministic_sample_matches_hash_rule(corpus):
+    out = deterministic_sample(corpus, 0.3, key_col="doc_id", seed=5).toPandas()
+    expect = {i for i in range(400) if _h(5, i) < 300_000}
+    assert set(out["doc_id"]) == expect
+    # ~30% within binomial noise
+    assert 0.2 < len(expect) / 400 < 0.4
+
+
+def test_deterministic_sample_repartition_stable(corpus):
+    a = set(
+        deterministic_sample(corpus, 0.5, seed=9).toPandas()["doc_id"]
+    )
+    b = set(
+        deterministic_sample(corpus.repartition(13), 0.5, seed=9).toPandas()["doc_id"]
+    )
+    assert a == b  # rand()-based sampling would differ here
+
+
+def test_sample_by_source_rates(corpus):
+    out = sample_by_source(
+        corpus,
+        {"s0": 1.0, "s1": 0.0},
+        source_col="source",
+        key_col="doc_id",
+        seed=3,
+        default_fraction=0.5,
+    ).toPandas()
+    by_src = out.groupby("source").size().to_dict()
+    assert by_src.get("s0") == 100  # fraction 1.0 keeps everything
+    assert "s1" not in by_src  # fraction 0.0 keeps nothing
+    for s in ("s2", "s3"):
+        expect = sum(
+            1 for i in range(400) if f"s{i % 4}" == s and _h(3, i) < 500_000
+        )
+        assert by_src.get(s, 0) == expect
+
+
+def test_cap_per_source(corpus):
+    out = cap_per_source(
+        corpus, quota=7, source_col="source",
+        order_by=[F.col("n_chars").desc()], key_col="doc_id",
+    ).toPandas()
+    assert out.groupby("source").size().max() == 7
+    assert set(out["source_rank"]) == set(range(1, 8))
+    # per source, the kept docs are exactly the 7 largest by (n_chars, -doc_id)
+    pdf = corpus.toPandas()
+    for s, grp in pdf.groupby("source"):
+        top = grp.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).head(7)
+        assert set(out[out.source == s]["doc_id"]) == set(top["doc_id"])
+
+
+def test_validation_errors(corpus):
+    with pytest.raises(ValueError, match="fraction"):
+        deterministic_sample(corpus, 1.5)
+    with pytest.raises(ValueError, match="fraction"):
+        sample_by_source(corpus, {"s0": -0.1})
+    with pytest.raises(ValueError, match="quota"):
+        cap_per_source(corpus, quota=0)
