@@ -161,3 +161,24 @@ def test_mdr_small_and_staged_agree(spark):
     finally:
         st_small.cleanup()
         st_big.cleanup()
+
+
+def test_wide_packed_stage_subset_slicing(spark):
+    """Above WIDE_P the staged layout packs features into one binary
+    column; column-subset loaders must slice the unpacked matrix correctly
+    (TuRF over a wide matrix exercises exactly this)."""
+    df, cols = _df(spark, n=40, p=70, seed=13)
+    subset = cols[::3]
+    st = make_stage(df, cols, "label", force="staged")
+    try:
+        via_slice = ReliefFSelector(n_features_to_select=3).fit(
+            df, subset, "label", _stage=st
+        )
+        fresh = ReliefFSelector(n_features_to_select=3).fit(
+            df.select(*subset, "label"), subset, "label"
+        )
+        np.testing.assert_allclose(
+            via_slice.feature_importances_, fresh.feature_importances_
+        )
+    finally:
+        st.cleanup()
