@@ -394,6 +394,36 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP dedup pipeline, end-to-end: exact dedup (hash-groupBy on
+    the normalized-text fingerprint, min-id survivor) -> MinHash LSH
+    near-dup pairs among survivors (md5 family, banded, Jaccard-verified)
+    -> connected components over the pair graph (min-label propagation)
+    -> keep only each cluster's canonical min-id member. Every stage is a
+    shuffle-bounded Catalyst plan (hash agg, bucket join, iterative
+    join+agg); the oracle recomputes the whole chain in SQL (recursive
+    reachability for the clustering)."""
+    from fastselect_spark.dedup import (
+        connected_components,
+        dedup_exact,
+        minhash_near_duplicates,
+    )
+
+    _register(spark, sf_dir, "documents")
+    survivors = dedup_exact(spark.table("documents")).persist()
+    pairs = minhash_near_duplicates(
+        survivors, threshold=0.5, num_hashes=64, bands=16, hash_family="md5"
+    )
+    comp = connected_components(pairs)
+    dropped = comp.where(F.col("doc_id") != F.col("comp")).select("doc_id")
+    kept = survivors.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "source"
+    )
+    kept = kept.localCheckpoint()  # materialize before releasing the cache
+    survivors.unpersist()
+    return kept
+
+
 def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic key-hash Bernoulli sample (reproducible and
     repartition-stable, unlike rand()-based df.sample): keep iff
@@ -1038,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,  # oracle = exact top-k SQL
         "ann_ivf_topk": _q_ann_ivf_topk,  # approx (kmeans cells): rows-only
         "ann_ivf_recall": _q_ann_ivf_recall,  # hash-checked recall claim
+        "dedup_pipeline": _q_dedup_pipeline,  # exact -> minhash -> cluster -> keep
         "corpus_sample": _q_corpus_sample,
         "corpus_mix_by_source": _q_corpus_mix_by_source,
         "source_quota_cap": _q_source_quota_cap,
@@ -1977,14 +2008,21 @@ SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM s WHERE cosine >= 0.42
 # CAST('0x'||substr(md5(..),1,15) AS BIGINT); banding = md5-60 of the
 # comma-joined 4-slot slices; candidates share >=1 band; Jaccard verified
 # on the distinct shingle sets. Mirrors dedup/minhash.py with
-# num_hashes=64, bands=16, shingle_k=3, threshold=0.5.
-_MINHASH_ORACLE = """
-WITH docs AS (
+# num_hashes=64, bands=16, shingle_k=3. Template over the input docs CTE
+# so the dedup-pipeline oracle can run it on exact-dedup survivors.
+# AS MATERIALIZED: the CLAUDE.md exponential-CTE-re-evaluation guard.
+
+
+def _minhash_cte_sql(docs_sql: str, threshold: float) -> str:
+    """CTE chain ending in ``mh_pairs (id_a, id_b, jaccard)`` over
+    ``docs_sql`` (must yield (doc_id, text))."""
+    return f"""
+docs AS MATERIALIZED (
     SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
-    FROM documents
+    FROM ({docs_sql})
 ),
 tok AS (SELECT doc_id, norm, string_split(norm, ' ') AS t FROM docs),
-sh AS (
+sh AS MATERIALIZED (
     SELECT doc_id,
            CASE WHEN len(t) >= 3
                 THEN list_distinct(list_transform(
@@ -1994,7 +2032,7 @@ sh AS (
     FROM tok
 ),
 shl AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
-mh AS (
+mh AS MATERIALIZED (
     SELECT doc_id, seed,
            MIN(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || s), 1, 15)
                AS BIGINT)) AS mh
@@ -2012,18 +2050,62 @@ cand AS (
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 ),
-pairs AS (
+cpairs AS (
     SELECT id_a, id_b, sa.shingles AS sh_a, sb.shingles AS sh_b
     FROM cand
     JOIN sh sa ON sa.doc_id = cand.id_a
     JOIN sh sb ON sb.doc_id = cand.id_b
-)
-SELECT id_a, id_b,
-       CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-       / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) AS jaccard
-FROM pairs
-WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-      / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= 0.5
+),
+mh_pairs AS MATERIALIZED (
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) AS jaccard
+    FROM cpairs
+    WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE)
+          >= {threshold}
+)"""
+
+
+_MINHASH_ORACLE = f"""
+WITH {_minhash_cte_sql("SELECT doc_id, text FROM documents", 0.5)}
+SELECT id_a, id_b, jaccard FROM mh_pairs
+"""
+
+# End-to-end dedup pipeline: exact dedup (min doc_id per normalized-text
+# md5 fingerprint) -> MinHash near-dup pairs among survivors (md5 family)
+# -> connected components (recursive reachability) -> drop every non-min
+# member of each near-dup cluster. Output = the kept corpus.
+_DEDUP_PIPELINE_ORACLE = f"""
+WITH RECURSIVE
+fp AS (
+    SELECT doc_id, source, text,
+           MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp_exact
+    FROM documents
+),
+survivors AS MATERIALIZED (
+    SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               ROW_NUMBER() OVER (PARTITION BY fp_exact ORDER BY doc_id) AS rn
+        FROM fp) t
+    WHERE rn = 1
+),
+{_minhash_cte_sql("SELECT doc_id, text FROM survivors", 0.5)},
+e AS (
+    SELECT id_a AS src, id_b AS dst FROM mh_pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM mh_pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+reach(node, comp) AS (
+    SELECT node, node AS comp FROM nodes
+    UNION
+    SELECT e.src, r.comp FROM reach r JOIN e ON e.dst = r.node
+),
+labels AS (SELECT node AS doc_id, MIN(comp) AS comp FROM reach GROUP BY 1),
+dropped AS (SELECT doc_id FROM labels WHERE doc_id <> comp)
+SELECT s.doc_id, s.source FROM survivors s
+WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 # SimHash transliterated end-to-end: 60-bit md5-prefix token hashes,
@@ -2378,6 +2460,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_pandas": _ASOF_ORACLE,
         "lang_id": _LANG_ID_ORACLE,
         "minhash_near_dups": _MINHASH_ORACLE,
+        "dedup_pipeline": _DEDUP_PIPELINE_ORACLE,
         "simhash_near_dups": _SIMHASH_ORACLE,
         "multimodal_features": _MULTIMODAL_ORACLE,
         "video_frame_sampling": _FRAME_SAMPLING_ORACLE,
