@@ -91,6 +91,52 @@ def main() -> int:
         "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
     )
 
+    # 5. corpus ops: sampling is a row-local filter (no exchange) with
+    # column pruning; quota capping is ONE hash exchange + Window
+    from fastselect_spark.corpus import cap_per_source, deterministic_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = deterministic_sample(docs, 0.25).select("doc_id")
+    p = plan_of(s)
+    failures += not check(
+        "deterministic_sample adds no exchange",
+        "Exchange" not in p,
+    )
+    rs = re.search(r"ReadSchema: ([^\n]+)", p)
+    failures += not check(
+        "deterministic_sample prunes to the key column",
+        rs is not None and rs.group(1).count(":") <= 1,
+        rs.group(1)[:80] if rs else "",
+    )
+    c = cap_per_source(docs, 5, order_by=[F.col("n_chars").desc()])
+    p = plan_of(c, execute=True)
+    failures += not check(
+        "cap_per_source is one exchange + Window",
+        len(re.findall(r"Exchange hashpartitioning", p)) == 1 and "Window" in p,
+    )
+
+    # 6. dedup joins: minhash band bucket join and embedding LSH bucket
+    # join must be shuffled/broadcast HASH joins, never nested-loop
+    from fastselect_spark.dedup import (
+        embedding_near_duplicates,
+        minhash_near_duplicates,
+    )
+
+    mh = minhash_near_duplicates(docs, threshold=0.5, hash_family="md5")
+    p = plan_of(mh)
+    failures += not check(
+        "minhash bucket join is a hash join",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+        and ("SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lsh = embedding_near_duplicates(emb, threshold=0.42, n_planes=6, n_tables=4)
+    p = plan_of(lsh)
+    failures += not check(
+        "embedding LSH bucket join is a hash join",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+    )
+
     print(f"\n{'ALL CHECKS PASS' if not failures else f'{failures} CHECK(S) FAILED'}")
     return 1 if failures else 0
 
