@@ -2002,15 +2002,17 @@ s AS (
 SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM s WHERE cosine >= 0.42
 """
 
-# MinHash (md5 family) transliterated end-to-end: 60-bit md5-prefix hash
-# h(seed, shingle) = int(md5(seed||':'||shingle)[:15], 16) agrees between
-# Spark's conv(substring(md5(..),1,15),16,10) and DuckDB's
-# CAST('0x'||substr(md5(..),1,15) AS BIGINT); banding = md5-60 of the
-# comma-joined 4-slot slices; candidates share >=1 band; Jaccard verified
-# on the distinct shingle sets. Mirrors dedup/minhash.py with
-# num_hashes=64, bands=16, shingle_k=3. Template over the input docs CTE
-# so the dedup-pipeline oracle can run it on exact-dedup survivors.
-# AS MATERIALIZED: the CLAUDE.md exponential-CTE-re-evaluation guard.
+# MinHash (md5 family) transliterated end-to-end: ONE 60-bit md5-prefix
+# hash per shingle folded into p = 2^31-1, then the universal-hash
+# permutation family slot_i = ((i*2654435761+1)%p * h + (i*40503+17)%p) %p
+# (pure BIGINT arithmetic, identical in Spark and DuckDB; computing md5
+# per (slot, shingle) instead measured 500 s on a 5k-doc corpus);
+# banding = md5-60 of the comma-joined 4-slot slices; candidates share
+# >=1 band; Jaccard verified on the distinct shingle sets. Mirrors
+# dedup/minhash.py with num_hashes=64, bands=16, shingle_k=3. Template
+# over the input docs CTE so the dedup-pipeline oracle can run it on
+# exact-dedup survivors. AS MATERIALIZED: the CLAUDE.md
+# exponential-CTE-re-evaluation guard.
 
 
 def _minhash_cte_sql(docs_sql: str, threshold: float) -> str:
@@ -2031,11 +2033,16 @@ sh AS MATERIALIZED (
                 ELSE [norm] END AS shingles
     FROM tok
 ),
-shl AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+shl AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(UNNEST(shingles)), 1, 15) AS BIGINT)
+               % 2147483647 AS h
+    FROM sh
+),
 mh AS MATERIALIZED (
     SELECT doc_id, seed,
-           MIN(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || s), 1, 15)
-               AS BIGINT)) AS mh
+           MIN((((seed * 2654435761 + 1) % 2147483647) * h
+                + (seed * 40503 + 17) % 2147483647) % 2147483647) AS mh
     FROM shl CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS seed) seeds
     GROUP BY doc_id, seed
 ),

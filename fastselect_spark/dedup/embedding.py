@@ -86,7 +86,11 @@ def embedding_near_duplicates(
     oracle for tests and small inputs). The LSH path unions candidates
     from ``n_tables`` independent ``n_planes``-bit signatures, one-bit
     multiprobed — see module docstring for the recall formula."""
+    from fastselect_spark.dedup.minhash import ensure_parallelism
+
     base = df.select(id_col, emb_col)
+    if not brute_force:
+        base = ensure_parallelism(base)
     if brute_force:
         a = base.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a"))
         b = base.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("e_b"))

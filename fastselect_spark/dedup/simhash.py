@@ -73,7 +73,9 @@ def simhash_near_duplicates(
 
     Exact for max_hamming <= 3 with 4 bands (pigeonhole guarantee); a
     deterministic banded subset above that."""
-    sig = add_simhash(df, text_col).select(id_col, "simhash")
+    from fastselect_spark.dedup.minhash import ensure_parallelism
+
+    sig = add_simhash(ensure_parallelism(df), text_col).select(id_col, "simhash")
     chunks = [
         F.shiftrightunsigned(F.col("simhash"), _CHUNK_BITS * b)
         .bitwiseAND(F.lit((1 << _CHUNK_BITS) - 1))
