@@ -7,9 +7,11 @@ minhash signature) -> band hashes -> bucket self-join on
 
 Two hash families, identical pipeline:
 
-- ``'xxhash64'`` (default): h_i(x) = xxhash64(shingle, seed=i) — the scale
-  path (xxHash is ~10x the throughput of a cryptographic hash and the
-  shingle hashing dominates signature cost at corpus scale).
+- ``'xxhash64'`` (default): h_i(x) = xxhash64(shingle, seed=i) — native
+  per-slot hashing with no modular-domain fold. Measured end-to-end the
+  two families are within ~7% on a 50k-doc corpus (candidate VERIFICATION
+  dominates once signatures are cheap); xxhash64 stays the default for
+  its full-64-bit slots and pure-hash throughput headroom.
 - ``'md5'``: ONE md5 per shingle (60-bit prefix folded into the Mersenne
   domain p = 2^31-1), then the classic universal-hash permutation family
   h_i(x) = (a_i * h(x) + b_i) mod p with seed-derived odd multipliers —
