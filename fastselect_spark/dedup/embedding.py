@@ -105,43 +105,40 @@ def embedding_near_duplicates(
     if dim is None:
         first = base.select(F.size(emb_col).alias("d")).first()
         dim = int(first["d"])
-    a_parts, b_parts = [], []
+    sig_parts = []
     for t in range(n_tables):
         sig = _lsh_signature_udf(dim, n_planes, seed + 7919 * t)
-        bucketed = base.select(
-            id_col, F.lit(t).alias("table"), sig(F.col(emb_col)).alias("__sig")
-        )
-        # probe side: the signature plus every one-bit flip — two probed
-        # rows collide iff their raw signatures are within Hamming 1
-        if multiprobe:
-            probes = F.array(
-                F.col("__sig"),
-                *[
-                    F.col("__sig").bitwiseXOR(F.lit(1 << bit))
-                    for bit in range(n_planes)
-                ],
-            )
-            probed = bucketed.select(
-                F.col(id_col).alias("id_a"),
-                "table",
-                F.explode(probes).alias("bucket"),
-            )
-        else:
-            probed = bucketed.select(
-                F.col(id_col).alias("id_a"), "table", F.col("__sig").alias("bucket")
-            )
-        a_parts.append(probed)
-        b_parts.append(
-            bucketed.select(
-                F.col(id_col).alias("id_b"), "table", F.col("__sig").alias("bucket")
+        sig_parts.append(
+            base.select(
+                id_col, F.lit(t).alias("table"), sig(F.col(emb_col)).alias("__sig")
             )
         )
-    a = a_parts[0]
-    for part in a_parts[1:]:
-        a = a.unionByName(part)
-    b = b_parts[0]
-    for part in b_parts[1:]:
-        b = b.unionByName(part)
+    sigs = sig_parts[0]
+    for part in sig_parts[1:]:
+        sigs = sigs.unionByName(part)
+    # both self-join sides derive from the signature table; persist so the
+    # n_tables Arrow matmul UDFs run once, not once per side
+    sigs = sigs.persist()
+    # probe side: the signature plus every one-bit flip — two probed rows
+    # collide iff their raw signatures are within Hamming 1
+    if multiprobe:
+        probes = F.array(
+            F.col("__sig"),
+            *[
+                F.col("__sig").bitwiseXOR(F.lit(1 << bit))
+                for bit in range(n_planes)
+            ],
+        )
+        a = sigs.select(
+            F.col(id_col).alias("id_a"), "table", F.explode(probes).alias("bucket")
+        )
+    else:
+        a = sigs.select(
+            F.col(id_col).alias("id_a"), "table", F.col("__sig").alias("bucket")
+        )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"), "table", F.col("__sig").alias("bucket")
+    )
     # bare id-pairs only: dedupe across tables/probes BEFORE fetching the
     # embedding arrays for exact verification
     cand = (

@@ -63,6 +63,40 @@ def _md5_60bit(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _minhash_md5_kernel(k: int, nh: int):
+    """NumPy md5-family signature kernel (see add_minhash_signature)."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    def kernel(texts):
+        A = (np.arange(nh, dtype=np.int64) * _A_MULT + 1) % P31
+        B = (np.arange(nh, dtype=np.int64) * _B_MULT + 17) % P31
+        out = []
+        for t in texts:
+            norm = re.sub(r"\s+", " ", ("" if t is None else t).strip()).lower()
+            toks = norm.split(" ")
+            if len(toks) >= k:
+                sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+            else:
+                sh = {norm}
+            hs = np.array(
+                [
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % P31
+                    for s in sh
+                ],
+                dtype=np.int64,
+            )
+            sig = ((A[:, None] * hs[None, :] + B[:, None]) % P31).min(axis=1)
+            out.append(sig.tolist())
+        return pd.Series(out)
+
+    kernel.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return kernel
+
+
 def _shingles(text_col: Column, k: int) -> Column:
     """Distinct token k-shingles of whitespace-normalized lowercase text."""
     norm = F.lower(F.regexp_replace(F.trim(text_col), r"\s+", " "))
@@ -102,26 +136,19 @@ def add_minhash_signature(
             ),
         )
     elif hash_family == "md5":
-        # one crypto hash per shingle; slots are universal-hash permutations
-        hashes = F.transform(
-            F.col("shingles"), lambda sh: _md5_60bit(sh) % F.lit(P31)
+        # Vectorized Arrow kernel: one hashlib md5 per shingle, then the
+        # whole (num_hashes x shingles) permutation matrix in one NumPy
+        # broadcast + min-reduce. Catalyst higher-order lambdas are
+        # INTERPRETED per element — the equivalent JVM expression tree
+        # measured ~16 s where this kernel is ~2 s on a 5k-doc corpus
+        # (same lesson as simhash). Values are bit-identical to the SQL
+        # oracle's arithmetic.
+        from pyspark.sql.functions import pandas_udf
+
+        mh_udf = pandas_udf(
+            _minhash_md5_kernel(shingle_k, num_hashes), "array<long>"
         )
-        df = df.withColumn("__sh_hash", hashes).withColumn(
-            "minhash",
-            F.transform(
-                seeds,
-                lambda s: F.array_min(
-                    F.transform(
-                        F.col("__sh_hash"),
-                        lambda h: (
-                            ((s * _A_MULT + 1) % P31) * h
-                            + (s * _B_MULT + 17) % P31
-                        )
-                        % P31,
-                    )
-                ),
-            ),
-        ).drop("__sh_hash")
+        df = df.withColumn("minhash", mh_udf(F.col(text_col)))
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
     return df
@@ -179,7 +206,11 @@ def minhash_near_duplicates(
     sig = add_minhash_signature(
         ensure_parallelism(df), text_col, shingle_k, num_hashes, hash_family
     )
-    banded = _band_table(sig, id_col, bands, rows_per_band, hash_family)
+    # the narrow (id, band, band_hash) table feeds BOTH sides of the bucket
+    # self-join; unpersisted, the whole signature computation re-executes
+    # per side (measured: 2/3 of minhash wall time was duplicate signature
+    # evaluation). 16 small rows per doc — cheap to cache, evictable.
+    banded = _band_table(sig, id_col, bands, rows_per_band, hash_family).persist()
 
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
@@ -189,8 +220,27 @@ def minhash_near_duplicates(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact verification: fetch shingles only for the candidate pairs
-    sh = sig.select(F.col(id_col), "shingles")
+    # exact verification: recompute shingles ONLY for docs that appear in a
+    # candidate pair (semi-join first) — the naive "join back to the shingle
+    # frame" re-evaluates normalization+shingling for the WHOLE corpus on
+    # both fetch branches (only identical subtrees are reused across join
+    # sides); with candidates << corpus this is the difference between
+    # O(candidates) and 2x O(corpus) shingling work. The bare id-pair list
+    # is PERSISTED at the branch point (it feeds both the semi-join and the
+    # final verification join; unpersisted, the whole signature+bucket-join
+    # plan re-executes per branch — measured 60s -> 225s on the pipeline).
+    # It is bounded by the banded candidate count — small relative to the
+    # corpus by construction — and evictable (MEMORY_AND_DISK default).
+    cand = cand.persist()
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.select(id_col, text_col).join(cand_ids, id_col, "left_semi")
+    sh = cand_docs.select(
+        F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("shingles")
+    )
     cand = cand.join(
         sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
         "id_a",

@@ -82,9 +82,11 @@ def simhash_near_duplicates(
         .alias(f"c{b}")
         for b in range(_N_BANDS)
     ]
+    # both self-join sides read the banded table; persist so the pandas-UDF
+    # signature computes once, not once per side (4 small rows per doc)
     banded = sig.select(
         id_col, "simhash", F.posexplode(F.array(*chunks)).alias("band", "chunk")
-    )
+    ).persist()
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band", "chunk"
     )
