@@ -1,35 +1,35 @@
 """MinHash + LSH near-duplicate detection.
 
-Pipeline (all JVM-side higher-order array expressions until the final
-bucket join): token shingles -> per-permutation min of a seeded hash (the
+Pipeline: token shingles -> per-permutation min of a seeded hash (the
 minhash signature) -> band hashes -> bucket self-join on
 (band, band_hash) -> exact shingle-Jaccard verification of candidates.
+Banding, the bucket join and verification are JVM expressions; the
+default signature is a vectorized Arrow kernel (see below).
 
-Two hash families, identical pipeline:
+Two hash families, identical banding/join/verification pipeline:
 
-- ``'xxhash64'`` (default): h_i(x) = xxhash64(shingle, seed=i) — native
-  per-slot hashing with no modular-domain fold. Measured end-to-end the
-  two families are within ~7% on a 50k-doc corpus (candidate VERIFICATION
-  dominates once signatures are cheap); xxhash64 stays the default for
-  its full-64-bit slots and pure-hash throughput headroom.
-- ``'md5'``: ONE md5 per shingle (60-bit prefix folded into the Mersenne
-  domain p = 2^31-1), then the classic universal-hash permutation family
-  h_i(x) = (a_i * h(x) + b_i) mod p with seed-derived odd multipliers —
-  every term is plain BIGINT arithmetic computable IDENTICALLY in ANSI SQL
-  on any engine (a_i*h < 2^62, no overflow), which is what lets the
-  driver-contract gate hash-check the full minhash pipeline end-to-end
-  against an independent SQL oracle. Computing md5 PER (slot, shingle)
-  instead measured 500 s at a 5k-doc corpus — 64 interpreted crypto
-  hashes per shingle vs one plus 64 multiply-adds (~25x). The 31-bit slot
-  domain is the standard minhash register width; collisions only perturb
-  signatures at the birthday bound (~65k distinct shingles per doc).
-  Same banding/join/verification code as the xxhash64 family.
+- ``'md5'`` (default): ONE md5 per shingle (60-bit prefix folded into the
+  Mersenne domain p = 2^31-1), then the classic universal-hash
+  permutation family h_i(x) = (a_i * h(x) + b_i) mod p with seed-derived
+  multipliers. The signature runs as a vectorized Arrow kernel (hashlib +
+  one NumPy permutation-matrix broadcast per doc) — measured 18.9 s for a
+  50k-doc corpus, 5.7x the JVM family below — AND every term is plain
+  BIGINT arithmetic computable IDENTICALLY in ANSI SQL on any engine
+  (a_i*h < 2^62, no overflow), which is what lets the driver-contract
+  gate hash-check the full minhash pipeline end-to-end against an
+  independent SQL oracle. The 31-bit slot domain is the standard minhash
+  register width; collisions only perturb signatures at the birthday
+  bound (~65k distinct shingles per doc).
+- ``'xxhash64'``: h_i(x) = xxhash64(shingle, seed=i) as JVM higher-order
+  expressions — full 64-bit slots, no Python workers on the signature
+  path (108.5 s at the same 50k docs: Catalyst lambdas are interpreted
+  per element, so per-(shingle x slot) work favors the Arrow kernel).
 
 Scale notes: the only shuffles are the bucket join (keys are band hashes —
 uniformly distributed, skew-free by construction unless a shingle-set is
 pathologically common, which the exact-dup pass upstream removes) and the
 final distinct on pairs. Candidate count is bounded by bucket sizes, never
-O(n²). Signature math never leaves the JVM in either family.
+O(n²).
 """
 
 from __future__ import annotations
@@ -118,7 +118,7 @@ def add_minhash_signature(
     text_col: str = "text",
     shingle_k: int = 3,
     num_hashes: int = 64,
-    hash_family: str = "xxhash64",
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Adds ``shingles`` and the ``minhash`` signature array (length
     num_hashes): one independent hash-family member per slot, min-reduced
@@ -159,7 +159,7 @@ def _band_table(
     id_col: str,
     bands: int,
     rows_per_band: int,
-    hash_family: str = "xxhash64",
+    hash_family: str = "md5",
 ) -> DataFrame:
     """(id, band, band_hash) rows — deliberately WITHOUT the shingle arrays:
     the band explode replicates every row ×bands, so carrying shingles here
@@ -195,7 +195,7 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
-    hash_family: str = "xxhash64",
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Return verified near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
