@@ -27,9 +27,15 @@ def ngram_jaccard_pairs(
     max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with shingle-set Jaccard >= threshold."""
-    docs = df.select(
+    from fastselect_spark.dedup.minhash import ensure_parallelism
+
+    # the shingle frame feeds FOUR branches (both inverted-index sides and
+    # both verification fetch sides) — persist it or the shingling plan
+    # re-executes per branch; repartition first (single-file inputs give
+    # one task)
+    docs = ensure_parallelism(df).select(
         F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("shingles")
-    )
+    ).persist()
     inv = docs.select(id_col, F.explode("shingles").alias("shingle"))
     if max_doc_freq is not None:
         freq = inv.groupBy("shingle").count().where(F.col("count") <= max_doc_freq)
