@@ -3,6 +3,12 @@
 One shuffle on the fingerprint; the canonical survivor per group is the
 minimum id (deterministic). Scales as a plain hash aggregation — this is
 the baseline every near-dup method is measured against.
+
+NULL-text semantics: exact dedup follows SQL grouping — the NULL
+fingerprint forms its own group (all null-text docs collapse together,
+separately from empty-text docs). The near-dup family (minhash/simhash)
+instead normalizes null to empty text; run exact dedup first (as
+dedup_pipeline does) and the distinction never reaches the LSH stage.
 """
 
 from __future__ import annotations

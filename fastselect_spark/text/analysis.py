@@ -62,8 +62,10 @@ def add_stopword_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality in [0, 1] from length, punctuation ratio,
-    mean word length, and alpha ratio (classic pretraining-corpus filters)."""
-    c = F.col(text_col)
+    mean word length, and alpha ratio (classic pretraining-corpus filters).
+    NULL text scores 0.0 — a null-propagating score silently drops the row
+    from every downstream threshold filter AND poisons aggregates."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.length(c)
     n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
