@@ -202,6 +202,26 @@ def default_mode() -> None:
         "turns": res["n_turns"],
         "turns_per_sec": round(res["n_turns"] / total, 1),
     }
+    # dedup-family headline: the flagship exact->minhash->cluster->keep
+    # pipeline over the documents table at this SF (measured separately
+    # from the featurize/scoring pipeline so rounds are comparable)
+    try:
+        import __spark_entry__ as entrymod
+
+        from fastselect_spark.runtime.session import get_spark as _gs
+
+        spark = _gs(app_name="fastselect-bench-dedup", master=f"local[{CPUS}]")
+        n_docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+        t0 = time.perf_counter()
+        kept = entrymod._q_dedup_pipeline(spark, SF_DIR).count()
+        dt = time.perf_counter() - t0
+        out["dedup_pipeline_sec"] = round(dt, 3)
+        out["dedup_docs_per_sec"] = round(n_docs / dt, 1)
+        out["dedup_kept_docs"] = kept
+        spark.stop()
+    except Exception:
+        pass
+
     scaling = _last_scaling_summary()
     if scaling:
         out["scaling_40M_turns"] = scaling
