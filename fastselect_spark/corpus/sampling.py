@@ -50,7 +50,12 @@ def deterministic_sample(
     seed: int = 42,
 ) -> DataFrame:
     """Keep each row iff hash(seed, key) lands in the first ``fraction`` of
-    bucket space — a reproducible, repartition-stable Bernoulli sample."""
+    bucket space — a reproducible, repartition-stable Bernoulli sample.
+
+    Samples at the same seed are NESTED: sample(f1) ⊆ sample(f2) whenever
+    f1 <= f2 (the keep rule is a threshold on one shared hash), so a
+    scaling ladder (1% -> 10% -> 100% experiments) trains on strict
+    supersets — change the seed when independent samples are wanted."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
     thresh = int(round(fraction * _BUCKETS))

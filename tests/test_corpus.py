@@ -88,3 +88,13 @@ def test_validation_errors(corpus):
         sample_by_source(corpus, {"s0": -0.1})
     with pytest.raises(ValueError, match="quota"):
         cap_per_source(corpus, quota=0)
+
+
+def test_deterministic_sample_nested(corpus):
+    """Same-seed samples are nested: sample(f1) ⊆ sample(f2) for f1<=f2 —
+    the scaling-ladder property (1% -> 10% -> 100% supersets)."""
+    s10 = set(deterministic_sample(corpus, 0.1, seed=21).toPandas()["doc_id"])
+    s30 = set(deterministic_sample(corpus, 0.3, seed=21).toPandas()["doc_id"])
+    s100 = set(deterministic_sample(corpus, 1.0, seed=21).toPandas()["doc_id"])
+    assert s10 <= s30 <= s100
+    assert len(s100) == 400
