@@ -84,7 +84,11 @@ def connected_components(
             "large-star/small-star implementation for long-chain graphs.",
             UserWarning,
         )
-    return labels.select(F.col("node").alias("doc_id"), "comp")
+    # eager: materialize labels, release the final round's cache (persist
+    # hygiene — the loop's last persisted frame otherwise outlives the call)
+    result = labels.select(F.col("node").alias("doc_id"), "comp").localCheckpoint()
+    persisted.unpersist()
+    return result
 
 
 def duplicate_clusters(

@@ -154,8 +154,12 @@ def embedding_near_duplicates(
         base.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("e_b")),
         "id_b",
     )
-    return (
+    result = (
         cand.withColumn("cosine", _cosine_col(F.col("e_a"), F.col("e_b")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+    # eager: materialize pairs, release the signature cache (persist hygiene)
+    result = result.localCheckpoint()
+    sigs.unpersist()
+    return result

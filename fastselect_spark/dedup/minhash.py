@@ -250,8 +250,16 @@ def minhash_near_duplicates(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
+    result = (
         cand.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # Materialize the (bounded) verified pair list, then RELEASE the
+    # branch-point caches — persists that outlive the operator accumulate
+    # for the session lifetime (the repo's persist-hygiene rule). The
+    # function is therefore EAGER; callers get a lineage-free frame.
+    result = result.localCheckpoint()
+    banded.unpersist()
+    cand.unpersist()
+    return result

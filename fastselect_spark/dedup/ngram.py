@@ -53,8 +53,12 @@ def ngram_jaccard_pairs(
     pairs = cand.join(da, "id_a").join(db, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
+    result = (
         pairs.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    # eager: materialize pairs, release the shingle cache (persist hygiene)
+    result = result.localCheckpoint()
+    docs.unpersist()
+    return result

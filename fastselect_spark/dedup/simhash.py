@@ -100,8 +100,12 @@ def simhash_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
+    result = (
         cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    # eager: materialize pairs, release the banded cache (persist hygiene)
+    result = result.localCheckpoint()
+    banded.unpersist()
+    return result
