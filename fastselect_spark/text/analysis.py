@@ -32,8 +32,10 @@ def _tokens(col: Column) -> Column:
 
 def add_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count plus a BPE-ish sub-token count (letters runs,
-    digit runs, single punctuation — a cheap proxy for BPE vocab pressure)."""
-    c = F.col(text_col)
+    digit runs, single punctuation — a cheap proxy for BPE vocab pressure).
+    NULL text counts 0 tokens (null-propagating counts poison downstream
+    aggregates/filters the same way a null quality score would)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
     df = df.withColumn("n_ws_tokens", F.size(_tokens(c)))
     df = df.withColumn(
         "n_bpe_tokens", F.size(F.regexp_extract_all(c, F.lit(_BPE_ISH_TOKEN_RE), 0))

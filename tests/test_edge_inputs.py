@@ -68,6 +68,9 @@ def test_text_stats_null_text(messy_docs):
 
     out = add_token_count(messy_docs).toPandas()
     assert len(out) == 8  # no rows dropped
+    # null text behaves like empty text: counts defined, never null
+    assert out["n_ws_tokens"].notna().all()
+    assert out["n_bpe_tokens"].notna().all()
     q = add_quality_score(messy_docs).toPandas()
     assert q["quality_score"].between(0, 1).all()
     lang = add_language_id(messy_docs).toPandas()
