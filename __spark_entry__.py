@@ -424,6 +424,30 @@ def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept
 
 
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style keep-rule chain (language allowlist + quality floor
+    + stopword-ratio floor + token bounds) as ONE scan-fused JVM predicate.
+    Emits the scoring columns so the oracle verifies both the decisions
+    AND the scores."""
+    from fastselect_spark.corpus import quality_filter
+
+    _register(spark, sf_dir, "documents")
+    kept = quality_filter(
+        spark.table("documents"),
+        langs=("en",),
+        min_quality=0.7,
+        min_stopword_ratio=0.05,
+        min_tokens=10,
+    )
+    return kept.select(
+        "doc_id",
+        "lang_pred",
+        F.round("quality_score", 6).alias("quality_score"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.col("n_ws_tokens").cast("int").alias("n_ws_tokens"),
+    )
+
+
 def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic key-hash Bernoulli sample (reproducible and
     repartition-stable, unlike rand()-based df.sample): keep iff
@@ -1069,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,  # approx (kmeans cells): rows-only
         "ann_ivf_recall": _q_ann_ivf_recall,  # hash-checked recall claim
         "dedup_pipeline": _q_dedup_pipeline,  # exact -> minhash -> cluster -> keep
+        "quality_filter": _q_quality_filter,  # C4-style keep-rule chain
         "corpus_sample": _q_corpus_sample,
         "corpus_mix_by_source": _q_corpus_mix_by_source,
         "source_quota_cap": _q_source_quota_cap,
@@ -2471,6 +2496,31 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _SIMHASH_ORACLE,
         "multimodal_features": _MULTIMODAL_ORACLE,
         "video_frame_sampling": _FRAME_SAMPLING_ORACLE,
+        "quality_filter": f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   (SELECT l.lang_pred FROM ({_LANG_ID_ORACLE}) l
+                    WHERE l.doc_id = d.doc_id) AS lang_pred,
+                   {_QUALITY_EXPR} AS quality_score,
+                   LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                       t -> t IN ('the','a','an','and','or','of','to','in','is',
+                                  'it','that','for','on','with','as','was','at',
+                                  'by','be','this'))) * 1.0
+                   / GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')), 1)
+                       AS stopword_ratio,
+                   LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_ws_tokens
+            FROM documents d
+        )
+        SELECT doc_id, lang_pred,
+               ROUND(quality_score, 6) AS quality_score,
+               ROUND(stopword_ratio, 6) AS stopword_ratio,
+               CAST(n_ws_tokens AS INT) AS n_ws_tokens
+        FROM scored
+        WHERE quality_score >= 0.7
+          AND stopword_ratio >= 0.05
+          AND n_ws_tokens BETWEEN 10 AND 100000
+          AND lang_pred = 'en'
+        """,
         "corpus_sample": """
         SELECT doc_id, source FROM documents
         WHERE CAST('0x'||substr(md5('7:'||doc_id),1,15) AS BIGINT) % 1000000

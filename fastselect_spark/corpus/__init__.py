@@ -1,3 +1,4 @@
+from fastselect_spark.corpus.filtering import quality_filter
 from fastselect_spark.corpus.sampling import (
     cap_per_source,
     deterministic_sample,
@@ -7,5 +8,6 @@ from fastselect_spark.corpus.sampling import (
 __all__ = [
     "cap_per_source",
     "deterministic_sample",
+    "quality_filter",
     "sample_by_source",
 ]

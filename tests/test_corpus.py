@@ -98,3 +98,27 @@ def test_deterministic_sample_nested(corpus):
     s100 = set(deterministic_sample(corpus, 1.0, seed=21).toPandas()["doc_id"])
     assert s10 <= s30 <= s100
     assert len(s100) == 400
+
+
+def test_quality_filter_rules(spark):
+    from fastselect_spark.corpus import quality_filter
+
+    rows = [
+        {"doc_id": 0, "text": "the cat is on the mat and it is a very nice mat indeed today"},
+        {"doc_id": 1, "text": "zzz qqq xxx yyy www vvv uuu ttt sss rrr"},  # und, no stopwords
+        {"doc_id": 2, "text": "short"},                                     # too few tokens
+        {"doc_id": 3, "text": None},                                        # null
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), "doc_id long, text string")
+    kept = quality_filter(
+        df, langs=("en",), min_quality=0.0, min_stopword_ratio=0.05, min_tokens=5
+    ).toPandas()
+    assert set(kept["doc_id"]) == {0}
+    # scoring columns present for auditability
+    for c in ("lang_pred", "quality_score", "stopword_ratio", "n_ws_tokens"):
+        assert c in kept.columns
+    # disabling the language rule admits the non-English doc iff other rules pass
+    kept2 = quality_filter(
+        df, langs=None, min_quality=0.0, min_stopword_ratio=0.0, min_tokens=5
+    ).toPandas()
+    assert set(kept2["doc_id"]) == {0, 1}
