@@ -129,10 +129,23 @@ class _ReliefBase:
         n_features_to_select=0.2,
         discrete_limit: int = 10,
         verbose: bool = False,
+        stage_mode: str = "auto",
     ) -> None:
+        """``stage_mode`` is the Spark analogue of the reference's
+        ``backend={'auto','gpu','cpu'}`` contract (ReliefF.py:382-385,
+        invalid -> ValueError): 'auto' size-gates between the broadcast
+        fast path and the distributed parquet stage; 'small'/'staged'
+        force one. The resolved choice lands in ``effective_stage_mode_``
+        (the ``effective_backend_`` analogue)."""
+        if stage_mode not in ("auto", "small", "staged"):
+            raise ValueError(
+                f"stage_mode must be 'auto', 'small' or 'staged', "
+                f"got {stage_mode!r}"
+            )
         self.n_features_to_select = n_features_to_select
         self.discrete_limit = discrete_limit
         self.verbose = verbose
+        self.stage_mode = stage_mode
 
     def transform(self, df: DataFrame) -> DataFrame:
         if not hasattr(self, "top_features_"):
@@ -159,9 +172,13 @@ class _ReliefBase:
         the small path — from the collected label vector).
         Returns (stage, owns, classes, counts, n)."""
         owns = _stage is None
+        force = None if self.stage_mode == "auto" else self.stage_mode
         stage = (
-            make_stage(df, feature_cols, label_col) if _stage is None else _stage
+            make_stage(df, feature_cols, label_col, force=force)
+            if _stage is None
+            else _stage
         )
+        self.effective_stage_mode_ = stage.mode
         classes, counts = stage.class_stats()
         return stage, owns, classes, counts, int(counts.sum())
 
@@ -176,8 +193,9 @@ class ReliefFSelector(_ReliefBase):
         n_neighbors: int = 3,
         discrete_limit: int = 10,
         verbose: bool = False,
+        stage_mode: str = "auto",
     ) -> None:
-        super().__init__(n_features_to_select, discrete_limit, verbose)
+        super().__init__(n_features_to_select, discrete_limit, verbose, stage_mode)
         self.n_neighbors = n_neighbors
 
     def fit(
@@ -272,8 +290,9 @@ class SURFSelector(_ReliefBase):
         use_star: bool = False,
         discrete_limit: int = 10,
         verbose: bool = False,
+        stage_mode: str = "auto",
     ) -> None:
-        super().__init__(n_features_to_select, discrete_limit, verbose)
+        super().__init__(n_features_to_select, discrete_limit, verbose, stage_mode)
         self.use_star = use_star
 
     def fit(
@@ -344,8 +363,9 @@ class MultiSURFSelector(_ReliefBase):
         use_star: bool = False,
         discrete_limit: int = 10,
         verbose: bool = False,
+        stage_mode: str = "auto",
     ) -> None:
-        super().__init__(n_features_to_select, discrete_limit, verbose)
+        super().__init__(n_features_to_select, discrete_limit, verbose, stage_mode)
         self.use_star = use_star
 
     def fit(

@@ -182,3 +182,23 @@ def test_wide_packed_stage_subset_slicing(spark):
         )
     finally:
         st.cleanup()
+
+
+def test_stage_mode_contract(spark):
+    """The reference's backend contract analogue: invalid stage_mode raises
+    ValueError at construction; the resolved mode is recorded on the fitted
+    estimator (effective_backend_ analogue, ReliefF.py:302-303, 369)."""
+    with pytest.raises(ValueError, match="stage_mode"):
+        ReliefFSelector(stage_mode="gpu")
+    df, cols = _df(spark, n=40, p=4)
+    sel = ReliefFSelector(n_features_to_select=2, stage_mode="auto").fit(
+        df, cols, "label"
+    )
+    assert sel.effective_stage_mode_ == "small"  # tiny matrix -> fast path
+    forced = ReliefFSelector(n_features_to_select=2, stage_mode="staged").fit(
+        df, cols, "label"
+    )
+    assert forced.effective_stage_mode_ == "staged"
+    np.testing.assert_allclose(
+        sel.feature_importances_, forced.feature_importances_, rtol=1e-12
+    )
