@@ -7,9 +7,17 @@ column.
   LOCAL top-k per query; the global top-k is a tiny groupBy merge. The
   corpus is never collected and never shuffled — this is the
   map-side-combine shape of distributed top-k.
-- :func:`cosine_topk_lsh` — the scale path: random-hyperplane bucket join
-  (IVF-style candidate pruning) before exact scoring; multi-probe by
-  flipping each signature bit for recall.
+- :func:`cosine_topk_lsh` — random-hyperplane bucket join before exact
+  scoring; multi-probe by flipping each signature bit for recall.
+
+Strategy selection (measured, BENCH/ANN.md): exact brute force is pure
+BLAS throughput and wins below ~10M corpus vectors with recall 1.0
+(100k x 64 x 20 queries = 2.2 s). IVF (similarity/ivf.py) is the scale
+path — recall 0.945 probing 1/8 of cells at the same shape. Hyperplane
+LSH collision probability (1-θ/π)^b collapses at LOW similarity (recall
+0.285 at cosine~0.2 neighbors even with 8 OR'd tables): use it for the
+near-dup regime (cosine >= 0.4, recall ~1.0), use IVF for generic top-k
+at scale.
 """
 
 from __future__ import annotations
