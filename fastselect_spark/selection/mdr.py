@@ -220,26 +220,69 @@ class MDRClassifier:
         # phase 1: per-(combo, fold) kernel BAs, computed DISTRIBUTED — only
         # cv floats per combo reach the driver (at p=1000 that is 500k
         # combos; shipping their full count tensors measured 720MB of
-        # driver ingress and a 14x wall regression)
+        # driver ingress and a 14x wall regression). Combos are scored in
+        # BATCHES: one fancy-index cell computation and one flat bincount
+        # per ~512 combos, then the entire (B, cv, n_cells) train-fold
+        # tensor algebra in NumPy broadcasts — a per-combo Python loop with
+        # per-fold _ba_from_counts calls was ~5M interpreter round-trips at
+        # p=1000. The arithmetic is identical to _ba_from_counts
+        # (integer-count inputs; float64 thr/ratio; high-risk iff control
+        # ==0 or case/control > thr; zero BA when a fold lacks a class).
+        _BATCH = 512
+
+        def _batch_bas(Xi, yi, folds, cids) -> np.ndarray:
+            B = len(cids)
+            cells = np.zeros((len(Xi), B), dtype=np.int64)
+            for j in range(k):
+                cells = cells * 3 + Xi[:, combos_arr[cids, j]]
+            flat = (
+                np.arange(B, dtype=np.int64)[None, :] * (cv * n_cells)
+                + folds[:, None] * n_cells
+                + cells
+            )
+            case = np.bincount(
+                flat[yi == 1].ravel(), minlength=B * cv * n_cells
+            ).reshape(B, cv, n_cells)
+            ctrl = np.bincount(
+                flat[yi == 0].ravel(), minlength=B * cv * n_cells
+            ).reshape(B, cv, n_cells)
+            tr_case = case.sum(axis=1, keepdims=True) - case  # train folds
+            tr_ctrl = ctrl.sum(axis=1, keepdims=True) - ctrl
+            tot_case = tr_case.sum(axis=2).astype(np.float64)  # (B, cv)
+            tot_ctrl = tr_ctrl.sum(axis=2).astype(np.float64)
+            ok = (tot_case > 0) & (tot_ctrl > 0)
+            thr = np.divide(
+                tot_case, tot_ctrl, out=np.zeros_like(tot_case), where=tot_ctrl > 0
+            )
+            ratio = np.where(
+                tr_ctrl > 0,
+                tr_case / np.where(tr_ctrl > 0, tr_ctrl, 1),
+                np.inf,
+            )
+            high = (tr_ctrl == 0) | (ratio > thr[:, :, None])
+            tp = (tr_case * high).sum(axis=2)
+            tn = (tr_ctrl * ~high).sum(axis=2)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ba = 0.5 * (tp / tot_case + tn / tot_ctrl)
+            return np.where(ok, ba, 0.0)  # (B, cv)
+
         def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             _, X, y, extras = load()
             Xi = X.astype(np.int64)
             yi = y.astype(np.int64)
             folds = _load_folds(extras)
-            rows = []
             for pdf_b in batches:
-                for cid in pdf_b["id"].to_numpy():
-                    case_fc, ctrl_fc = _combo_tensors(Xi, yi, folds, cid)
-                    case_tot = case_fc.sum(axis=0)
-                    ctrl_tot = ctrl_fc.sum(axis=0)
-                    for fold in range(cv):
-                        ba = _ba_from_counts(
-                            case_tot - case_fc[fold], ctrl_tot - ctrl_fc[fold]
-                        )
-                        rows.append(
-                            {"combo_id": int(cid), "fold": fold, "ba": float(ba)}
-                        )
-            yield pd.DataFrame(rows, columns=["combo_id", "fold", "ba"])
+                ids = pdf_b["id"].to_numpy(dtype=np.int64)
+                for s in range(0, len(ids), _BATCH):
+                    cids = ids[s : s + _BATCH]
+                    bas = _batch_bas(Xi, yi, folds, cids)  # (B, cv)
+                    yield pd.DataFrame(
+                        {
+                            "combo_id": np.repeat(cids, cv),
+                            "fold": np.tile(np.arange(cv, dtype=np.int32), len(cids)),
+                            "ba": bas.ravel(),
+                        }
+                    )
 
         bas = combo_df.mapInPandas(
             mapper, schema="combo_id long, fold int, ba double"
