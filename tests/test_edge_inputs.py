@@ -104,3 +104,46 @@ def test_dedup_exact_ties_and_empties(messy_docs):
     out = set(dedup_exact(messy_docs).toPandas()["doc_id"])
     assert 0 in out and 1 in out and 5 in out
     assert 2 not in out and 6 not in out
+
+
+def test_minhash_kernel_shingles_match_jvm(spark):
+    """The md5-family signature shingles in PYTHON (Arrow kernel) while
+    verification shingles in JVM (_shingles): the two tokenizations must
+    agree or banding and verification silently diverge. Compare on the
+    whitespace/edge shapes that differ between regex engines."""
+    import pandas as pd
+
+    from fastselect_spark.dedup.minhash import _shingles
+    from pyspark.sql import functions as F
+
+    texts = [
+        "a b c d e",
+        "  leading and trailing  ",
+        "tab\tseparated\ttokens here",
+        "line\nbreaks\nand\rcarriage returns",
+        "multiple    internal     runs",
+        "single",
+        "",
+        "UPPER Case MiXeD tokens",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    jvm = {
+        r.doc_id: set(r.sh)
+        for r in df.select(
+            "doc_id", _shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+
+    import re
+
+    def py_shingles(t, k=3):
+        norm = re.sub(r"\s+", " ", (t or "").strip()).lower()
+        toks = norm.split(" ")
+        if len(toks) >= k:
+            return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+        return {norm}
+
+    for i, t in enumerate(texts):
+        assert jvm[i] == py_shingles(t), f"shingle mismatch for text {t!r}"
