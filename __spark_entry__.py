@@ -383,8 +383,8 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: spherical-k-means cells + nprobe probing, exact
     rerank within probed cells — approximate, rows-only check (centroid
-    training is iterative and not SQL-expressible; recall is covered by
-    tests/test_pipeline_ops.py IVF recall tests)."""
+    training is iterative and not SQL-expressible; recall is hash-checked
+    by the companion ann_ivf_recall query plus pytest)."""
     from fastselect_spark.similarity import cosine_topk_ivf
 
     _register(spark, sf_dir, "embeddings")
@@ -1097,8 +1097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": _q_corpus_sample,
         "corpus_mix_by_source": _q_corpus_mix_by_source,
         "source_quota_cap": _q_source_quota_cap,
-        "multimodal_features": _q_multimodal_features,  # synth media: rows-only
-        "video_frame_sampling": _q_video_frame_sampling,  # synth media: rows-only
+        "multimodal_features": _q_multimodal_features,  # md5-chain synth: oracle
+        "video_frame_sampling": _q_video_frame_sampling,  # md5-chain synth: oracle
         "streaming_sessions": _q_streaming_sessions,
         "streaming_token_rates": _q_streaming_token_rates,
         "streaming_sliding_rates": _q_streaming_sliding_rates,
