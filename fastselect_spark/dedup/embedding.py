@@ -68,6 +68,53 @@ def _lsh_signature_udf(dim: int, n_planes: int, seed: int):
     return sig
 
 
+def _lsh_multi_signature_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """All ``n_tables`` signatures in ONE Arrow pass (one matmul against the
+    horizontally-stacked plane matrix) — bit-identical to calling
+    :func:`_lsh_signature_udf` per table with seed ``seed + 7919*t``, but
+    the corpus is scanned ONCE instead of once per table (the round-3 plan
+    showed n_tables separate scan+exchange branches under the union)."""
+    planes = np.hstack(
+        [
+            np.random.default_rng(seed + 7919 * t).standard_normal((dim, n_planes))
+            for t in range(n_tables)
+        ]
+    )  # (dim, n_tables * n_planes)
+    weights = np.tile(1 << np.arange(n_planes, dtype=np.int64), n_tables)
+
+    @pandas_udf("array<long>")
+    def sig(emb: pd.Series) -> pd.Series:
+        M = np.stack(emb.to_numpy())  # (batch, dim)
+        bits = (M @ planes) > 0  # (batch, n_tables * n_planes)
+        vals = (
+            (bits.astype(np.int64) * weights)
+            .reshape(len(M), n_tables, n_planes)
+            .sum(axis=2)
+        )
+        return pd.Series(list(vals))
+
+    return sig
+
+
+def lsh_signature_table(
+    base: DataFrame,
+    id_col: str,
+    emb_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+) -> DataFrame:
+    """Narrow (id, table, __sig) signature table — one corpus scan, one
+    Arrow UDF, one posexplode. Shared by the near-dup self-join, the ANN
+    top-k bucket join, and tools/explain_audit.py (so the audited sub-plan
+    is the operator's real plan)."""
+    msig = _lsh_multi_signature_udf(dim, n_planes, n_tables, seed)
+    return base.select(
+        id_col, F.posexplode(msig(F.col(emb_col))).alias("table", "__sig")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     emb_col: str = "embedding",
@@ -105,20 +152,12 @@ def embedding_near_duplicates(
     if dim is None:
         first = base.select(F.size(emb_col).alias("d")).first()
         dim = int(first["d"])
-    sig_parts = []
-    for t in range(n_tables):
-        sig = _lsh_signature_udf(dim, n_planes, seed + 7919 * t)
-        sig_parts.append(
-            base.select(
-                id_col, F.lit(t).alias("table"), sig(F.col(emb_col)).alias("__sig")
-            )
-        )
-    sigs = sig_parts[0]
-    for part in sig_parts[1:]:
-        sigs = sigs.unionByName(part)
-    # both self-join sides derive from the signature table; persist so the
-    # n_tables Arrow matmul UDFs run once, not once per side
-    sigs = sigs.persist()
+    # ONE corpus scan computes every table's signature (stacked-plane
+    # matmul + posexplode); both self-join sides derive from this narrow
+    # table — persist so the Arrow pass runs once, not once per side
+    sigs = lsh_signature_table(
+        base, id_col, emb_col, dim, n_planes, n_tables, seed
+    ).persist()
     # probe side: the signature plus every one-bit flip — two probed rows
     # collide iff their raw signatures are within Hamming 1
     if multiprobe:

@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from fastselect_spark.dedup.embedding import _cosine_col, _lsh_signature_udf
+from fastselect_spark.dedup.embedding import _cosine_col, lsh_signature_table
 
 
 def _normalize(M: np.ndarray) -> np.ndarray:
@@ -116,50 +116,59 @@ def cosine_topk_lsh(
     0.2-0.5 (uncorrelated corpora): per-pair collision at cosine s is
     1-(1-(q^b + b q^(b-1)(1-q)))^T with q = 1-arccos(s)/π, b = n_planes,
     T = n_tables — (b=6, T=12) ≈ 0.99 at s=0.4. Raise b by ~log2(n/n_0)
-    as the corpus grows to keep per-bucket candidate counts flat."""
+    as the corpus grows to keep per-bucket candidate counts flat.
+
+    Shuffle plan (the round-3 fix, mirroring dedup/embedding.py): the
+    bucket join and the candidate dedup move only bare
+    (query_id/neighbor_id, table, bucket) rows — the ×n_tables×probes
+    replication never carries an embedding array through an exchange.
+    The arrays are re-joined exactly once per surviving candidate pair
+    (queries broadcast; corpus joined by id) before exact scoring. All
+    table signatures come from ONE corpus scan (stacked-plane matmul +
+    posexplode, lsh_signature_table) — not one scan per table."""
+    from fastselect_spark.dedup.minhash import ensure_parallelism
+
     if dim is None:
         dim = int(corpus.select(F.size(emb_col).alias("d")).first()["d"])
-    c_parts, q_parts = [], []
-    for t in range(n_tables):
-        sig = _lsh_signature_udf(dim, n_planes, seed + 7919 * t)
-        c_parts.append(
-            corpus.select(
-                F.col(id_col).alias("neighbor_id"),
-                F.col(emb_col).alias("e_c"),
-                F.lit(t).alias("table"),
-                sig(F.col(emb_col)).alias("bucket"),
-            )
+    corpus = ensure_parallelism(corpus.select(id_col, emb_col))
+    c = lsh_signature_table(
+        corpus, id_col, emb_col, dim, n_planes, n_tables, seed
+    ).select(
+        F.col(id_col).alias("neighbor_id"), "table", F.col("__sig").alias("bucket")
+    )
+    q = lsh_signature_table(
+        queries, id_col, emb_col, dim, n_planes, n_tables, seed
+    ).withColumnRenamed(id_col, "query_id")
+    if multiprobe:
+        probes = F.array(
+            F.col("__sig"),
+            *[
+                F.col("__sig").bitwiseXOR(F.lit(1 << b)).alias(f"__p{b}")
+                for b in range(n_planes)
+            ],
         )
-        qt = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(emb_col).alias("e_q"),
-            F.lit(t).alias("table"),
-            sig(F.col(emb_col)).alias("__sig"),
-        )
-        if multiprobe:
-            probes = F.array(
-                F.col("__sig"),
-                *[
-                    F.col("__sig").bitwiseXOR(F.lit(1 << b)).alias(f"__p{b}")
-                    for b in range(n_planes)
-                ],
-            )
-            qt = qt.select(
-                "query_id", "e_q", "table", F.explode(probes).alias("bucket")
-            )
-        else:
-            qt = qt.select("query_id", "e_q", "table", F.col("__sig").alias("bucket"))
-        q_parts.append(qt)
-    c = c_parts[0]
-    for part in c_parts[1:]:
-        c = c.unionByName(part)
-    q = q_parts[0]
-    for part in q_parts[1:]:
-        q = q.unionByName(part)
+        q = q.select("query_id", "table", F.explode(probes).alias("bucket"))
+    else:
+        q = q.select("query_id", "table", F.col("__sig").alias("bucket"))
+    # bare id-pairs only: dedupe across tables/probes BEFORE fetching the
+    # embedding arrays for exact scoring
     cand = (
         q.join(c, ["table", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cand = cand.join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("e_c")),
+        "neighbor_id",
+    ).join(
+        # queries are small by definition — broadcast the array re-join
+        F.broadcast(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(emb_col).alias("e_q")
+            )
+        ),
+        "query_id",
     )
     scored = cand.withColumn("cosine", _cosine_col(F.col("e_q"), F.col("e_c")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -34,6 +34,14 @@ def plan_of(df, execute: bool = False) -> str:
     return s.split("== Initial Plan ==")[0]
 
 
+def formatted_plan(df) -> str:
+    """Formatted explain (per-node Input/Output column listings) — the only
+    plan rendering that shows which columns each Exchange actually moves."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
 def check(name: str, ok: bool, detail: str = "") -> bool:
     print(f"{'PASS' if ok else 'FAIL'}  {name}  {detail}")
     return ok
@@ -139,12 +147,55 @@ def main() -> int:
         "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
         and ("SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p),
     )
+    # embedding_near_duplicates returns a localCheckpoint'd frame (bare
+    # scan plan), so — exactly like minhash above — audit the candidate
+    # bucket self-join sub-plan the operator builds internally.
+    from fastselect_spark.dedup.embedding import lsh_signature_table
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    lsh = embedding_near_duplicates(emb, threshold=0.42, n_planes=6, n_tables=4)
-    p = plan_of(lsh)
+    dim = int(emb.select(F.size("embedding").alias("d")).first()["d"])
+    sigs = lsh_signature_table(emb, "vec_id", "embedding", dim, 6, 4, 42)
+    ea = sigs.select(F.col("vec_id").alias("id_a"), "table", F.col("__sig").alias("bucket"))
+    eb = sigs.select(F.col("vec_id").alias("id_b"), "table", F.col("__sig").alias("bucket"))
+    ecand = (
+        ea.join(eb, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    p = plan_of(ecand)
     failures += not check(
-        "embedding LSH produced pairs without nested-loop joins",
-        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+        "embedding LSH bucket self-join is a hash join",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+        and ("SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p),
+    )
+
+    # 7. ANN LSH top-k: the bucket join and the candidate dedup must move
+    # only bare (id, table, bucket) rows — no embedding array may cross
+    # those exchanges (arrays are re-joined once AFTER the pair dedup).
+    from fastselect_spark.similarity import cosine_topk_lsh
+
+    topk = cosine_topk_lsh(emb, emb.where(F.col("vec_id") < 5), k=5)
+    fp = formatted_plan(topk)
+    bad = []
+    for block in re.split(r"\n(?=\(\d+\) )", fp):
+        if not re.match(r"\(\d+\) Exchange", block):
+            continue
+        inputs = " ".join(re.findall(r"Input \[\d+\]: \[([^\]]*)\]", block))
+        args = " ".join(re.findall(r"Arguments: ([^\n]*)", block))
+        is_bucket_join_ex = "bucket#" in inputs
+        is_pair_dedup_ex = (
+            "hashpartitioning(query_id#" in args and "neighbor_id#" in args
+        ) or ("hashpartitioning(" in args and "query_id#" in args and "neighbor_id#" in args
+             and "cosine" not in inputs and "bucket#" not in inputs)
+        if (is_bucket_join_ex or is_pair_dedup_ex) and re.search(
+            r"\b(e_q|e_c|embedding)#", inputs
+        ):
+            bad.append(block.splitlines()[0])
+    failures += not check(
+        "ANN LSH top-k: no embedding array crosses bucket-join/pair-dedup exchanges",
+        "Exchange" in fp and not bad,
+        f"(offending={bad})" if bad else "",
     )
 
     print(f"\n{'ALL CHECKS PASS' if not failures else f'{failures} CHECK(S) FAILED'}")
