@@ -382,9 +382,11 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: spherical-k-means cells + nprobe probing, exact
-    rerank within probed cells — approximate, rows-only check (centroid
-    training is iterative and not SQL-expressible; recall is hash-checked
-    by the companion ann_ivf_recall query plus pytest)."""
+    rerank within probed cells. Training is deterministic (lowest-id
+    seeds, exact-mean Lloyd), so the oracle injects the independently
+    NumPy-trained centroids as SQL literals and recomputes assignment,
+    probing and the exact rerank end-to-end (_ivf_topk_oracle_sql);
+    recall is additionally hash-checked by ann_ivf_recall."""
     from fastselect_spark.similarity import cosine_topk_ivf
 
     _register(spark, sf_dir, "embeddings")
@@ -1090,7 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,  # oracle = exact SQL
         "ann_lsh_topk": _q_ann_lsh_topk,  # oracle = exact top-k SQL
-        "ann_ivf_topk": _q_ann_ivf_topk,  # approx (kmeans cells): rows-only
+        "ann_ivf_topk": _q_ann_ivf_topk,  # oracle = centroid-literal SQL
         "ann_ivf_recall": _q_ann_ivf_recall,  # hash-checked recall claim
         "dedup_pipeline": _q_dedup_pipeline,  # exact -> minhash -> cluster -> keep
         "quality_filter": _q_quality_filter,  # C4-style keep-rule chain
@@ -2369,8 +2371,100 @@ FROM r WHERE rank <= 5
 """
 
 
+def _ivf_topk_oracle_sql() -> str | None:
+    """DuckDB oracle for ``ann_ivf_topk`` — IVF training is deterministic
+    (lowest-id seeds, exact-mean Lloyd: similarity/ivf.py), so the trained
+    centroids are injected as LITERALS (recomputed here by the independent
+    single-process NumPy replica, bit-identical to Spark's tree reduction
+    at the gate scale) and the SQL recomputes cell ASSIGNMENT (argmax dot,
+    lowest-cell tie-break), query PROBING (top-nprobe cells, same
+    tie-break) and the exact-cosine RERANK end-to-end. Parameters mirror
+    _q_ann_ivf_topk: n_cells=8, nprobe=3, k=5, queries vec_id < 5. The
+    gate's sf dir comes from SPARK_GRAFT_ORACLE_SF_DIR (default sf0.01,
+    where the driver runs the correctness gate); returns None (rows-only
+    fallback) if that parquet is unreadable."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        from fastselect_spark.similarity.ivf import train_ivf_centroids_numpy
+
+        C = train_ivf_centroids_numpy(f"{sf_dir}/embeddings.parquet", n_cells=8)
+    except Exception:
+        return None
+    cent_rows = ",\n    ".join(
+        "({}, [{}])".format(c, ", ".join(repr(float(v)) for v in row))
+        for c, row in enumerate(C)
+    )
+    return f"""
+WITH cent(cell, cw) AS (VALUES
+    {cent_rows}
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+-- cell assignment: argmax dot(v, centroid); |v| is constant per row so the
+-- argmax equals Spark's normalized-vector assignment
+az AS (
+    SELECT neighbor_id, cell, UNNEST(ce) AS x, UNNEST(cw) AS y FROM c, cent
+),
+adots AS (
+    SELECT neighbor_id, cell, SUM(CAST(x AS DOUBLE) * y) AS dot
+    FROM az GROUP BY 1, 2
+),
+assign AS (
+    SELECT neighbor_id, cell FROM (
+        SELECT neighbor_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                                  ORDER BY dot DESC, cell) AS rn
+        FROM adots
+    ) WHERE rn = 1
+),
+-- query probing: top-nprobe cells by centroid dot, same tie-break
+qz AS (
+    SELECT query_id, cell, UNNEST(qe) AS x, UNNEST(cw) AS y FROM q, cent
+),
+qdots AS (
+    SELECT query_id, cell, SUM(CAST(x AS DOUBLE) * y) AS dot
+    FROM qz GROUP BY 1, 2
+),
+probes AS (
+    SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, cell) AS rn
+        FROM qdots
+    ) WHERE rn <= 3
+),
+-- candidates: probed cells' members, exact cosine rerank
+cand AS (
+    SELECT p.query_id, a.neighbor_id
+    FROM probes p JOIN assign a USING (cell)
+    WHERE a.neighbor_id <> p.query_id
+),
+pz AS (
+    SELECT cand.query_id, cand.neighbor_id, UNNEST(qe) AS x, UNNEST(ce) AS y
+    FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)
+),
+s AS (
+    SELECT query_id, neighbor_id,
+           SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+           / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+              * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS cosine
+    FROM pz GROUP BY 1, 2
+),
+r AS (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM s
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "fisher_scores": _FISHER_ORACLE,
         "text_stats": f"""
         SELECT doc_id,
@@ -2665,6 +2759,10 @@ def oracle_sql() -> dict[str, str]:
         "nations_set_ops": _SET_OPS_SQL,
         "events_daily": _EVENTS_DAILY_SQL,
     }
+    ivf = _ivf_topk_oracle_sql()
+    if ivf is not None:
+        out["ann_ivf_topk"] = ivf
+    return out
 
 
 # ----------------------------------------------------------------- entry --

@@ -49,8 +49,13 @@ def train_ivf_centroids(
 ) -> np.ndarray:
     """Unit-normalized (n_cells, dim) centroid matrix via distributed
     spherical k-means. ``train_sample`` bounds the training scan at scale
-    (deterministic: lowest ids)."""
+    with a deterministic key-hash Bernoulli sample of ~train_sample rows
+    (corpus/sampling.py) — a row-local filter, NOT ``orderBy().limit()``,
+    which Spark executes by funneling the whole scan through a single
+    partition (the round-3 finding)."""
     seed_rows = (
+        # TakeOrderedAndProject: per-partition partial top-N merged on the
+        # driver — distributed, collects only n_cells rows
         corpus.select(id_col, emb_col).orderBy(id_col).limit(n_cells).collect()
     )
     centroids = _normalize(
@@ -58,12 +63,16 @@ def train_ivf_centroids(
     )
     train = corpus.select(emb_col)
     if train_sample is not None:
-        train = (
-            corpus.select(id_col, emb_col)
-            .orderBy(id_col)
-            .limit(train_sample)
-            .select(emb_col)
-        )
+        from fastselect_spark.corpus.sampling import deterministic_sample
+
+        n = corpus.count()
+        if train_sample < n:
+            train = deterministic_sample(
+                corpus.select(id_col, emb_col),
+                fraction=train_sample / n,
+                key_col=id_col,
+                seed=0,
+            ).select(emb_col)
 
     for _ in range(max_iter):
         C = centroids  # captured by value in the closure below
@@ -85,6 +94,45 @@ def train_ivf_centroids(
         merged = tree_reduce_ndarrays(train, partial)
         s, cnt = merged["s"], merged["cnt"]
         new = np.where(cnt[:, None] > 0, s / np.maximum(cnt, 1)[:, None], C)
+        new = _normalize(new)
+        shift = float(((new - centroids) ** 2).sum())
+        centroids = new
+        if shift <= tol:
+            break
+    return centroids
+
+
+def train_ivf_centroids_numpy(
+    parquet_path: str,
+    n_cells: int = 16,
+    max_iter: int = 20,
+    tol: float = 1e-4,
+) -> np.ndarray:
+    """Single-process NumPy replica of :func:`train_ivf_centroids` reading
+    the embeddings parquet directly (no Spark) — the independent oracle for
+    the deterministic training contract (lowest-id seeds, exact-mean Lloyd
+    updates, same tol/max_iter stopping rule). Spark's tree-reduced float64
+    partition sums and this row-order sum agree to ~1e-15 per element,
+    which never flips an argmax assignment in practice; the driver's
+    DuckDB gate embeds THESE centroids as literals and recomputes
+    assignment + probing + exact rerank in SQL."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    emb = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    order = np.argsort(ids, kind="stable")
+    emb = emb[order]
+    centroids = _normalize(emb[:n_cells].copy())
+    V = _normalize(emb)
+    for _ in range(max_iter):
+        cell = np.argmax(V @ centroids.T, axis=1)
+        s = np.zeros_like(centroids)
+        np.add.at(s, cell, V)
+        cnt = np.bincount(cell, minlength=len(centroids))
+        new = np.where(
+            cnt[:, None] > 0, s / np.maximum(cnt, 1)[:, None], centroids
+        )
         new = _normalize(new)
         shift = float(((new - centroids) ** 2).sum())
         centroids = new

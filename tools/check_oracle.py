@@ -34,6 +34,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # data-dependent oracles (IVF centroid literals) must target this sf
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=16)
     con = duckdb.connect()
     for t in entrymod.TABLES:
