@@ -6,8 +6,13 @@ oracle can verify it end-to-end.
 Scale notes: candidate generation is the classic inverted-index join; very
 common shingles create hot join keys, so shingles whose document frequency
 exceeds ``max_doc_freq`` are dropped from the index (standard practice —
-they carry no dedup signal and they are exactly the skew source).
-Verification uses the distinct shingle arrays carried on each side.
+they carry no dedup signal and they are exactly the skew source). The cap
+is ON by default (1000 docs: one hot shingle is then bounded to ~1000²
+candidate rows instead of O(n²) at corpus scale); verification always
+uses the FULL distinct shingle arrays carried on each side, so the cap
+only ever prunes candidate pairs whose EVERY shared shingle is
+corpus-common (df > cap) — overlap that is boilerplate by definition.
+Pass ``max_doc_freq=None`` to opt out when such pairs must be found.
 """
 
 from __future__ import annotations
@@ -18,13 +23,48 @@ from pyspark.sql import functions as F
 from fastselect_spark.dedup.minhash import _shingles
 
 
+def _resolve_doc_freq_cap(
+    docs: DataFrame, max_doc_freq: int | float | None
+) -> int | None:
+    """int = absolute df cap; float in (0, 1] = fraction of the corpus doc
+    count (one cheap count on the already-persisted shingle frame);
+    None = uncapped (opt-out)."""
+    if max_doc_freq is None:
+        return None
+    if isinstance(max_doc_freq, float):
+        if not 0.0 < max_doc_freq <= 1.0:
+            raise ValueError("fractional max_doc_freq must be in (0, 1]")
+        return max(1, int(max_doc_freq * docs.count()))
+    if int(max_doc_freq) < 1:
+        raise ValueError("max_doc_freq must be >= 1")
+    return int(max_doc_freq)
+
+
+def _candidate_pairs(docs: DataFrame, id_col: str, cap: int | None) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs from the inverted-index
+    self-join, with shingles above the df cap dropped from the index.
+    Split out so tests can assert the cap bounds the candidate count."""
+    inv = docs.select(id_col, F.explode("shingles").alias("shingle"))
+    if cap is not None:
+        freq = inv.groupBy("shingle").count().where(F.col("count") <= cap)
+        inv = inv.join(freq.select("shingle"), "shingle")
+    a = inv.select(F.col(id_col).alias("id_a"), "shingle")
+    b = inv.select(F.col(id_col).alias("id_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | float | None = 1000,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with shingle-set Jaccard >= threshold."""
     from fastselect_spark.dedup.minhash import ensure_parallelism
@@ -36,18 +76,8 @@ def ngram_jaccard_pairs(
     docs = ensure_parallelism(df).select(
         F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("shingles")
     ).persist()
-    inv = docs.select(id_col, F.explode("shingles").alias("shingle"))
-    if max_doc_freq is not None:
-        freq = inv.groupBy("shingle").count().where(F.col("count") <= max_doc_freq)
-        inv = inv.join(freq.select("shingle"), "shingle")
-    a = inv.select(F.col(id_col).alias("id_a"), "shingle")
-    b = inv.select(F.col(id_col).alias("id_b"), "shingle")
-    cand = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cap = _resolve_doc_freq_cap(docs, max_doc_freq)
+    cand = _candidate_pairs(docs, id_col, cap)
     da = docs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     db = docs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     pairs = cand.join(da, "id_a").join(db, "id_b")

@@ -189,6 +189,47 @@ def test_ngram_jaccard_matches_bruteforce(spark, near_dup_corpus):
         assert abs(got[k] - expect[k]) < 1e-6
 
 
+def test_ngram_doc_freq_cap_bounds_candidates(spark):
+    """A planted hot shingle (a phrase shared by every doc) must not blow
+    candidate generation up to O(n²) when the df cap is on (the default:
+    dedup/ngram.py max_doc_freq=1000); verification stays exact, so true
+    near-dup pairs with discriminative shingles survive either way."""
+    from pyspark.sql import functions as F
+
+    from fastselect_spark.dedup.minhash import _shingles
+    from fastselect_spark.dedup.ngram import _candidate_pairs
+
+    n = 60
+    rows = [
+        (i, f"common hot phrase in every doc unique{i} token{i} word{i}")
+        for i in range(n)
+    ]
+    # one genuine near-dup pair with discriminative (df=2) shingles
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    docs = df.select(
+        "doc_id", _shingles(F.col("text"), 3).alias("shingles")
+    ).persist()
+    uncapped = _candidate_pairs(docs, "doc_id", None).count()
+    capped = _candidate_pairs(docs, "doc_id", 10).count()
+    docs.unpersist()
+    assert uncapped == n * (n - 1) // 2 + 1  # hot shingles pair everyone
+    assert capped == 1  # cap drops the hot keys; the df=2 pair survives
+    # final verified pairs identical with and without the cap (the hot
+    # docs' full-set Jaccard is 0.4 — below threshold — so the only
+    # qualifying pair has discriminative shingles and survives the cap)
+    full = ngram_jaccard_pairs(df, threshold=0.5, max_doc_freq=None).toPandas()
+    dflt = ngram_jaccard_pairs(df, threshold=0.5, max_doc_freq=10).toPandas()
+    as_set = lambda p: {  # noqa: E731
+        (a, b, j) for a, b, j in zip(p["id_a"], p["id_b"], p["jaccard"])
+    }
+    assert as_set(full) == as_set(dflt)
+    assert (100, 101) in {(a, b) for a, b, _ in as_set(dflt)}
+
+
 @pytest.fixture(scope="module")
 def planted_embeddings(spark):
     rng = np.random.default_rng(11)
