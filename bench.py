@@ -205,6 +205,7 @@ def default_mode() -> None:
     # dedup-family headline: the flagship exact->minhash->cluster->keep
     # pipeline over the documents table at this SF (measured separately
     # from the featurize/scoring pipeline so rounds are comparable)
+    spark = None
     try:
         import __spark_entry__ as entrymod
 
@@ -218,9 +219,12 @@ def default_mode() -> None:
         out["dedup_pipeline_sec"] = round(dt, 3)
         out["dedup_docs_per_sec"] = round(n_docs / dt, 1)
         out["dedup_kept_docs"] = kept
-        spark.stop()
-    except Exception:
-        pass
+    except Exception as exc:  # surface the regression in the bench output
+        out["dedup_pipeline_error"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"dedup pipeline benchmark FAILED: {exc!r}", file=sys.stderr)
+    finally:
+        if spark is not None:
+            spark.stop()
 
     scaling = _last_scaling_summary()
     if scaling:

@@ -32,10 +32,17 @@ _BUCKETS = 1_000_000
 def _hash_bucket(key: Column, seed: int) -> Column:
     """Uniform bucket in [0, 1e6) from the 60-bit md5 prefix of
     '{seed}:{key}' — identical in DuckDB:
-    CAST('0x'||substr(md5(seed||':'||key),1,15) AS BIGINT) % 1000000."""
+    CAST('0x'||substr(md5(seed||':'||key),1,15) AS BIGINT) % 1000000.
+
+    NULL keys propagate (concat, not concat_ws): the bucket is NULL, every
+    ``bucket < threshold`` keep-predicate is NULL, and the row is DROPPED —
+    exactly what the documented DuckDB SQL does (md5(seed||':'||key) of a
+    NULL key is NULL). concat_ws would instead hash every null-key row to
+    the same '{seed}' bucket, an all-or-nothing keep AND a silent
+    cross-engine divergence."""
     h = F.conv(
         F.substring(
-            F.md5(F.concat_ws(":", F.lit(str(seed)), key.cast("string"))), 1, 15
+            F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 15
         ),
         16,
         10,

@@ -8,5 +8,6 @@ from fastselect_spark.dedup.ngram import ngram_jaccard_pairs  # noqa: F401
 from fastselect_spark.dedup.embedding import embedding_near_duplicates  # noqa: F401
 from fastselect_spark.dedup.components import (  # noqa: F401
     connected_components,
+    connected_components_star,
     duplicate_clusters,
 )

@@ -12,11 +12,16 @@ construction (a pair list, not a web graph), so this is typically 3-5
 rounds. Convergence is detected by counting CHANGED labels in the same
 pass that computes them (a boolean-sum agg per round) — id-type-agnostic
 (works for string doc ids) and ANSI-safe (no raw id summation, which
-overflows a long for large id domains). If ``max_iter`` rounds pass
-without a fixpoint, a warning is raised and callers should switch to the
+overflows a long for large id domains).
+
+If ``max_iter`` rounds pass without a fixpoint (long near-dup CHAINS —
+boilerplate-heavy corpora can produce paths of diameter ≫ 25), the call
+automatically FALLS BACK to :func:`connected_components_star` — the
 large-star/small-star algorithm (Kiveris et al., "Connected Components in
-MapReduce and Beyond") — same join primitives, O(log n) rounds; not
-needed for dedup-shaped inputs.
+MapReduce and Beyond", SoCC'14): alternate two edge-rewrite rounds, each
+one groupBy + one join over the edge list, until the graph is a disjoint
+union of min-rooted stars. Round count is O(log² n) regardless of
+diameter, so a 500-node chain costs ~10 rounds instead of 500.
 """
 
 from __future__ import annotations
@@ -27,27 +32,127 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 60,
+) -> DataFrame:
+    """(doc_id, comp) via alternating large-star/small-star edge rewrites
+    (Kiveris et al., SoCC'14) — the diameter-independent path for long
+    near-dup chains. Each round is two groupBy+join passes over the edge
+    list; the graph converges to min-rooted stars in O(log² n) rounds.
+
+    large-star(u): connect every neighbor v > u to m = min(N(u) ∪ {u});
+    small-star(u): connect every neighbor v < u (and u itself) to the
+    minimum of those. Convergence = the round rewrote the edge set to
+    itself (exceptAll-empty check, id-type-agnostic and ANSI-safe).
+
+    Each round's edge set is eagerly localCheckpoint'd: a star round
+    references its input 4+ times, so carrying lazy lineage across rounds
+    multiplies the logical plan per round — by round ~8 merely EXPLAINING
+    the plan overflows the JVM heap (measured). Truncation keeps every
+    round's plan two joins deep regardless of round count."""
+    fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).where(
+        F.col(id_a) != F.col(id_b)
+    )
+    nodes = (
+        fwd.select(F.col("u").alias("node"))
+        .unionByName(fwd.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_rounds):
+        # large-star: for each u, m = min over neighborhood incl. u;
+        # rewire every larger neighbor to m
+        g = (
+            edges.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        )
+        ls = (
+            edges.join(g, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+        )
+        ls = (
+            ls.unionByName(ls.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: for each u, m = min of its SMALLER neighbors; rewire
+        # them and u itself to m
+        sm = ls.where(F.col("v") < F.col("u"))
+        g2 = sm.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            sm.join(g2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(g2.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+        )
+        new = (
+            ss.unionByName(ss.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = not (
+            new.exceptAll(edges).isEmpty() and edges.exceptAll(new).isEmpty()
+        )
+        edges = new
+        if not changed:
+            converged = True
+            break
+    if not converged:  # pragma: no cover — O(log² n) bound makes this unreachable
+        warnings.warn(
+            f"connected_components_star did not converge in {max_rounds} rounds",
+            UserWarning,
+        )
+    # stars rooted at minima: every non-root has an edge to a smaller node
+    labels = edges.where(F.col("v") < F.col("u")).groupBy("u").agg(
+        F.min("v").alias("comp")
+    )
+    return (
+        nodes.join(labels, nodes["node"] == labels["u"], "left")
+        .select("node", F.coalesce(F.col("comp"), F.col("node")).alias("comp"))
+        .select(F.col("node").alias("doc_id"), "comp")
+        .localCheckpoint()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    star_fallback: bool = True,
 ) -> DataFrame:
     """(doc_id, component) for every node in ``pairs``; component = min id
-    reachable through the pair graph. Warns if max_iter is exhausted before
-    the fixpoint (partially-propagated labels would silently split long
-    chains otherwise)."""
+    reachable through the pair graph. If max_iter rounds of min-label
+    propagation don't reach the fixpoint (component diameter > max_iter),
+    falls back to the diameter-independent large-star/small-star algorithm
+    (:func:`connected_components_star`) — or warns and returns the
+    partial labels when ``star_fallback=False``."""
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    # per-round labels are eagerly localCheckpoint'd: persist alone leaves
+    # the logical plan compounding ~2x per round (a full 25-round run OOMs
+    # the JVM just EXPLAINING round 25's plan — measured); truncation keeps
+    # every round's plan one join deep
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
-    persisted = labels  # the cached frame backing `labels` this round
     converged = False
     for _ in range(max_iter):
         nbr = (
@@ -66,29 +171,32 @@ def connected_components(
                     F.coalesce(F.col("nbr_comp"), F.col("comp")) < F.col("comp")
                 ).cast("long").alias("__changed"),
             )
-            .persist()
+            .localCheckpoint()
         )
         n_changed = new.agg(F.sum("__changed")).collect()[0][0]
-        persisted.unpersist()
-        persisted = new
         labels = new.select("node", "comp")
         if not n_changed:
             converged = True
             break
     edges.unpersist()
     if not converged:
+        if star_fallback:
+            warnings.warn(
+                f"connected_components hit max_iter={max_iter} before the "
+                "fixpoint (long-chain graph); falling back to the "
+                "large-star/small-star algorithm.",
+                UserWarning,
+            )
+            return connected_components_star(pairs, id_a, id_b)
         warnings.warn(
             f"connected_components did not converge within max_iter="
             f"{max_iter} rounds; labels may be partially propagated "
-            "(split clusters). Increase max_iter or use a "
-            "large-star/small-star implementation for long-chain graphs.",
+            "(split clusters). Increase max_iter or use "
+            "connected_components_star for long-chain graphs.",
             UserWarning,
         )
-    # eager: materialize labels, release the final round's cache (persist
-    # hygiene — the loop's last persisted frame otherwise outlives the call)
-    result = labels.select(F.col("node").alias("doc_id"), "comp").localCheckpoint()
-    persisted.unpersist()
-    return result
+    # labels is already checkpointed — the projection's plan is one node
+    return labels.select(F.col("node").alias("doc_id"), "comp")
 
 
 def duplicate_clusters(

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fastselect_spark.selection._agg import tree_reduce_ndarrays
+from fastselect_spark.selection._validate import validate_transform_input
 
 
 def cfs_merit(sum_r_cf: float, k: int, sum_r_ff: float) -> float:
@@ -365,6 +366,7 @@ class CFSSelector:
     def transform(self, df: DataFrame) -> DataFrame:
         if not hasattr(self, "selected_indices_"):
             raise RuntimeError("CFSSelector is not fitted")
+        validate_transform_input(df, self.feature_cols_, type(self).__name__)
         return df.select(*self.selected_cols_)
 
     def fit_transform(

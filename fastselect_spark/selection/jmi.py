@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from fastselect_spark.selection._stats import mi_from_contingency
 from fastselect_spark.selection.mi import MAX_STATES, shared_vocabulary
+from fastselect_spark.selection._validate import validate_transform_input
 
 
 _CUBE_CELL_CAP = 2_000_000
@@ -176,4 +177,5 @@ class JMISelector:
     def transform(self, df: DataFrame) -> DataFrame:
         if not hasattr(self, "top_features_"):
             raise RuntimeError("JMISelector is not fitted")
+        validate_transform_input(df, self.feature_cols_, type(self).__name__)
         return df.select(*self.selected_cols_)

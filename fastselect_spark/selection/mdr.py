@@ -52,6 +52,7 @@ from fastselect_spark.selection._stage import (
     WIDE_P,
     make_stage,
 )
+from fastselect_spark.selection._validate import validate_transform_input
 
 
 def stratified_kfold_assign(y: np.ndarray, n_splits: int, seed: int = 42) -> np.ndarray:
@@ -404,4 +405,5 @@ class MDRClassifier:
         ``X[:, best_interaction_]`` (MDR.py:336-344)."""
         if not hasattr(self, "best_interaction_"):
             raise RuntimeError("MDRClassifier is not fitted")
+        validate_transform_input(df, self.feature_cols_, type(self).__name__)
         return df.select(*[self.feature_cols_[i] for i in self.best_interaction_])

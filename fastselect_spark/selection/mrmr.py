@@ -21,6 +21,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 
 from fastselect_spark.selection.mi import mi_matrices
+from fastselect_spark.selection._validate import validate_transform_input
 
 
 def mrmr_greedy(
@@ -93,6 +94,7 @@ class MRMRSelector:
     def transform(self, df: DataFrame) -> DataFrame:
         if not hasattr(self, "top_features_"):
             raise RuntimeError("MRMRSelector is not fitted")
+        validate_transform_input(df, self.feature_cols_, type(self).__name__)
         return df.select(*self.selected_cols_)
 
     def fit_transform(

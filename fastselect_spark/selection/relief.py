@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fastselect_spark.selection._stage import MID, MatrixStage, make_stage
+from fastselect_spark.selection._validate import validate_transform_input
 
 
 def _dist_block(
@@ -150,6 +151,7 @@ class _ReliefBase:
     def transform(self, df: DataFrame) -> DataFrame:
         if not hasattr(self, "top_features_"):
             raise RuntimeError("estimator is not fitted")
+        validate_transform_input(df, self.feature_cols_, type(self).__name__)
         return df.select(*[self.feature_cols_[i] for i in self.top_features_])
 
     def fit_transform(

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import DataFrame
+from fastselect_spark.selection._validate import validate_transform_input
 
 
 class TuRFSelector:
@@ -93,4 +94,5 @@ class TuRFSelector:
     def transform(self, df: DataFrame) -> DataFrame:
         if not hasattr(self, "top_features_"):
             raise RuntimeError("TuRFSelector is not fitted")
+        validate_transform_input(df, self.feature_cols_, type(self).__name__)
         return df.select(*[self.feature_cols_[i] for i in self.top_features_])

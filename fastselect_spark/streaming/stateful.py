@@ -18,8 +18,16 @@ until the wall-clock timer fires (measured: hundreds of 0-row batches and
 an awaitTermination timeout), whereas event-time timers drain in one final
 timer batch once the data is exhausted. Within a micro-batch, rows are
 processed in (conv_id, ts) order; in-order arrival per conversation is
-assumed (the Kafka-partition-by-conv_id layout); late cross-batch rows get
-a fresh-session fallback rather than corrupting state.
+assumed (the Kafka-partition-by-conv_id layout); late cross-batch rows —
+even rows arriving BEHIND the current watermark — still reach the state
+function and get a fresh-session fallback rather than corrupting state.
+That is the verified PySpark 4.1 contract for applyInPandasWithState:
+unlike watermarked aggregations/dedup, the watermark does NOT filter this
+operator's input (a batch running at watermark 11:51 still delivered and
+emitted an 11:01 row, numRowsDroppedByWatermark 0 — pinned by
+tests/test_streaming_stateful.py); it only advances the event-time clock
+the TTL timers fire against. Callers needing aggregate-style late-row
+DROPPING must pre-filter explicitly.
 """
 
 from __future__ import annotations
@@ -122,8 +130,10 @@ def stateful_conversation_progress(
 ) -> DataFrame:
     """Running per-turn conversation features with explicit keyed state.
 
-    ``watermark`` bounds event-time lateness for the timeout timers (the
-    emissions themselves are append-per-row and unaffected by it)."""
+    ``watermark`` bounds how long expired state lingers (it advances the
+    event-time clock the TTL timers fire against). It does NOT filter
+    input: beyond-watermark rows still reach the state function and emit
+    (the pinned applyInPandasWithState contract — see module docstring)."""
     return stream.withWatermark("ts", watermark).groupBy("conv_id").applyInPandasWithState(
         _progress_fn(gap_seconds, state_ttl_minutes),
         outputStructType=OUTPUT_SCHEMA,

@@ -472,7 +472,8 @@ def test_connected_components_string_ids(spark):
 
 def test_connected_components_max_iter_warns(spark):
     """Exhausting max_iter without a fixpoint must WARN (silently returning
-    partially-propagated labels splits long chains)."""
+    partially-propagated labels splits long chains) when the star fallback
+    is opted out."""
     import warnings as _w
 
     from fastselect_spark.dedup import connected_components
@@ -483,8 +484,56 @@ def test_connected_components_max_iter_warns(spark):
     )
     with _w.catch_warnings(record=True) as rec:
         _w.simplefilter("always")
-        connected_components(pairs, max_iter=2).count()
+        connected_components(pairs, max_iter=2, star_fallback=False).count()
     assert any("did not converge" in str(r.message) for r in rec)
+
+
+def test_connected_components_star_matches_union_find(spark):
+    """Large-star/small-star labels == a NumPy union-find oracle on a
+    random pair graph (mixed components, isolated pairs, triangles)."""
+    import numpy as np_
+
+    from fastselect_spark.dedup import connected_components_star
+
+    rng = np_.random.default_rng(3)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 80, size=(120, 2)) if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        int(r["doc_id"]): int(r["comp"])
+        for r in connected_components_star(pairs).collect()
+    }
+    # union-find oracle
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+    assert got == expect
+
+
+def test_connected_components_long_chain_fallback(spark):
+    """A 500-node chain (diameter 499 ≫ max_iter 25) must converge via the
+    automatic large-star/small-star fallback: every node labeled 0."""
+    import warnings as _w
+
+    from fastselect_spark.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(499)], "id_a long, id_b long"
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        comp = connected_components(pairs).toPandas()
+    assert any("falling back" in str(r.message) for r in rec)
+    assert len(comp) == 500
+    assert (comp["comp"] == 0).all()
 
 
 def test_mi_cube_rejects_unsafe_codes(spark):

@@ -190,3 +190,61 @@ def test_mrmr_select_wrapper(spark):
     df, cols = _to_df(spark, X, y)
     names = mrmr_select(df, cols, "label", n_select=2)
     assert set(names) == {"f0", "f9"}
+
+
+def test_transform_contract_validation(spark):
+    """Reference parity (tests/test_mrmr.py:183-186): transform on a frame
+    missing fitted feature columns raises the sklearn-style width
+    ValueError ('X has N features, but <Est> is expecting M features as
+    input.'), not an opaque unresolved-column analysis error."""
+    import pytest as _pt
+
+    X, y = _mrmr_groundtruth()
+    df, cols = _to_df(spark, X, y)
+    sel = MRMRSelector(n_features_to_select=2, method="MID").fit(df, cols, "label")
+    wrong = df.drop("f0")  # remove one fitted feature
+    with _pt.raises(
+        ValueError,
+        match=r"X has 9 features, but MRMRSelector is expecting 10 features as input\.",
+    ):
+        sel.transform(wrong)
+    # a frame with all fitted columns (extras allowed) passes
+    assert sel.transform(df.withColumn("extra", df["f1"])).columns == sel.selected_cols_
+
+
+def test_transform_contract_validation_all_estimators(spark):
+    """Every selector's transform enforces the fitted-columns contract."""
+    import pytest as _pt
+
+    from fastselect_spark.selection import (
+        CFSSelector,
+        JMISelector,
+        MDRClassifier,
+        ReliefFSelector,
+        TuRFSelector,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.integers(0, 2, (60, 4))
+    y = (X[:, 0] ^ X[:, 1]).astype(int)
+    df, cols = _to_df(spark, X, y)
+    fitted = [
+        MRMRSelector(2, "MID").fit(df, cols, "label"),
+        JMISelector(2).fit(df, cols, "label"),
+        CFSSelector().fit(df, cols, "label"),
+        MDRClassifier(k=2, cv=2).fit(df, cols, "label"),
+        ReliefFSelector(n_features_to_select=2, n_neighbors=3).fit(df, cols, "label"),
+        TuRFSelector(
+            ReliefFSelector(n_features_to_select=2, n_neighbors=3),
+            n_features_to_select=2,
+            pct_remove=0.5,
+        ).fit(df, cols, "label"),
+    ]
+    wrong = df.drop(cols[0])
+    for est in fitted:
+        with _pt.raises(
+            ValueError,
+            match=rf"X has 3 features, but {type(est).__name__} is expecting "
+            rf"4 features as input\.",
+        ):
+            est.transform(wrong)

@@ -73,3 +73,70 @@ def test_stateful_progress_matches_batch(spark, tmp_path):
     for _, grp in got.groupby("conv_id"):
         tk = grp.sort_values("turn_idx")["tokens_so_far"].values
         assert (np.diff(tk) > 0).all()
+
+
+def test_stateful_beyond_watermark_rows_still_reach_state(spark, tmp_path):
+    """Pins the verified PySpark applyInPandasWithState contract
+    (stateful.py module docstring): the watermark does NOT filter this
+    operator's input — a second-batch row an hour behind batch one's max
+    event time (far beyond watermark='10 minutes') still reaches the
+    state function and emits via the fresh-session fallback. If a Spark
+    upgrade starts dropping such rows (aggregation-style late filtering),
+    this test flags the contract change."""
+    import pandas as pd
+
+    def rows(conv, ts_list, start_idx=0):
+        return pd.DataFrame(
+            {
+                "conv_id": conv,
+                "turn_idx": range(start_idx, start_idx + len(ts_list)),
+                "role": "user",
+                "text": "hi",
+                "tool": None,
+                "ts": pd.to_datetime(ts_list),
+            }
+        )
+
+    src = str(tmp_path / "in")
+    b1 = rows("a", ["2026-01-01 12:00:00", "2026-01-01 12:01:00"])
+    # batch 2: one fresh row (advances nothing for 'late') + one row 1h
+    # behind batch 1's max event time -> beyond the 10-minute watermark
+    b2 = pd.concat(
+        [
+            rows("a", ["2026-01-01 12:02:00"], start_idx=2),
+            rows("late", ["2026-01-01 11:01:00"]),
+        ]
+    )
+    spark.createDataFrame(b1, schema=TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # FileStreamSource orders by modification time (ties by path, and the
+    # part-file names are random UUIDs) — space the writes so batch order
+    # is deterministic
+    import time as _time
+
+    _time.sleep(1.2)
+    spark.createDataFrame(b2, schema=TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = read_transcripts_stream(spark, src, max_files_per_trigger=1)
+    out = stateful_conversation_progress(
+        stream, gap_seconds=300, watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_drop")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("wm_drop").toPandas()
+    # the beyond-watermark row still emits (fresh-session fallback)...
+    assert set(got["conv_id"]) == {"a", "late"}
+    late = got[got["conv_id"] == "late"]
+    assert len(late) == 1 and (late["session_id"] == 0).all()
+    # ...and in-order rows are unaffected
+    assert len(got[got["conv_id"] == "a"]) == 3
