@@ -194,14 +194,80 @@ def kmeans_bin_edges(
     return edges
 
 
+def _su_redundancy_broadcast(
+    spark,
+    codes: np.ndarray,
+    n_states: np.ndarray,
+    chunks_per_core: int = 4,
+) -> np.ndarray:
+    """(p, p) symmetrical-uncertainty redundancy by broadcasting the coded
+    matrix and distributing PAIR ranges across tasks — the p-large diet for
+    the redundancy pass (the one-pass cube's flat ff accumulator is
+    Σ k_i·k_j over all p(p−1)/2 pairs: ~100 MB per partition at p=500,
+    allocated AND tree-merged by every worker; here each task ships back
+    only its chunk's SU floats). Each pair's integer contingency table is
+    identical to the cube path's (counts are partition-invariant), and the
+    scalar :func:`symmetrical_uncertainty` is reused per pair, so the SU
+    values are bit-identical — the selection result cannot differ between
+    the two stages."""
+    codes = np.ascontiguousarray(codes.T)  # (p, n): pair gather = 2 row copies
+    p = codes.shape[0]
+    iu, ju = np.triu_indices(p, k=1)
+    n_pairs = len(iu)
+    sc = spark.sparkContext
+    bc = sc.broadcast((codes, n_states.astype(np.int64), iu, ju))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Xt, ns, iu_, ju_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            idx = pdf["id"].to_numpy(dtype=np.int64)
+            out = np.empty(len(idx), dtype=np.float64)
+            for t, pid in enumerate(idx):
+                i, j = int(iu_[pid]), int(ju_[pid])
+                ki, kj = int(ns[i]), int(ns[j])
+                table = np.bincount(
+                    Xt[i] * kj + Xt[j], minlength=ki * kj
+                ).reshape(ki, kj)
+                out[t] = symmetrical_uncertainty(table)
+            yield pd.DataFrame({"id": idx, "su": out})
+
+    n_chunks = min(n_pairs, max(sc.defaultParallelism * chunks_per_core, 2))
+    res = (
+        spark.range(n_pairs)
+        .repartition(n_chunks)
+        .mapInPandas(kernel, schema="id long, su double")
+        .toPandas()
+    )
+    su = np.zeros(n_pairs, dtype=np.float64)
+    su[res["id"].to_numpy(dtype=np.int64)] = res["su"].to_numpy(dtype=np.float64)
+    r_ff = np.zeros((p, p), dtype=np.float64)
+    r_ff[iu, ju] = su
+    r_ff[ju, iu] = su
+    bc.destroy()
+    return r_ff
+
+
 class CFSSelector:
-    def __init__(self, n_bins: int = 10, strategy: str = "uniform") -> None:
+    # auto stage gate: collect the coded matrix when n*(p+1) cells fit
+    # comfortably in a driver Arrow pull (the relief.py small-path analogue)
+    SMALL_CELLS = 50_000_000
+
+    def __init__(
+        self, n_bins: int = 10, strategy: str = "uniform", stage_mode: str = "auto"
+    ) -> None:
         if strategy not in ("uniform", "quantile", "kmeans"):
             raise ValueError(
                 "strategy must be 'uniform', 'quantile', or 'kmeans'"
             )
+        if stage_mode not in ("auto", "small", "staged"):
+            raise ValueError(
+                f"stage_mode must be 'auto', 'small' or 'staged', got {stage_mode!r}"
+            )
         self.n_bins = n_bins
         self.strategy = strategy
+        self.stage_mode = stage_mode
 
     def fit(
         self, df: DataFrame, feature_cols: list[str], label_col: str = "label"
@@ -218,34 +284,79 @@ class CFSSelector:
             ]
         )
 
+        proj = df.select(
+            *[F.col(c).cast("double") for c in feature_cols],
+            F.col(label_col).cast("double"),
+        )
+
+        # --- stage gate (decided FIRST so metadata can come off the
+        # collected matrix): the one-pass cube's flat ff accumulator is
+        # Σ k_i·k_j over p(p−1)/2 pairs (~100 MB PER PARTITION at p=500,
+        # n_bins=10) — allocated, populated with p(p−1)/2 bincounts per
+        # batch, and tree-merged by every worker. When the coded matrix is
+        # small (n·(p+1) cells under the Arrow-collect gate), collecting it
+        # once and scoring pairs from a broadcast is strictly cheaper —
+        # and the per-column metadata (min/max, vocabularies) comes from
+        # the matrix for free instead of a p-branch min/max agg plus a
+        # p-branch collect_set agg (the CLAUDE.md countDistinct/Expand
+        # lesson: wide multi-branch aggs cost seconds of codegen alone).
+        # Beyond the gate the n-independent cube is the only row-scalable
+        # option and its partial size is the documented cost.
+        force = None if self.stage_mode == "auto" else self.stage_mode
+        n_rows = df.count()
+        use_small = (
+            force == "small" if force else n_rows * (p + 1) <= self.SMALL_CELLS
+        )
+        self.effective_stage_mode_ = "small" if use_small else "staged"
+        arr: np.ndarray | None = None
+        if use_small:
+            tbl = proj.toArrow()
+            arr = np.column_stack(
+                [
+                    tbl.column(i).to_numpy(zero_copy_only=False)
+                    for i in range(p + 1)
+                ]
+            ).astype(np.float64)
+
         # bin edges for continuous columns
         edges: dict[int, np.ndarray] = {}
         cont_idx = np.where(is_cont)[0]
         if len(cont_idx):
             if self.strategy in ("uniform", "kmeans"):
-                aggs = []
-                for i in cont_idx:
-                    c = feature_cols[i]
-                    aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
-                row = df.agg(*aggs).collect()[0]
+                if arr is not None:
+                    mns = {
+                        feature_cols[i]: float(np.min(arr[:, i])) for i in cont_idx
+                    }
+                    mxs = {
+                        feature_cols[i]: float(np.max(arr[:, i])) for i in cont_idx
+                    }
+                else:
+                    aggs = []
+                    for i in cont_idx:
+                        c = feature_cols[i]
+                        aggs += [
+                            F.min(c).alias(f"__mn_{c}"),
+                            F.max(c).alias(f"__mx_{c}"),
+                        ]
+                    row = df.agg(*aggs).collect()[0]
+                    mns = {
+                        feature_cols[i]: float(row[f"__mn_{feature_cols[i]}"])
+                        for i in cont_idx
+                    }
+                    mxs = {
+                        feature_cols[i]: float(row[f"__mx_{feature_cols[i]}"])
+                        for i in cont_idx
+                    }
                 if self.strategy == "uniform":
                     for i in cont_idx:
                         c = feature_cols[i]
-                        e = np.linspace(
-                            row[f"__mn_{c}"], row[f"__mx_{c}"], self.n_bins + 1
-                        )
+                        e = np.linspace(mns[c], mxs[c], self.n_bins + 1)
                         # sklearn removes zero-width bins (<=1e-8)
                         mask = np.ediff1d(e, to_begin=np.inf) > 1e-8
                         edges[i] = e[mask]
                 else:
                     cols = [feature_cols[i] for i in cont_idx]
-                    kme = kmeans_bin_edges(
-                        df,
-                        cols,
-                        self.n_bins,
-                        {c: float(row[f"__mn_{c}"]) for c in cols},
-                        {c: float(row[f"__mx_{c}"]) for c in cols},
-                    )
+                    kme = kmeans_bin_edges(df, cols, self.n_bins, mns, mxs)
                     for i in cont_idx:
                         e = kme[feature_cols[i]]
                         mask = np.ediff1d(e, to_begin=np.inf) > 1e-8
@@ -260,89 +371,116 @@ class CFSSelector:
                     mask = np.ediff1d(e, to_begin=np.inf) > 1e-8
                     edges[i] = e[mask]
 
-        # vocab for discrete columns
+        # vocab for discrete columns (np.unique of a collected column and
+        # np.unique of a collect_set result are the same sorted doubles)
         vocabs: dict[int, np.ndarray] = {}
         disc_idx = np.where(~is_cont)[0]
         if len(disc_idx):
-            row = df.agg(
-                *[
-                    F.collect_set(F.col(feature_cols[i]).cast("double")).alias(
-                        feature_cols[i]
+            if arr is not None:
+                for i in disc_idx:
+                    vocabs[i] = np.unique(arr[:, i])
+            else:
+                row = df.agg(
+                    *[
+                        F.collect_set(F.col(feature_cols[i]).cast("double")).alias(
+                            feature_cols[i]
+                        )
+                        for i in disc_idx
+                    ]
+                ).collect()[0]
+                for i in disc_idx:
+                    vocabs[i] = np.unique(
+                        np.asarray(row[feature_cols[i]], dtype=np.float64)
                     )
-                    for i in disc_idx
-                ]
-            ).collect()[0]
-            for i in disc_idx:
-                vocabs[i] = np.unique(np.asarray(row[feature_cols[i]], dtype=np.float64))
 
-        y_vocab = np.unique(
-            np.asarray(
-                df.agg(F.collect_set(F.col(label_col).cast("double"))).collect()[0][0],
-                dtype=np.float64,
+        if arr is not None:
+            y_vocab = np.unique(arr[:, p])
+        else:
+            y_vocab = np.unique(
+                np.asarray(
+                    df.agg(F.collect_set(F.col(label_col).cast("double")))
+                    .collect()[0][0],
+                    dtype=np.float64,
+                )
             )
-        )
         n_states = np.empty(p, dtype=np.int64)
         for i in range(p):
             n_states[i] = self.n_bins if is_cont[i] else len(vocabs[i])
         n_y = len(y_vocab)
 
-        # --- flat-packed histogram layout ---
-        pairs = [(i, j) for i in range(p) for j in range(i + 1, p)]
-        cf_sizes = [int(n_states[i] * n_y) for i in range(p)]
-        ff_sizes = [int(n_states[i] * n_states[j]) for i, j in pairs]
-        cf_off = np.concatenate([[0], np.cumsum(cf_sizes)])
-        ff_off = np.concatenate([[0], np.cumsum(ff_sizes)])
-        total_cf, total_ff = int(cf_off[-1]), int(ff_off[-1])
+        def encode_rows(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            """(n, p+1) raw float64 -> (codes (n, p) int64, y codes) — the
+            single coding rule shared by both stages, so their integer
+            contingency tables (and hence every SU value) are identical."""
+            codes = np.empty((len(arr), p), dtype=np.int64)
+            for i in range(p):
+                if is_cont[i]:
+                    e = edges[i]
+                    codes[:, i] = np.clip(
+                        np.searchsorted(e[1:-1], arr[:, i], side="right"),
+                        0,
+                        max(len(e) - 2, 0),
+                    )
+                else:
+                    codes[:, i] = np.searchsorted(vocabs[i], arr[:, i])
+            return codes, np.searchsorted(y_vocab, arr[:, p])
 
-        proj = df.select(
-            *[F.col(c).cast("double") for c in feature_cols],
-            F.col(label_col).cast("double"),
-        )
-        n_bins_cfg = self.n_bins
+        if use_small:
+            codes, yc = encode_rows(arr)
+            r_cf = np.zeros(p, dtype=np.float64)
+            for i in range(p):
+                table = np.bincount(
+                    codes[:, i] * n_y + yc, minlength=int(n_states[i] * n_y)
+                ).reshape(int(n_states[i]), n_y)
+                r_cf[i] = symmetrical_uncertainty(table)
+            if p > 1:
+                r_ff = _su_redundancy_broadcast(
+                    df.sparkSession, codes, n_states
+                )
+            else:
+                r_ff = np.zeros((p, p), dtype=np.float64)
+        else:
+            # --- flat-packed histogram layout (n-scalable cube) ---
+            pairs = [(i, j) for i in range(p) for j in range(i + 1, p)]
+            cf_sizes = [int(n_states[i] * n_y) for i in range(p)]
+            ff_sizes = [int(n_states[i] * n_states[j]) for i, j in pairs]
+            cf_off = np.concatenate([[0], np.cumsum(cf_sizes)])
+            ff_off = np.concatenate([[0], np.cumsum(ff_sizes)])
+            total_cf, total_ff = int(cf_off[-1]), int(ff_off[-1])
 
-        def partial(batches: Iterator[pd.DataFrame]) -> dict[str, np.ndarray]:
-            cf = np.zeros(total_cf, dtype=np.int64)
-            ff = np.zeros(total_ff, dtype=np.int64)
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                arr = pdf.to_numpy(dtype=np.float64)
-                codes = np.empty((len(arr), p), dtype=np.int64)
-                for i in range(p):
-                    if is_cont[i]:
-                        e = edges[i]
-                        codes[:, i] = np.clip(
-                            np.searchsorted(e[1:-1], arr[:, i], side="right"),
-                            0,
-                            max(len(e) - 2, 0),
+            def partial(batches: Iterator[pd.DataFrame]) -> dict[str, np.ndarray]:
+                cf = np.zeros(total_cf, dtype=np.int64)
+                ff = np.zeros(total_ff, dtype=np.int64)
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    codes, yc = encode_rows(pdf.to_numpy(dtype=np.float64))
+                    for i in range(p):
+                        size = int(cf_off[i + 1] - cf_off[i])
+                        cf[cf_off[i] : cf_off[i + 1]] += np.bincount(
+                            codes[:, i] * n_y + yc, minlength=size
                         )
-                    else:
-                        codes[:, i] = np.searchsorted(vocabs[i], arr[:, i])
-                yc = np.searchsorted(y_vocab, arr[:, p])
-                for i in range(p):
-                    size = int(cf_off[i + 1] - cf_off[i])
-                    cf[cf_off[i] : cf_off[i + 1]] += np.bincount(
-                        codes[:, i] * n_y + yc, minlength=size
-                    )
-                for pi, (i, j) in enumerate(pairs):
-                    size = int(ff_off[pi + 1] - ff_off[pi])
-                    ff[ff_off[pi] : ff_off[pi + 1]] += np.bincount(
-                        codes[:, i] * n_states[j] + codes[:, j], minlength=size
-                    )
-            return {"cf": cf, "ff": ff}
+                    for pi, (i, j) in enumerate(pairs):
+                        size = int(ff_off[pi + 1] - ff_off[pi])
+                        ff[ff_off[pi] : ff_off[pi + 1]] += np.bincount(
+                            codes[:, i] * n_states[j] + codes[:, j], minlength=size
+                        )
+                return {"cf": cf, "ff": ff}
 
-        merged = tree_reduce_ndarrays(proj, partial)
-        cf, ff = merged["cf"], merged["ff"]
+            merged = tree_reduce_ndarrays(proj, partial)
+            cf, ff = merged["cf"], merged["ff"]
 
-        r_cf = np.zeros(p, dtype=np.float64)
-        for i in range(p):
-            table = cf[cf_off[i] : cf_off[i + 1]].reshape(n_states[i], n_y)
-            r_cf[i] = symmetrical_uncertainty(table)
-        r_ff = np.zeros((p, p), dtype=np.float64)
-        for pi, (i, j) in enumerate(pairs):
-            table = ff[ff_off[pi] : ff_off[pi + 1]].reshape(n_states[i], n_states[j])
-            su = symmetrical_uncertainty(table)
-            r_ff[i, j] = r_ff[j, i] = su
+            r_cf = np.zeros(p, dtype=np.float64)
+            for i in range(p):
+                table = cf[cf_off[i] : cf_off[i + 1]].reshape(n_states[i], n_y)
+                r_cf[i] = symmetrical_uncertainty(table)
+            r_ff = np.zeros((p, p), dtype=np.float64)
+            for pi, (i, j) in enumerate(pairs):
+                table = ff[ff_off[pi] : ff_off[pi + 1]].reshape(
+                    n_states[i], n_states[j]
+                )
+                su = symmetrical_uncertainty(table)
+                r_ff[i, j] = r_ff[j, i] = su
 
         self.r_cf_ = r_cf
         self.r_ff_ = r_ff
