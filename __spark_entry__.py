@@ -621,6 +621,73 @@ def _staged_transcripts_path(spark: SparkSession, sf_dir: str) -> str:
     return _STAGED[sf_dir]
 
 
+def _staged_documents_stream_path(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the documents table (plus a deterministic event-time column)
+    as TWO parquet 'arrival wave' files once per (session, sf_dir) — the
+    ingest-time dedup queries stream them as two micro-batches."""
+    key = f"docs::{sf_dir}"
+    if key not in _STAGED:
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="fs_stream_docs_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = root + "/documents"
+        docs = _streamable_documents(spark, sf_dir)
+        docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        _STAGED[key] = path
+    return _STAGED[key]
+
+
+def _streamable_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic ts (epoch base + doc_id seconds)."""
+    _register(spark, sf_dir, "documents")
+    return spark.table("documents").select(
+        "doc_id",
+        "text",
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_dt_interval(
+                F.lit(0), F.lit(0), F.lit(0), F.col("doc_id").cast("double")
+            )
+        ).alias("ts"),
+    )
+
+
+def _q_streaming_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-time MinHash-LSH near-dup detection: the batch
+    signature+banding expression stack runs unchanged on the stream; each
+    (band, band_hash) bucket is applyInPandasWithState keyed state holding
+    live member ids, emitting bare candidate pairs as documents arrive
+    (streaming/minhash.py). Driven availableNow over two staged arrival
+    waves; emitted candidates are deduped and exactly Jaccard-verified
+    against the corpus. With state TTL longer than the run, the result
+    EQUALS the batch operator, so the transliterated batch MinHash SQL is
+    its hard oracle."""
+    from fastselect_spark.dedup.minhash import verify_candidate_pairs
+    from fastselect_spark.streaming import streaming_minhash_candidates
+
+    docs = _streamable_documents(spark, sf_dir)
+    path = _staged_documents_stream_path(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    cands = streaming_minhash_candidates(
+        stream, watermark="10 minutes", state_ttl_minutes=10**6
+    )
+    out = _run_available_now(spark, cands, "fs_stream_mh", mode="append")
+    pairs = out.dropDuplicates(["id_a", "id_b"])
+    return verify_candidate_pairs(docs, pairs, threshold=0.5)
+
+
 def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming session windows (native F.session_window with
     watermark), driven availableNow over the staged transcripts — complete
@@ -1107,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "streaming_dedup_within_watermark": _q_streaming_dedup_wm,
         "streaming_stateful_progress": _q_streaming_stateful,
+        "streaming_minhash_near_dups": _q_streaming_minhash_near_dups,  # oracle = batch minhash SQL
         "q1_pricing_summary": _q_q1_pricing_summary,
         "top_customers": _q_top_customers,
         "supplier_part_revenue": _q_supplier_part_revenue,
@@ -2586,6 +2654,10 @@ def oracle_sql() -> dict[str, str]:
         "asof_pandas": _ASOF_ORACLE,
         "lang_id": _LANG_ID_ORACLE,
         "minhash_near_dups": _MINHASH_ORACLE,
+        # the streaming bucket-state stage equals the batch operator on the
+        # union of its micro-batches (state TTL > run; verified in pytest),
+        # so the same transliterated SQL is its oracle
+        "streaming_minhash_near_dups": _MINHASH_ORACLE,
         "dedup_pipeline": _DEDUP_PIPELINE_ORACLE,
         "simhash_near_dups": _SIMHASH_ORACLE,
         "multimodal_features": _MULTIMODAL_ORACLE,

@@ -160,15 +160,19 @@ def _band_table(
     bands: int,
     rows_per_band: int,
     hash_family: str = "md5",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, band, band_hash) rows — deliberately WITHOUT the shingle arrays:
-    the band explode replicates every row ×bands, so carrying shingles here
-    would amplify the self-join shuffle by the band count. Shingles are
-    re-joined onto the (bounded) candidate pairs afterwards instead."""
+    """(id, [keep_cols...,] band, band_hash) rows — deliberately WITHOUT
+    the shingle arrays: the band explode replicates every row ×bands, so
+    carrying shingles here would amplify the self-join shuffle by the band
+    count. Shingles are re-joined onto the (bounded) candidate pairs
+    afterwards instead. ``keep_cols`` carries additional NARROW columns
+    (e.g. the event-time column the streaming stage watermarks on)."""
     band_hash = F.xxhash64 if hash_family == "xxhash64" else _md5_60bit
     band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.posexplode(
             F.transform(
                 band_ids,
@@ -185,6 +189,45 @@ def _band_table(
         ).alias("band", "band_hash"),
     )
     return banded
+
+
+def verify_candidate_pairs(
+    df: DataFrame,
+    cand: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard verification of bare (id_a, id_b) candidate pairs
+    against the static corpus ``df`` — shingles are recomputed ONLY for
+    docs appearing in a candidate (semi-join first; the naive join-back
+    re-shingles the whole corpus per fetch branch). Shared by the batch
+    LSH self-join and the streaming ingest-time candidate stage
+    (streaming/minhash.py), so both paths verify identically."""
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.select(id_col, text_col).join(cand_ids, id_col, "left_semi")
+    sh = cand_docs.select(
+        F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("shingles")
+    )
+    cand = cand.join(
+        sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def minhash_near_duplicates(
@@ -232,29 +275,7 @@ def minhash_near_duplicates(
     # It is bounded by the banded candidate count — small relative to the
     # corpus by construction — and evictable (MEMORY_AND_DISK default).
     cand = cand.persist()
-    cand_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .unionByName(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    cand_docs = df.select(id_col, text_col).join(cand_ids, id_col, "left_semi")
-    sh = cand_docs.select(
-        F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("shingles")
-    )
-    cand = cand.join(
-        sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
-        "id_a",
-    ).join(
-        sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
-        "id_b",
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    result = (
-        cand.withColumn("jaccard", inter / union)
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    result = verify_candidate_pairs(df, cand, text_col, id_col, shingle_k, threshold)
     # Materialize the (bounded) verified pair list, then RELEASE the
     # branch-point caches — persists that outlive the operator accumulate
     # for the session lifetime (the repo's persist-hygiene rule). The

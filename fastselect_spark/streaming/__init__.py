@@ -10,3 +10,6 @@ from fastselect_spark.streaming.dedup import (  # noqa: F401
 from fastselect_spark.streaming.stateful import (  # noqa: F401
     stateful_conversation_progress,
 )
+from fastselect_spark.streaming.minhash import (  # noqa: F401
+    streaming_minhash_candidates,
+)

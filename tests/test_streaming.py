@@ -247,3 +247,82 @@ def test_streaming_dedup_within_watermark_epochs(spark, tmp_path_factory):
     # alpha/beta re-emitted after their state was evicted; the in-window
     # duplicates (alpha@10:05, gamma@10:39) were dropped
     assert counts == {"alpha": 2, "beta": 2, "gamma": 1, "delta": 1}
+
+
+def test_streaming_minhash_candidates_match_batch(spark, tmp_path):
+    """Streaming LSH bucket-state candidates over two micro-batches ==
+    the batch bucket self-join on the union (state TTL > run length), and
+    the verified pairs equal batch minhash_near_duplicates."""
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fastselect_spark.dedup import minhash_near_duplicates
+    from fastselect_spark.dedup.minhash import (
+        _band_table,
+        add_minhash_signature,
+        verify_candidate_pairs,
+    )
+    from fastselect_spark.streaming import streaming_minhash_candidates
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn(
+            "ts",
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_dt_interval(
+                F.lit(0), F.lit(0), F.lit(0), F.col("doc_id").cast("double")
+            ),
+        )
+    )
+    src = str(tmp_path / "docs_stream")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.2)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cands = streaming_minhash_candidates(
+        stream, watermark="10 minutes", state_ttl_minutes=10**6
+    )
+    q = (
+        cands.writeStream.format("memory")
+        .queryName("mh_cands")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got_pairs = (
+        spark.table("mh_cands").dropDuplicates(["id_a", "id_b"]).persist()
+    )
+
+    # oracle 1: batch banded candidate set on the union
+    sig = add_minhash_signature(docs)
+    banded = _band_table(sig, "doc_id", 16, 4).persist()
+    a = banded.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band", "band_hash")
+    batch_cand = (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    got = {(r["id_a"], r["id_b"]) for r in got_pairs.collect()}
+    expect = {(r["id_a"], r["id_b"]) for r in batch_cand.collect()}
+    assert got == expect and len(got) > 0
+
+    # oracle 2: verified pairs == the full batch operator
+    verified = verify_candidate_pairs(docs, got_pairs, threshold=0.5)
+    batch_full = minhash_near_duplicates(docs, threshold=0.5)
+    vg = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in verified.collect()}
+    vb = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in batch_full.collect()}
+    assert vg == vb
+    got_pairs.unpersist()
+    banded.unpersist()
