@@ -569,6 +569,14 @@ def scorers_mode() -> None:
             " benchmarking scripts; the reference's published result tables"
             " are not committed to its repo (BASELINE.md §1), so these are"
             " our absolute numbers at identical (n, p, domain).\n\n"
+            "> **Variance note (p=200k matrix path):** chi2/fisher at"
+            " n=2000, p=200,000 swing 2-3.5x run-to-run on this VM as the"
+            " day's memory/page-cache state degrades (fresh-process spread"
+            " across one day: chi2 11.9-41.2 s, fisher 13.9-35.1 s — same"
+            " binary, same input; best observed on an idle machine: chi2"
+            " 11.9 s, fisher 13.9 s). mdr_n500_p1000 shows the same"
+            " session-state swing (2.8-4.3 s). All other configs are"
+            " stable within ~20%.\n\n"
             "| scorer@config | wall sec |\n|---|---|\n"
         )
         for k, v in results.items():
