@@ -450,6 +450,22 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION (GPT-3-style n-gram rule): planted
+    benchmark = every 37th doc; corpus = the rest. The benchmark's
+    distinct shingle set is broadcast, the corpus is ONE explode scan +
+    broadcast hash semi-join + per-doc agg — no corpus×benchmark pair
+    work. Returns per-doc overlap stats; the kept set is the anti-join
+    (corpus/decontaminate.py)."""
+    from fastselect_spark.corpus import contamination_hits
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    return contamination_hits(corpus, bench, shingle_k=3)
+
+
 def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic key-hash Bernoulli sample (reproducible and
     repartition-stable, unlike rand()-based df.sample): keep iff
@@ -1163,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": _q_ann_ivf_recall,  # hash-checked recall claim
         "dedup_pipeline": _q_dedup_pipeline,  # exact -> minhash -> cluster -> keep
         "quality_filter": _q_quality_filter,  # C4-style keep-rule chain
+        "decontaminate": _q_decontaminate,  # broadcast n-gram overlap vs planted benchmark
         "corpus_sample": _q_corpus_sample,
         "corpus_mix_by_source": _q_corpus_mix_by_source,
         "source_quota_cap": _q_source_quota_cap,
@@ -2686,6 +2703,35 @@ def oracle_sql() -> dict[str, str]:
           AND stopword_ratio >= 0.05
           AND n_ws_tokens BETWEEN 10 AND 100000
           AND lang_pred = 'en'
+        """,
+        "decontaminate": """
+        WITH norm AS (
+            SELECT doc_id,
+                   STRING_SPLIT(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, UNNEST(toks) AS tok, UNNEST(RANGE(1, LEN(toks) + 1)) AS pos
+            FROM norm
+        ),
+        sh AS (
+            SELECT doc_id,
+                   tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+        bench AS (SELECT DISTINCT shingle FROM shd WHERE doc_id % 37 = 0),
+        corp AS (SELECT doc_id, shingle FROM shd WHERE doc_id % 37 <> 0),
+        tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM corp GROUP BY 1),
+        hit AS (
+            SELECT c.doc_id, COUNT(*) AS n_hit
+            FROM corp c JOIN bench USING (shingle) GROUP BY 1
+        )
+        SELECT h.doc_id,
+               CAST(n_hit AS BIGINT) AS n_hit_shingles,
+               CAST(n_sh AS BIGINT) AS n_shingles,
+               ROUND(n_hit * 1.0 / n_sh, 6) AS hit_frac
+        FROM hit h JOIN tot t ON h.doc_id = t.doc_id
         """,
         "corpus_sample": """
         SELECT doc_id, source FROM documents

@@ -1,3 +1,7 @@
+from fastselect_spark.corpus.decontaminate import (
+    contamination_hits,
+    decontaminate,
+)
 from fastselect_spark.corpus.filtering import quality_filter
 from fastselect_spark.corpus.sampling import (
     cap_per_source,
@@ -7,6 +11,8 @@ from fastselect_spark.corpus.sampling import (
 
 __all__ = [
     "cap_per_source",
+    "contamination_hits",
+    "decontaminate",
     "deterministic_sample",
     "quality_filter",
     "sample_by_source",

@@ -1,0 +1,91 @@
+"""Benchmark decontamination — remove training documents that overlap a
+held-out evaluation/benchmark set (the GPT-3/PaLM-style n-gram
+decontamination rule: a training doc sharing enough distinct token
+n-grams with any benchmark text is contaminated and must be dropped
+before training).
+
+Spark shape at 100 TB: the benchmark side is small by definition (eval
+sets are thousands of texts, not billions), so its DISTINCT shingle set
+is broadcast; the corpus side is ONE scan exploding each doc's distinct
+shingles, a broadcast hash semi-join on the shingle, and one per-doc
+aggregation — no shuffle of the corpus beyond the final per-doc count,
+no O(corpus × benchmark) pair work. Tokenization is the SAME
+``_shingles`` expression the dedup family uses (whitespace-normalized
+lowercase token k-shingles), so the DuckDB gate recomputes it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastselect_spark.dedup.minhash import _shingles
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc_id, n_hit_shingles, n_shingles, hit_frac) for every corpus doc
+    sharing at least one distinct ``shingle_k``-gram with the benchmark.
+
+    ``hit_frac`` is the contaminated fraction of the DOC's shingle set —
+    the thresholding knob: 1.0 means every n-gram of the doc appears
+    somewhere in the benchmark (verbatim leak); small fractions are
+    incidental phrase overlap."""
+    bench_text = bench_text_col or text_col
+    bench_shingles = (
+        benchmark.select(
+            F.explode(_shingles(F.col(bench_text), shingle_k)).alias("shingle")
+        ).distinct()
+    )
+    # per-doc distinct shingles; n_shingles rides the explode (narrow int)
+    inv = corpus.select(
+        F.col(id_col),
+        F.size(_shingles(F.col(text_col), shingle_k)).alias("n_shingles"),
+        F.explode(_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    )
+    hits = (
+        inv.join(F.broadcast(bench_shingles), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_shingles"),
+            F.first("n_shingles").alias("n_shingles"),
+        )
+    )
+    return hits.select(
+        id_col,
+        F.col("n_hit_shingles").cast("long").alias("n_hit_shingles"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.round(
+            F.col("n_hit_shingles") / F.col("n_shingles"), 6
+        ).alias("hit_frac"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    shingle_k: int = 3,
+    min_hit_shingles: int = 1,
+    min_hit_frac: float = 0.0,
+) -> DataFrame:
+    """The kept corpus: drop docs whose benchmark overlap reaches BOTH
+    thresholds (``min_hit_shingles`` distinct shared n-grams AND
+    ``min_hit_frac`` of the doc's own shingles — the fraction guard stops
+    one common phrase from nuking long documents)."""
+    hits = contamination_hits(
+        corpus, benchmark, text_col, id_col, bench_text_col, shingle_k
+    )
+    bad = hits.where(
+        (F.col("n_hit_shingles") >= min_hit_shingles)
+        & (F.col("hit_frac") >= min_hit_frac)
+    ).select(id_col)
+    return corpus.join(bad, id_col, "left_anti")

@@ -122,3 +122,44 @@ def test_quality_filter_rules(spark):
         df, langs=None, min_quality=0.0, min_stopword_ratio=0.0, min_tokens=5
     ).toPandas()
     assert set(kept2["doc_id"]) == {0, 1}
+
+
+def test_decontaminate_planted(spark):
+    """Verbatim benchmark leak (hit_frac 1.0) is dropped, partial phrase
+    overlap is kept under the fraction guard, clean docs untouched."""
+    from pyspark.sql import functions as F
+
+    from fastselect_spark.corpus import contamination_hits, decontaminate
+
+    bench = spark.createDataFrame(
+        [(9000, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # verbatim copy of the benchmark text -> hit_frac 1.0
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            # shares one 3-gram ('the quick brown') out of many -> small frac
+            (2, "meanwhile the quick brown cat sat on a very warm mat today"),
+            # clean
+            (3, "completely unrelated text about distributed query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {
+        r["doc_id"]: (r["n_hit_shingles"], r["hit_frac"])
+        for r in contamination_hits(corpus, bench).collect()
+    }
+    assert hits[1][1] == 1.0
+    assert 3 not in hits
+    assert 0 < hits[2][1] < 0.5
+    kept = decontaminate(
+        corpus, bench, min_hit_shingles=1, min_hit_frac=0.5
+    )
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == [2, 3]
+    # threshold at any overlap drops both overlapping docs
+    kept_strict = decontaminate(corpus, bench, min_hit_shingles=1)
+    assert [r["doc_id"] for r in kept_strict.select("doc_id").collect()] == [3]
+    # plan: the benchmark side must broadcast (no corpus shuffle for the join)
+    plan = contamination_hits(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
