@@ -198,6 +198,35 @@ def main() -> int:
         f"(offending={bad})" if bad else "",
     )
 
+    # 8. IVF training scan: the train_sample subset is a row-local
+    # deterministic hash filter — no exchange at all, and specifically no
+    # single-partition funnel (the round-3 orderBy().limit() defect)
+    from fastselect_spark.corpus.sampling import deterministic_sample
+
+    train = deterministic_sample(
+        emb.select("vec_id", "embedding"), fraction=0.4, key_col="vec_id", seed=0
+    ).select("embedding")
+    p = plan_of(train)
+    failures += not check(
+        "IVF training sample is exchange-free (no single-partition funnel)",
+        "Exchange" not in p and "GlobalLimit" not in p,
+    )
+
+    # 9. decontamination: benchmark shingle set broadcasts; the corpus side
+    # is never shuffled for the semi-join
+    from fastselect_spark.corpus import contamination_hits
+
+    hits = contamination_hits(
+        docs.where(F.col("doc_id") % 37 != 0),
+        docs.where(F.col("doc_id") % 37 == 0),
+        shingle_k=3,
+    )
+    p = plan_of(hits)
+    failures += not check(
+        "decontamination joins the broadcast benchmark shingle set",
+        "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+    )
+
     print(f"\n{'ALL CHECKS PASS' if not failures else f'{failures} CHECK(S) FAILED'}")
     return 1 if failures else 0
 
