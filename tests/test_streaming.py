@@ -326,3 +326,113 @@ def test_streaming_minhash_candidates_match_batch(spark, tmp_path):
     assert vg == vb
     got_pairs.unpersist()
     banded.unpersist()
+
+
+def test_streaming_minhash_ttl_eviction_and_bucket_cap(spark, tmp_path):
+    """Bounded-state contract: (a) a bucket evicted by the event-time TTL
+    does NOT pair docs across the eviction (the documented trade-off, as
+    in dropDuplicatesWithinWatermark); (b) max_bucket_size caps membership
+    — a hot bucket emits pairs against at most cap members."""
+    import time as _time
+
+    import pandas as pd
+
+    from fastselect_spark.streaming import streaming_minhash_candidates
+
+    # identical texts -> identical signatures -> same bucket in every band
+    def wave(ids, ts):
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "text": "the same exact document text repeated verbatim here",
+                "ts": pd.to_datetime([ts] * len(ids)),
+            }
+        )
+
+    def spacer(ids, ts):
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "text": "completely different spacer content advancing the clock",
+                "ts": pd.to_datetime([ts] * len(ids)),
+            }
+        )
+
+    src = str(tmp_path / "mh_ttl")
+    # Eviction is LAZY and timers fire only for keys WITHOUT data in a
+    # batch (the dropDuplicatesWithinWatermark lesson): the fixture needs
+    # spacer batches that advance the watermark past the bucket's expiry
+    # and give its timer a data-free batch to fire in, BEFORE the bucket
+    # sees data again.
+    batches = [
+        wave([1, 2], "2026-01-01 00:00:00"),   # (1,2) emits; expiry 00:10
+        spacer([100], "2026-01-01 03:00:00"),  # watermark -> 02:59
+        spacer([101], "2026-01-01 03:01:00"),  # bucket timer fires, state dropped
+        wave([3], "2026-01-01 03:05:00"),      # fresh bucket: no (1,3)/(2,3)
+        wave([4], "2026-01-01 03:06:00"),      # (3,4) emits
+    ]
+    for b in batches:
+        spark.createDataFrame(
+            b, "doc_id long, text string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.2)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cands = streaming_minhash_candidates(
+        stream, watermark="1 minute", state_ttl_minutes=10
+    )
+    q = (
+        cands.writeStream.format("memory")
+        .queryName("mh_ttl")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ttl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in spark.table("mh_ttl").dropDuplicates(["id_a", "id_b"]).collect()
+    }
+    assert (1, 2) in pairs
+    assert (3, 4) in pairs
+    # eviction: docs arriving after the TTL fired must NOT pair with the
+    # evicted members
+    assert not {(1, 3), (2, 3), (1, 4), (2, 4)} & pairs
+
+    # bucket cap: 6 identical docs, cap 2 -> only pairs among first 2
+    # members plus each later arrival vs those 2 (cap stops accumulation)
+    src2 = str(tmp_path / "mh_cap")
+    spark.createDataFrame(
+        wave([10, 11, 12, 13, 14, 15], "2026-01-01 00:00:00"),
+        "doc_id long, text string, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(src2)
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(src2)
+    )
+    cands2 = streaming_minhash_candidates(
+        stream2, watermark="1 minute", state_ttl_minutes=10, max_bucket_size=2
+    )
+    q2 = (
+        cands2.writeStream.format("memory")
+        .queryName("mh_cap")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cap"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    pairs2 = {
+        (r["id_a"], r["id_b"])
+        for r in spark.table("mh_cap").dropDuplicates(["id_a", "id_b"]).collect()
+    }
+    # members = {10, 11}; every doc 12..15 pairs against both, no more
+    expect = {(10, 11)} | {(10, d) for d in (12, 13, 14, 15)} | {
+        (11, d) for d in (12, 13, 14, 15)
+    }
+    assert pairs2 == expect
