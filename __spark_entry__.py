@@ -450,6 +450,24 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-line/word fractions, top-{2,3}
+    word-gram character fractions) — one Arrow kernel pass, no shuffle
+    (text/repetition.py). Rounding happens ENGINE-side on both sides
+    (F.round / SQL ROUND, both half-away for positives)."""
+    from fastselect_spark.text import add_repetition_stats
+
+    _register(spark, sf_dir, "documents")
+    return add_repetition_stats(spark.table("documents")).select(
+        "doc_id",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("top2gram_char_frac", 6).alias("top2gram_char_frac"),
+        F.round("top3gram_char_frac", 6).alias("top3gram_char_frac"),
+    )
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark DECONTAMINATION (GPT-3-style n-gram rule): planted
     benchmark = every 37th doc; corpus = the rest. The benchmark's
@@ -1179,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": _q_ann_ivf_recall,  # hash-checked recall claim
         "dedup_pipeline": _q_dedup_pipeline,  # exact -> minhash -> cluster -> keep
         "quality_filter": _q_quality_filter,  # C4-style keep-rule chain
+        "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
         "decontaminate": _q_decontaminate,  # broadcast n-gram overlap vs planted benchmark
         "corpus_sample": _q_corpus_sample,
         "corpus_mix_by_source": _q_corpus_mix_by_source,
@@ -2703,6 +2722,82 @@ def oracle_sql() -> dict[str, str]:
           AND stopword_ratio >= 0.05
           AND n_ws_tokens BETWEEN 10 AND 100000
           AND lang_pred = 'en'
+        """,
+        "repetition_stats": """
+        WITH norm AS (
+            SELECT doc_id,
+                   LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')) AS nrm
+            FROM documents
+        ),
+        ln AS (
+            SELECT doc_id,
+                   LOWER(REGEXP_REPLACE(TRIM(l), '\\s+', ' ', 'g')) AS line
+            FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, chr(10))) AS l
+                  FROM documents)
+            WHERE LOWER(REGEXP_REPLACE(TRIM(l), '\\s+', ' ', 'g')) <> ''
+        ),
+        lstat AS (
+            SELECT doc_id, COUNT(*) AS n_lines,
+                   (COUNT(*) - COUNT(DISTINCT line)) * 1.0 / COUNT(*) AS dlf
+            FROM ln GROUP BY 1
+        ),
+        toks AS (
+            SELECT doc_id, STRING_SPLIT(nrm, ' ') AS t, LENGTH(nrm) AS nc
+            FROM norm
+        ),
+        wstat AS (
+            SELECT doc_id,
+                   (LEN(t) - LEN(LIST_DISTINCT(t))) * 1.0 / LEN(t) AS dwf
+            FROM toks
+        ),
+        tk AS (
+            SELECT doc_id, UNNEST(t) AS tok,
+                   UNNEST(RANGE(1, LEN(t) + 1)) AS pos
+            FROM toks
+        ),
+        g2 AS (
+            SELECT doc_id, tok || ' ' || LEAD(tok) OVER w AS gram
+            FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        c2 AS (
+            SELECT doc_id, gram, COUNT(*) AS c FROM g2
+            WHERE gram IS NOT NULL GROUP BY 1, 2
+        ),
+        m2 AS (
+            SELECT doc_id, c * LENGTH(gram) AS chars FROM (
+                SELECT doc_id, gram, c,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, gram) AS rn
+                FROM c2 WHERE c > 1) WHERE rn = 1
+        ),
+        g3 AS (
+            SELECT doc_id,
+                   tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w AS gram
+            FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        c3 AS (
+            SELECT doc_id, gram, COUNT(*) AS c FROM g3
+            WHERE gram IS NOT NULL GROUP BY 1, 2
+        ),
+        m3 AS (
+            SELECT doc_id, c * LENGTH(gram) AS chars FROM (
+                SELECT doc_id, gram, c,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, gram) AS rn
+                FROM c3 WHERE c > 1) WHERE rn = 1
+        )
+        SELECT n.doc_id,
+               CAST(COALESCE(l.n_lines, 0) AS INT) AS n_lines,
+               ROUND(COALESCE(l.dlf, 0), 6) AS dup_line_frac,
+               ROUND(w.dwf, 6) AS dup_word_frac,
+               ROUND(COALESCE(m2.chars, 0) * 1.0 / t.nc, 6) AS top2gram_char_frac,
+               ROUND(COALESCE(m3.chars, 0) * 1.0 / t.nc, 6) AS top3gram_char_frac
+        FROM norm n
+        JOIN toks t USING (doc_id)
+        JOIN wstat w USING (doc_id)
+        LEFT JOIN lstat l USING (doc_id)
+        LEFT JOIN m2 USING (doc_id)
+        LEFT JOIN m3 USING (doc_id)
         """,
         "decontaminate": """
         WITH norm AS (

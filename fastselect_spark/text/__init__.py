@@ -5,3 +5,7 @@ from fastselect_spark.text.analysis import (  # noqa: F401
     add_fingerprint,
     add_stopword_ratio,
 )
+from fastselect_spark.text.repetition import (  # noqa: F401
+    add_repetition_stats,
+    repetition_filter,
+)

@@ -163,3 +163,35 @@ def test_decontaminate_planted(spark):
     # plan: the benchmark side must broadcast (no corpus shuffle for the join)
     plan = contamination_hits(corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_stats_planted(spark):
+    """Gopher repetition signals against hand-computed values, including
+    the line metrics the synthetic corpus can't exercise (it has no
+    newlines) and the deterministic mode tie-break."""
+    from fastselect_spark.text import add_repetition_stats, repetition_filter
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, 'spam line' repeated 3x -> dup_line_frac = 2/4
+            (1, "spam line\nspam line\nspam line\nreal content here"),
+            # heavy 2-gram repetition: 'buy now' x4 in 8 tokens
+            (2, "buy now buy now buy now buy now"),
+            # clean prose
+            (3, "a perfectly ordinary sentence with distinct tokens only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in add_repetition_stats(docs).collect()
+    }
+    assert got[1]["n_lines"] == 4
+    assert abs(got[1]["dup_line_frac"] - 0.5) < 1e-12
+    # doc 2: norm = 'buy now buy now buy now buy now' (31 chars);
+    # top 2-gram = 'buy now' (count 4, len 7) -> 28/31; dup words 6/8
+    assert abs(got[2]["top2gram_char_frac"] - 28 / 31) < 1e-12
+    assert abs(got[2]["dup_word_frac"] - 0.75) < 1e-12
+    assert got[3]["dup_line_frac"] == 0.0 and got[3]["dup_word_frac"] == 0.0
+    kept = repetition_filter(docs)
+    assert [r["doc_id"] for r in kept.select("doc_id").collect()] == [3]
