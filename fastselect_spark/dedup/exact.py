@@ -23,7 +23,7 @@ def exact_duplicate_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(fingerprint, keep_id, n_copies) for every group with > 1 copy."""
-    fp = add_fingerprint(df, text_col)
+    fp = add_fingerprint(df, text_col, with_rolling=False)
     return (
         fp.groupBy("fp_exact")
         .agg(
@@ -38,10 +38,10 @@ def dedup_exact(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Keep exactly one row (min id) per normalized-content fingerprint."""
-    fp = add_fingerprint(df, text_col)
+    fp = add_fingerprint(df, text_col, with_rolling=False)
     w = Window.partitionBy("fp_exact").orderBy(id_col)
     return (
         fp.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("__rn", "fp_exact", "fp_rolling")
+        .drop("__rn", "fp_exact")
     )

@@ -114,16 +114,24 @@ def add_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.drop(*[f"__lang_{l}" for l in langs])
 
 
-def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+def add_fingerprint(
+    df: DataFrame, text_col: str = "text", with_rolling: bool = True
+) -> DataFrame:
     """Two document fingerprints:
     - ``fp_exact``: md5 of whitespace-normalized lowercase text (exact-dup key);
     - ``fp_rolling``: 64-bit polynomial rolling hash over tokens (order-
       sensitive content fingerprint), computed with JVM-side ``aggregate``
-      over the token array — no Python.
+      over the token array — no Python. Opt out with ``with_rolling=False``
+      when only the exact key is needed: Catalyst higher-order aggregates
+      are interpreted PER TOKEN, and computing-then-dropping the rolling
+      hash was 7x the cost of the whole exact-dedup stage (measured
+      3.45 s vs 0.49 s at 10k docs).
     """
     c = F.col(text_col)
     norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
     df = df.withColumn("fp_exact", F.md5(norm))
+    if not with_rolling:
+        return df
     toks = F.split(norm, " ")
     # polynomial rolling hash in the Mersenne field 2^31-1 (modular steps
     # keep intermediates < 2^52, overflow-safe under ANSI mode)
