@@ -450,6 +450,19 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence-packing manifest: docs hash
+    into independent shards, each shard packs its docs (ascending id)
+    into 256-token chunks via one per-shard window cumsum — exact integer
+    arithmetic over a deterministic order (corpus/packing.py)."""
+    from fastselect_spark.corpus import pack_sequences
+
+    _register(spark, sf_dir, "documents")
+    return pack_sequences(
+        spark.table("documents"), max_tokens=256, n_shards=4, seed=0
+    )
+
+
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (dup-line/word fractions, top-{2,3}
     word-gram character fractions) — one Arrow kernel pass, no shuffle
@@ -1197,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": _q_ann_ivf_recall,  # hash-checked recall claim
         "dedup_pipeline": _q_dedup_pipeline,  # exact -> minhash -> cluster -> keep
         "quality_filter": _q_quality_filter,  # C4-style keep-rule chain
+        "pack_sequences": _q_pack_sequences,  # concat-and-chunk packing manifest
         "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
         "decontaminate": _q_decontaminate,  # broadcast n-gram overlap vs planted benchmark
         "corpus_sample": _q_corpus_sample,
@@ -2722,6 +2736,31 @@ def oracle_sql() -> dict[str, str]:
           AND stopword_ratio >= 0.05
           AND n_ws_tokens BETWEEN 10 AND 100000
           AND lang_pred = 'en'
+        """,
+        "pack_sequences": """
+        WITH base AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5('0:' || doc_id), 1, 15) AS BIGINT)
+                       % 1000000 % 4 AS shard,
+                   CASE WHEN LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')) = ''
+                        THEN 0
+                        ELSE LEN(STRING_SPLIT(
+                            LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), ' '))
+                   END AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+            FROM base
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(FLOOR(prev / 256) AS BIGINT) AS start_chunk,
+               CAST(prev % 256 AS BIGINT) AS start_offset,
+               CAST(FLOOR((prev + GREATEST(n_tokens - 1, 0)) / 256) AS BIGINT)
+                   AS end_chunk
+        FROM cum
         """,
         "repetition_stats": """
         WITH norm AS (

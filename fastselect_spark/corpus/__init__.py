@@ -3,6 +3,7 @@ from fastselect_spark.corpus.decontaminate import (
     decontaminate,
 )
 from fastselect_spark.corpus.filtering import quality_filter
+from fastselect_spark.corpus.packing import pack_sequences
 from fastselect_spark.corpus.sampling import (
     cap_per_source,
     deterministic_sample,
@@ -14,6 +15,7 @@ __all__ = [
     "contamination_hits",
     "decontaminate",
     "deterministic_sample",
+    "pack_sequences",
     "quality_filter",
     "sample_by_source",
 ]

@@ -195,3 +195,28 @@ def test_repetition_stats_planted(spark):
     assert got[3]["dup_line_frac"] == 0.0 and got[3]["dup_word_frac"] == 0.0
     kept = repetition_filter(docs)
     assert [r["doc_id"] for r in kept.select("doc_id").collect()] == [3]
+
+
+def test_pack_sequences_manifest(spark):
+    """The manifest reconstructs a gapless token stream per shard: doc k's
+    first token lands exactly one past doc k-1's last token, offsets stay
+    under max_tokens, and chunk spans match ceil-div arithmetic."""
+    from pyspark.sql import functions as F
+
+    from fastselect_spark.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (7 + (i * 13) % 40))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    m = pack_sequences(docs, max_tokens=64, n_shards=3).toPandas()
+    assert len(m) == 200
+    assert (m["start_offset"] < 64).all()
+    assert (m["end_chunk"] >= m["start_chunk"]).all()
+    for _, grp in m.sort_values(["shard", "doc_id"]).groupby("shard"):
+        pos = 0
+        for r in grp.itertuples():
+            assert r.start_chunk == pos // 64
+            assert r.start_offset == pos % 64
+            assert r.end_chunk == (pos + max(r.n_tokens - 1, 0)) // 64
+            pos += r.n_tokens
