@@ -450,6 +450,28 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embeddings: one tree-reduced
+    sufficient-statistics pass (count, sum, X^T X), driver
+    eigendecomposition with a deterministic sign convention, broadcast
+    Arrow projection (similarity/pca.py). The oracle projects with the
+    independent NumPy replica's literal mean/components — the IVF
+    centroid-literal pattern."""
+    from fastselect_spark.similarity import pca_project, train_pca
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    mean, comps, _ = train_pca(emb, n_components=4)
+    proj = pca_project(emb, mean, comps)
+    return proj.select(
+        "vec_id", F.posexplode("pca").alias("component", "value")
+    ).select(
+        "vec_id",
+        F.col("component").cast("int").alias("component"),
+        F.round("value", 6).alias("value"),
+    )
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence-packing manifest: docs hash
     into independent shards, each shard packs its docs (ascending id)
@@ -1210,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": _q_ann_ivf_recall,  # hash-checked recall claim
         "dedup_pipeline": _q_dedup_pipeline,  # exact -> minhash -> cluster -> keep
         "quality_filter": _q_quality_filter,  # C4-style keep-rule chain
+        "pca_projection": _q_pca_projection,  # oracle = replica-literal projection
         "pack_sequences": _q_pack_sequences,  # concat-and-chunk packing manifest
         "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
         "decontaminate": _q_decontaminate,  # broadcast n-gram overlap vs planted benchmark
@@ -2581,6 +2604,41 @@ FROM r WHERE rank <= 5
 """
 
 
+def _pca_projection_oracle_sql() -> str | None:
+    """DuckDB oracle for ``pca_projection``: the independent NumPy replica
+    trains mean/components from the gate's parquet; the SQL projects
+    (emb - mean) onto each component with zipped UNNESTs. Returns None
+    (rows-only fallback) if the parquet is unreadable."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        from fastselect_spark.similarity import train_pca_numpy
+
+        mean, comps, _ = train_pca_numpy(f"{sf_dir}/embeddings.parquet", 4)
+    except Exception:
+        return None
+    mean_lit = "[{}]".format(", ".join(repr(float(v)) for v in mean))
+    comp_rows = ",\n    ".join(
+        "({}, [{}])".format(j, ", ".join(repr(float(v)) for v in row))
+        for j, row in enumerate(comps)
+    )
+    return f"""
+WITH comp(component, cw) AS (VALUES
+    {comp_rows}
+),
+e AS (SELECT vec_id, embedding AS ce FROM embeddings),
+z AS (
+    SELECT vec_id, component,
+           UNNEST(ce) AS x, UNNEST(cw) AS w, UNNEST({mean_lit}) AS m
+    FROM e, comp
+)
+SELECT vec_id, CAST(component AS INT) AS component,
+       ROUND(SUM((CAST(x AS DOUBLE) - m) * w), 6) AS value
+FROM z GROUP BY 1, 2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = {
         "fisher_scores": _FISHER_ORACLE,
@@ -3014,6 +3072,9 @@ def oracle_sql() -> dict[str, str]:
     ivf = _ivf_topk_oracle_sql()
     if ivf is not None:
         out["ann_ivf_topk"] = ivf
+    pca = _pca_projection_oracle_sql()
+    if pca is not None:
+        out["pca_projection"] = pca
     return out
 
 

@@ -4,3 +4,8 @@ from fastselect_spark.similarity.ivf import (  # noqa: F401
     ivf_assign,
     train_ivf_centroids,
 )
+from fastselect_spark.similarity.pca import (  # noqa: F401
+    pca_project,
+    train_pca,
+    train_pca_numpy,
+)

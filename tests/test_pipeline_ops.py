@@ -549,3 +549,32 @@ def test_mi_cube_rejects_unsafe_codes(spark):
     )
     with pytest.raises(ValueError, match="2\\^53"):
         mi_matrices(df, ["f0"], "y", compute_redundancy=False)
+
+
+def test_pca_training_parity_and_projection(spark):
+    """Distributed sufficient-statistics PCA == the single-process NumPy
+    replica (same parquet), and the projection reconstructs variance:
+    top-k projections' variance equals the top-k eigenvalues."""
+    import numpy as np_
+
+    from fastselect_spark.similarity import pca_project, train_pca, train_pca_numpy
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path).repartition(8)  # multi-partition sums
+    m1, c1, e1 = train_pca(emb, 4)
+    m2, c2, e2 = train_pca_numpy(path, 4)
+    assert np_.allclose(m1, m2, atol=1e-12)
+    assert np_.allclose(c1, c2, atol=1e-9)
+    assert np_.allclose(e1, e2, atol=1e-12)
+    # orthonormal components
+    assert np_.allclose(c1 @ c1.T, np_.eye(4), atol=1e-10)
+    # projections: sample variance along comp j == eigenvalue j
+    P = np_.stack(
+        pca_project(emb, m1, c1).select("pca").toPandas()["pca"].to_numpy()
+    )
+    import pyarrow.parquet as pq_
+
+    M = np_.stack(pq_.read_table(path)["embedding"].to_pylist()).astype(float)
+    cov = np_.cov(M.T)
+    vals = np_.sort(np_.linalg.eigvalsh(cov))[::-1][:4]
+    assert np_.allclose(P.var(axis=0, ddof=1), vals, rtol=1e-6)
