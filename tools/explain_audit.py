@@ -227,6 +227,19 @@ def main() -> int:
         "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
     )
 
+    # 10. sequence packing: sharded streams — exactly ONE hash exchange
+    # (on the shard) + a window; never a global single-partition sort
+    from fastselect_spark.corpus import pack_sequences
+
+    m = pack_sequences(docs, max_tokens=256, n_shards=4)
+    p = plan_of(m, execute=True)
+    failures += not check(
+        "pack_sequences is one shard exchange + window (no global sort)",
+        len(re.findall(r"Exchange hashpartitioning", p)) == 1
+        and "Window" in p
+        and "Exchange SinglePartition" not in p,
+    )
+
     print(f"\n{'ALL CHECKS PASS' if not failures else f'{failures} CHECK(S) FAILED'}")
     return 1 if failures else 0
 
