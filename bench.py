@@ -219,6 +219,42 @@ def default_mode() -> None:
         out["dedup_pipeline_sec"] = round(dt, 3)
         out["dedup_docs_per_sec"] = round(n_docs / dt, 1)
         out["dedup_kept_docs"] = kept
+
+        # corpus-prep operator timings at the same SF (one warm session):
+        # Gopher repetition filter, benchmark decontamination, sequence
+        # packing, and the embeddings PCA train+project pass
+        from pyspark.sql import functions as F
+
+        from fastselect_spark.corpus import (
+            contamination_hits,
+            pack_sequences,
+        )
+        from fastselect_spark.similarity import pca_project, train_pca
+        from fastselect_spark.text import repetition_filter
+
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        docs = docs.repartition(int(CPUS)).persist()
+        docs.count()
+        ops: dict[str, float] = {}
+        t0 = time.perf_counter()
+        ops["repetition_filter_kept"] = repetition_filter(docs).count()
+        ops["repetition_filter_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        bench_side = docs.where(F.col("doc_id") % 37 == 0)
+        ops["decontaminate_hits"] = contamination_hits(
+            docs.where(F.col("doc_id") % 37 != 0), bench_side
+        ).count()
+        ops["decontaminate_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        ops["pack_sequences_rows"] = pack_sequences(docs, 2048).count()
+        ops["pack_sequences_sec"] = round(time.perf_counter() - t0, 3)
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        t0 = time.perf_counter()
+        mean, comps, _ = train_pca(emb, 8)
+        ops["pca_rows"] = pca_project(emb, mean, comps).count()
+        ops["pca_train_project_sec"] = round(time.perf_counter() - t0, 3)
+        docs.unpersist()
+        out["corpus_ops"] = ops
     except Exception as exc:  # surface the regression in the bench output
         out["dedup_pipeline_error"] = f"{type(exc).__name__}: {exc}"[:500]
         print(f"dedup pipeline benchmark FAILED: {exc!r}", file=sys.stderr)
