@@ -729,6 +729,43 @@ def _streamable_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time quality filtering: the C4/Gopher keep-rule chain
+    (corpus/filtering.py) is a stateless JVM projection + predicate, so
+    it runs UNCHANGED on the document stream — filtered before landing,
+    not after. availableNow over the staged arrival waves; stateless row
+    ops make the streaming result exactly the batch result, so the batch
+    quality_filter SQL is its oracle."""
+    from fastselect_spark.corpus import quality_filter
+
+    path = _staged_documents_stream_path(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    kept = quality_filter(
+        stream,
+        langs=("en",),
+        min_quality=0.7,
+        min_stopword_ratio=0.05,
+        min_tokens=10,
+    )
+    out = _run_available_now(
+        spark,
+        kept.select(
+            "doc_id",
+            "lang_pred",
+            F.round("quality_score", 6).alias("quality_score"),
+            F.round("stopword_ratio", 6).alias("stopword_ratio"),
+            F.col("n_ws_tokens").cast("int").alias("n_ws_tokens"),
+        ),
+        "fs_stream_quality",
+        mode="append",
+    )
+    return out
+
+
 def _q_streaming_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest-time MinHash-LSH near-dup detection: the batch
     signature+banding expression stack runs unchanged on the stream; each
@@ -1248,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_within_watermark": _q_streaming_dedup_wm,
         "streaming_stateful_progress": _q_streaming_stateful,
         "streaming_minhash_near_dups": _q_streaming_minhash_near_dups,  # oracle = batch minhash SQL
+        "streaming_quality_filter": _q_streaming_quality_filter,  # oracle = batch filter SQL
         "q1_pricing_summary": _q_q1_pricing_summary,
         "top_customers": _q_top_customers,
         "supplier_part_revenue": _q_supplier_part_revenue,
@@ -3075,6 +3113,9 @@ def oracle_sql() -> dict[str, str]:
     pca = _pca_projection_oracle_sql()
     if pca is not None:
         out["pca_projection"] = pca
+    # the streaming quality filter is a stateless projection of the same
+    # rows — the batch filter SQL is its oracle verbatim
+    out["streaming_quality_filter"] = out["quality_filter"]
     return out
 
 
