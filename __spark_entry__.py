@@ -485,6 +485,31 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keyword extraction: top-3 tf-idf terms (smoothed sklearn
+    idf, deterministic (score desc, term asc) tie-break) — two keyed
+    aggregations + one term join + one per-doc window (text/tfidf.py)."""
+    from fastselect_spark.text import top_tfidf_terms
+
+    _register(spark, sf_dir, "documents")
+    return top_tfidf_terms(spark.table("documents"), k=3)
+
+
+def _q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding dedup: exact near-dup pairs (cosine >= 0.42)
+    -> connected components -> (component, keep_id, n_members) per
+    cluster — the semantic-dedup analogue of the MinHash flagship chain;
+    the oracle recomputes pairs exactly and clusters with a recursive
+    CTE."""
+    from fastselect_spark.dedup import duplicate_clusters, embedding_near_duplicates
+
+    _register(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(
+        spark.table("embeddings"), threshold=0.42, brute_force=True
+    )
+    return duplicate_clusters(pairs)
+
+
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (dup-line/word fractions, top-{2,3}
     word-gram character fractions) — one Arrow kernel pass, no shuffle
@@ -1271,6 +1296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,  # C4-style keep-rule chain
         "pca_projection": _q_pca_projection,  # oracle = replica-literal projection
         "pack_sequences": _q_pack_sequences,  # concat-and-chunk packing manifest
+        "tfidf_keywords": _q_tfidf_keywords,  # top-3 tf-idf terms per doc
+        "embedding_dedup_clusters": _q_embedding_dedup_clusters,  # pairs -> CC -> clusters
         "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
         "decontaminate": _q_decontaminate,  # broadcast n-gram overlap vs planted benchmark
         "corpus_sample": _q_corpus_sample,
@@ -2857,6 +2884,55 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR((prev + GREATEST(n_tokens - 1, 0)) / 256) AS BIGINT)
                    AS end_chunk
         FROM cum
+        """,
+        "tfidf_keywords": """
+        -- NB: score ordering is double-precision; distinct (tf, df) pairs
+        -- on this corpus are separated far beyond the 1-ulp LN() skew
+        -- between engines, and exact (tf, df) ties produce bit-identical
+        -- scores resolved by the term tie-break
+        WITH norm AS (
+            SELECT doc_id,
+                   LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')) AS nrm
+            FROM documents
+        ),
+        tk AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(nrm, ' ')) AS term FROM norm
+        ),
+        tk2 AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk2 GROUP BY 1, 2),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT COUNT(*) AS n FROM documents),
+        sc AS (
+            SELECT t.doc_id, t.term, t.tf, d.df,
+                   t.tf * (LN((n + 1.0) / (d.df + 1)) + 1.0) AS score
+            FROM tf t JOIN dfq d USING (term), nd
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, term) AS rn
+            FROM sc
+        )
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+               ROUND(score, 6) AS score, CAST(rn AS INT) AS rank
+        FROM r WHERE rn <= 3
+        """,
+        "embedding_dedup_clusters": f"""
+        WITH RECURSIVE
+        pairs AS MATERIALIZED ({_EMBED_NEAR_DUP_ORACLE}),
+        eg AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM eg),
+        reach(node, comp) AS (
+            SELECT node, node AS comp FROM nodes
+            UNION
+            SELECT eg.src, r.comp FROM reach r JOIN eg ON eg.dst = r.node
+        ),
+        labels AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY 1)
+        SELECT comp, MIN(node) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM labels GROUP BY comp
         """,
         "repetition_stats": """
         WITH norm AS (

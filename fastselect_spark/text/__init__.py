@@ -9,3 +9,4 @@ from fastselect_spark.text.repetition import (  # noqa: F401
     add_repetition_stats,
     repetition_filter,
 )
+from fastselect_spark.text.tfidf import top_tfidf_terms  # noqa: F401

@@ -220,3 +220,38 @@ def test_pack_sequences_manifest(spark):
             assert r.start_offset == pos % 64
             assert r.end_chunk == (pos + max(r.n_tokens - 1, 0)) // 64
             pos += r.n_tokens
+
+
+def test_tfidf_keywords_oracle(spark):
+    """tf-idf top-k against a pure-Python oracle (smoothed sklearn idf,
+    (score desc, term asc) tie-break) on a planted mini-corpus."""
+    import math
+
+    from fastselect_spark.text import top_tfidf_terms
+
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana durian"),
+        (3, "apple elderberry elderberry elderberry"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["rank"], r["term"], r["tf"], r["df"], r["score"])
+        for r in top_tfidf_terms(docs, k=2).orderBy("doc_id", "rank").collect()
+    ]
+    # python oracle
+    from collections import Counter
+    n = 3
+    tfs = {d: Counter(t.split()) for d, t in rows}
+    dfs = Counter(term for c in tfs.values() for term in c)
+    expect = []
+    for d in sorted(tfs):
+        scored = sorted(
+            (
+                (-tf * (math.log((n + 1) / (dfs[t] + 1)) + 1), t, tf)
+                for t, tf in tfs[d].items()
+            )
+        )[:2]
+        for rank, (neg, t, tf) in enumerate(scored, 1):
+            expect.append((d, rank, t, tf, dfs[t], round(-neg, 6)))
+    assert got == expect
