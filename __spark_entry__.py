@@ -544,6 +544,17 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits(corpus, bench, shingle_k=3)
 
 
+def _q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split on the shared key hash — reproducible,
+    repartition-stable, consistent across derived tables."""
+    from fastselect_spark.corpus import train_val_test_split
+
+    _register(spark, sf_dir, "documents")
+    return train_val_test_split(spark.table("documents")).select(
+        "doc_id", "split"
+    )
+
+
 def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic key-hash Bernoulli sample (reproducible and
     repartition-stable, unlike rand()-based df.sample): keep iff
@@ -1300,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,  # pairs -> CC -> clusters
         "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
         "decontaminate": _q_decontaminate,  # broadcast n-gram overlap vs planted benchmark
+        "train_val_test_split": _q_train_val_test_split,  # deterministic 80/10/10
         "corpus_sample": _q_corpus_sample,
         "corpus_mix_by_source": _q_corpus_mix_by_source,
         "source_quota_cap": _q_source_quota_cap,
@@ -3038,6 +3050,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_sh AS BIGINT) AS n_shingles,
                ROUND(n_hit * 1.0 / n_sh, 6) AS hit_frac
         FROM hit h JOIN tot t ON h.doc_id = t.doc_id
+        """,
+        "train_val_test_split": """
+        SELECT doc_id,
+               CASE
+                 WHEN CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT)
+                      % 1000000 < 800000 THEN 'train'
+                 WHEN CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT)
+                      % 1000000 < 900000 THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM documents
         """,
         "corpus_sample": """
         SELECT doc_id, source FROM documents

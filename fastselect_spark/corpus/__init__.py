@@ -8,6 +8,7 @@ from fastselect_spark.corpus.sampling import (
     cap_per_source,
     deterministic_sample,
     sample_by_source,
+    train_val_test_split,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "pack_sequences",
     "quality_filter",
     "sample_by_source",
+    "train_val_test_split",
 ]

@@ -114,3 +114,28 @@ def cap_per_source(
         df.withColumn("source_rank", F.row_number().over(w))
         .where(F.col("source_rank") <= quota)
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Adds a ``split`` column ('train'/'val'/'test') by thresholding the
+    SAME deterministic key hash the samplers use — reproducible,
+    repartition-stable, and consistent across derived tables (a doc lands
+    in the same split everywhere it appears). Weights are normalized;
+    bucket thresholds are exact to 1e-6 (the bucket resolution)."""
+    total = float(sum(weights))
+    if total <= 0 or any(w < 0 for w in weights):
+        raise ValueError("weights must be non-negative with a positive sum")
+    t1 = int(round(weights[0] / total * _BUCKETS))
+    t2 = t1 + int(round(weights[1] / total * _BUCKETS))
+    b = _hash_bucket(F.col(key_col), seed)
+    return df.withColumn(
+        "split",
+        F.when(b < t1, F.lit("train"))
+        .when(b < t2, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
