@@ -472,6 +472,23 @@ def _q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus topic/domain clustering over the embedding column
+    (similarity/ivf.py kmeans_clusters): deterministic distributed
+    spherical k-means (lowest-id seeds, exact-mean Lloyd) + ONE broadcast
+    mapInPandas assignment scan — no corpus shuffle, output carries no
+    array. The oracle injects the independently NumPy-trained centroids
+    as literals and recomputes argmax-cosine assignment in SQL (the IVF
+    centroid-literal pattern)."""
+    from fastselect_spark.similarity import kmeans_clusters
+
+    _register(spark, sf_dir, "embeddings")
+    clustered = kmeans_clusters(spark.table("embeddings"), n_clusters=8)
+    return clustered.select(
+        "vec_id", "cluster_id", F.round("sim", 6).alias("sim")
+    )
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence-packing manifest: docs hash
     into independent shards, each shard packs its docs (ascending id)
@@ -1306,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline": _q_dedup_pipeline,  # exact -> minhash -> cluster -> keep
         "quality_filter": _q_quality_filter,  # C4-style keep-rule chain
         "pca_projection": _q_pca_projection,  # oracle = replica-literal projection
+        "kmeans_clusters": _q_kmeans_clusters,  # oracle = centroid-literal assignment
         "pack_sequences": _q_pack_sequences,  # concat-and-chunk packing manifest
         "tfidf_keywords": _q_tfidf_keywords,  # top-3 tf-idf terms per doc
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,  # pairs -> CC -> clusters
@@ -2681,6 +2699,58 @@ FROM r WHERE rank <= 5
 """
 
 
+def _kmeans_clusters_oracle_sql() -> str | None:
+    """DuckDB oracle for ``kmeans_clusters`` — same centroid-literal
+    pattern as ``ann_ivf_topk``: the independent NumPy replica trains the
+    8 spherical-k-means centroids from the gate's parquet; the SQL
+    recomputes per-vector argmax-cosine assignment (lowest-cluster
+    tie-break, matching np.argmax's first-max) and the cosine to the
+    assigned centroid. Centroids are unit-norm, so cosine =
+    dot(v, c) / |v|. Returns None (rows-only fallback) if the parquet is
+    unreadable."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        from fastselect_spark.similarity.ivf import train_ivf_centroids_numpy
+
+        C = train_ivf_centroids_numpy(f"{sf_dir}/embeddings.parquet", n_cells=8)
+    except Exception:
+        return None
+    cent_rows = ",\n    ".join(
+        "({}, [{}])".format(c, ", ".join(repr(float(v)) for v in row))
+        for c, row in enumerate(C)
+    )
+    return f"""
+WITH cent(cell, cw) AS (VALUES
+    {cent_rows}
+),
+c AS (SELECT vec_id, embedding AS ce FROM embeddings),
+norms AS (
+    SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS vnorm
+    FROM (SELECT vec_id, UNNEST(ce) AS x FROM c) GROUP BY 1
+),
+az AS (
+    SELECT vec_id, cell, UNNEST(ce) AS x, UNNEST(cw) AS y FROM c, cent
+),
+adots AS (
+    SELECT vec_id, cell, SUM(CAST(x AS DOUBLE) * y) AS dot
+    FROM az GROUP BY 1, 2
+),
+assign AS (
+    SELECT vec_id, cell, dot FROM (
+        SELECT vec_id, cell, dot,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, cell) AS rn
+        FROM adots
+    ) WHERE rn = 1
+)
+SELECT a.vec_id, CAST(a.cell AS INT) AS cluster_id,
+       ROUND(a.dot / n.vnorm, 6) AS sim
+FROM assign a JOIN norms n USING (vec_id)
+"""
+
+
 def _pca_projection_oracle_sql() -> str | None:
     """DuckDB oracle for ``pca_projection``: the independent NumPy replica
     trains mean/components from the gate's parquet; the SQL projects
@@ -3212,6 +3282,9 @@ def oracle_sql() -> dict[str, str]:
     pca = _pca_projection_oracle_sql()
     if pca is not None:
         out["pca_projection"] = pca
+    km = _kmeans_clusters_oracle_sql()
+    if km is not None:
+        out["kmeans_clusters"] = km
     # the streaming quality filter is a stateless projection of the same
     # rows — the batch filter SQL is its oracle verbatim
     out["streaming_quality_filter"] = out["quality_filter"]

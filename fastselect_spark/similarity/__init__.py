@@ -2,6 +2,7 @@ from fastselect_spark.similarity.ann import cosine_topk, cosine_topk_lsh  # noqa
 from fastselect_spark.similarity.ivf import (  # noqa: F401
     cosine_topk_ivf,
     ivf_assign,
+    kmeans_clusters,
     train_ivf_centroids,
 )
 from fastselect_spark.similarity.pca import (  # noqa: F401

@@ -220,3 +220,60 @@ def cosine_topk_ivf(
             "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
         )
     )
+
+
+def kmeans_clusters(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+    train_sample: int | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Corpus TOPIC/DOMAIN CLUSTERING over the embedding column — the
+    spherical k-means index reused as a first-class operator (cluster a
+    web corpus by domain/topic before per-cluster sampling or mixing).
+
+    Returns ``(id_col, cluster_id, sim)`` — the max-cosine centroid and
+    the cosine to it — via ONE narrow ``mapInPandas`` scan against the
+    broadcast (n_clusters, dim) centroid matrix: no shuffle of the corpus,
+    and the output carries no embedding array. Training is the same
+    deterministic distributed Lloyd as :func:`train_ivf_centroids`
+    (lowest-id seeds, exact-mean updates), so the DuckDB gate injects the
+    independently NumPy-trained centroids as literals and recomputes
+    assignment + cosine in SQL. At 100 TB: train on a bounded
+    ``train_sample``, then assignment is a single embarrassingly-parallel
+    pass.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus,
+            n_clusters,
+            emb_col,
+            id_col,
+            max_iter=max_iter,
+            train_sample=train_sample,
+        )
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = _normalize(np.stack(pdf[emb_col].to_numpy()).astype(np.float64))
+            D = V @ C.T
+            cell = np.argmax(D, axis=1)  # first max = lowest cluster on ties
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster_id": cell.astype(np.int32),
+                    "sim": D[np.arange(len(cell)), cell],
+                }
+            )
+
+    return corpus.select(id_col, emb_col).mapInPandas(
+        assign, schema=f"`{id_col}` long, cluster_id int, sim double"
+    )

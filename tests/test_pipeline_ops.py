@@ -31,6 +31,7 @@ from fastselect_spark.similarity import (
     cosine_topk_ivf,
     cosine_topk_lsh,
     ivf_assign,
+    kmeans_clusters,
     train_ivf_centroids,
 )
 from fastselect_spark.text import (
@@ -376,6 +377,28 @@ def test_cosine_topk_ivf_subset_of_exact(embeddings):
     escore = {(r.query_id, r.neighbor_id): r.cosine for r in exact.itertuples()}
     for r in approx.itertuples():
         assert abs(escore[(r.query_id, r.neighbor_id)] - r.cosine) < 2e-6
+
+
+def test_kmeans_clusters_assignment_matches_numpy(planted_embeddings):
+    """kmeans_clusters = argmax-cosine assignment against the trained
+    centroids: cluster ids and sims must match a NumPy recomputation, the
+    planted near-identical pairs must co-cluster, and the output schema is
+    narrow (no embedding array)."""
+    out = kmeans_clusters(planted_embeddings, n_clusters=6).toPandas()
+    assert sorted(out.columns) == ["cluster_id", "sim", "vec_id"]
+    assert len(out) == planted_embeddings.count()
+    C = train_ivf_centroids(planted_embeddings, n_cells=6)
+    pdf = planted_embeddings.toPandas().sort_values("vec_id")
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    D = V @ C.T
+    want_cell = dict(zip(pdf["vec_id"], np.argmax(D, axis=1)))
+    want_sim = dict(zip(pdf["vec_id"], np.max(D, axis=1)))
+    by_id = dict(zip(out["vec_id"], out["cluster_id"]))
+    for r in out.itertuples():
+        assert r.cluster_id == want_cell[r.vec_id]
+        assert abs(r.sim - want_sim[r.vec_id]) < 1e-9
+    assert sum(by_id[i] == by_id[200 + i] for i in range(10)) == 10
 
 
 # ---------- multimodal ----------
