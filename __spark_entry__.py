@@ -489,6 +489,21 @@ def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (dedup/semdedup.py): k-means-partition
+    the embedding space (one broadcast assignment scan), then prune
+    within-cluster near-dups (cosine >= 0.42, lowest-id wins) in one
+    Arrow pass per cluster. The oracle injects the NumPy-replica centroid
+    literals and recomputes assignment + within-cluster pairs + the
+    NOT EXISTS keep rule in SQL."""
+    from fastselect_spark.dedup import semantic_dedup
+
+    _register(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        spark.table("embeddings"), threshold=0.42, n_clusters=8
+    )
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence-packing manifest: docs hash
     into independent shards, each shard packs its docs (ascending id)
@@ -1324,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,  # C4-style keep-rule chain
         "pca_projection": _q_pca_projection,  # oracle = replica-literal projection
         "kmeans_clusters": _q_kmeans_clusters,  # oracle = centroid-literal assignment
+        "semantic_dedup": _q_semantic_dedup,  # oracle = centroid-literal NOT EXISTS
         "pack_sequences": _q_pack_sequences,  # concat-and-chunk packing manifest
         "tfidf_keywords": _q_tfidf_keywords,  # top-3 tf-idf terms per doc
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,  # pairs -> CC -> clusters
@@ -2751,6 +2767,76 @@ FROM assign a JOIN norms n USING (vec_id)
 """
 
 
+def _semantic_dedup_oracle_sql() -> str | None:
+    """DuckDB oracle for ``semantic_dedup``: NumPy-replica centroid
+    literals, SQL argmax-cosine assignment (lowest-cluster tie-break),
+    within-cluster a<b pairwise cosines, and the non-transitive
+    lowest-id-wins keep rule as a bare NOT IN. Returns None (rows-only
+    fallback) if the parquet is unreadable."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        from fastselect_spark.similarity.ivf import train_ivf_centroids_numpy
+
+        C = train_ivf_centroids_numpy(f"{sf_dir}/embeddings.parquet", n_cells=8)
+    except Exception:
+        return None
+    cent_rows = ",\n    ".join(
+        "({}, [{}])".format(c, ", ".join(repr(float(v)) for v in row))
+        for c, row in enumerate(C)
+    )
+    return f"""
+WITH cent(cell, cw) AS (VALUES
+    {cent_rows}
+),
+c AS (SELECT vec_id, embedding AS ce FROM embeddings),
+norms AS (
+    SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS vnorm
+    FROM (SELECT vec_id, UNNEST(ce) AS x FROM c) GROUP BY 1
+),
+az AS (
+    SELECT vec_id, cell, UNNEST(ce) AS x, UNNEST(cw) AS y FROM c, cent
+),
+adots AS (
+    SELECT vec_id, cell, SUM(CAST(x AS DOUBLE) * y) AS dot
+    FROM az GROUP BY 1, 2
+),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, cell) AS rn
+        FROM adots
+    ) WHERE rn = 1
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM assign a JOIN assign b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+pz AS (
+    SELECT p.id_a, p.id_b, UNNEST(ca.ce) AS x, UNNEST(cb.ce) AS y
+    FROM pairs p
+    JOIN c ca ON ca.vec_id = p.id_a
+    JOIN c cb ON cb.vec_id = p.id_b
+),
+dup AS (
+    SELECT id_a, id_b FROM (
+        SELECT pz.id_a, pz.id_b,
+               SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+        FROM pz GROUP BY 1, 2
+    ) d
+    JOIN norms na ON na.vec_id = d.id_a
+    JOIN norms nb ON nb.vec_id = d.id_b
+    WHERE d.dot / (na.vnorm * nb.vnorm) >= 0.42
+)
+SELECT a.vec_id, CAST(a.cell AS INT) AS cluster_id,
+       a.vec_id NOT IN (SELECT id_b FROM dup) AS kept
+FROM assign a
+"""
+
+
 def _pca_projection_oracle_sql() -> str | None:
     """DuckDB oracle for ``pca_projection``: the independent NumPy replica
     trains mean/components from the gate's parquet; the SQL projects
@@ -3285,6 +3371,9 @@ def oracle_sql() -> dict[str, str]:
     km = _kmeans_clusters_oracle_sql()
     if km is not None:
         out["kmeans_clusters"] = km
+    sd = _semantic_dedup_oracle_sql()
+    if sd is not None:
+        out["semantic_dedup"] = sd
     # the streaming quality filter is a stateless projection of the same
     # rows — the batch filter SQL is its oracle verbatim
     out["streaming_quality_filter"] = out["quality_filter"]

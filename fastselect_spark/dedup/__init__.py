@@ -6,6 +6,10 @@ from fastselect_spark.dedup.minhash import (  # noqa: F401
 from fastselect_spark.dedup.simhash import add_simhash, simhash_near_duplicates  # noqa: F401
 from fastselect_spark.dedup.ngram import ngram_jaccard_pairs  # noqa: F401
 from fastselect_spark.dedup.embedding import embedding_near_duplicates  # noqa: F401
+from fastselect_spark.dedup.semdedup import (  # noqa: F401
+    semantic_dedup,
+    semantic_dedup_keep,
+)
 from fastselect_spark.dedup.components import (  # noqa: F401
     connected_components,
     connected_components_star,

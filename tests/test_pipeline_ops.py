@@ -401,6 +401,35 @@ def test_kmeans_clusters_assignment_matches_numpy(planted_embeddings):
     assert sum(by_id[i] == by_id[200 + i] for i in range(10)) == 10
 
 
+def test_semantic_dedup_drops_planted_pairs(planted_embeddings):
+    """SemDeDup: each planted near-identical copy (200+i, cos≈1 to base i)
+    co-clusters with its base and is dropped by the lowest-id-wins rule;
+    every base/unique vector survives."""
+    from fastselect_spark.dedup import semantic_dedup, semantic_dedup_keep
+
+    out = semantic_dedup(planted_embeddings, threshold=0.9, n_clusters=6).toPandas()
+    assert len(out) == planted_embeddings.count()
+    dropped = set(out.loc[~out["kept"], "vec_id"])
+    assert dropped == {200 + i for i in range(10)}
+    kept_rows = semantic_dedup_keep(
+        planted_embeddings, threshold=0.9, n_clusters=6
+    ).toPandas()
+    assert set(kept_rows["vec_id"]) == set(range(60))
+
+
+def test_semantic_dedup_block_chunking_invariant(planted_embeddings, monkeypatch):
+    """The blocked pairwise pass must give identical verdicts at any block
+    size (exercises the strip-mask path with blocks smaller than clusters)."""
+    import fastselect_spark.dedup.semdedup as sd
+
+    full = sd.semantic_dedup(planted_embeddings, 0.9, 6).toPandas()
+    monkeypatch.setattr(sd, "_BLOCK_ROWS", 3)
+    small = sd.semantic_dedup(planted_embeddings, 0.9, 6).toPandas()
+    a = full.sort_values("vec_id").reset_index(drop=True)
+    b = small.sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 # ---------- multimodal ----------
 
 def test_multimodal_fake_decoder_end_to_end(spark):
