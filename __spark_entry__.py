@@ -504,6 +504,34 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced corpus sampling: k-means-cluster the embedding space
+    (similarity/ivf.py kmeans_clusters, one broadcast assignment scan),
+    then keep the 20 most-prototypical rows per cluster (highest cosine to
+    the centroid, vec_id tie-break) via the same one-exchange+Window quota
+    operator the per-source caps use (corpus/sampling.py cap_per_source).
+    The oracle recomputes assignment + sim from centroid literals and
+    ranks in SQL."""
+    from fastselect_spark.corpus import cap_per_source
+    from fastselect_spark.similarity import kmeans_clusters
+
+    _register(spark, sf_dir, "embeddings")
+    clustered = kmeans_clusters(spark.table("embeddings"), n_clusters=8)
+    capped = cap_per_source(
+        clustered,
+        quota=20,
+        source_col="cluster_id",
+        order_by=[F.col("sim").desc()],
+        key_col="vec_id",
+    )
+    return capped.select(
+        "vec_id",
+        "cluster_id",
+        F.col("source_rank").alias("cluster_rank"),
+        F.round("sim", 6).alias("sim"),
+    )
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence-packing manifest: docs hash
     into independent shards, each shard packs its docs (ascending id)
@@ -1340,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_projection": _q_pca_projection,  # oracle = replica-literal projection
         "kmeans_clusters": _q_kmeans_clusters,  # oracle = centroid-literal assignment
         "semantic_dedup": _q_semantic_dedup,  # oracle = centroid-literal NOT EXISTS
+        "cluster_balanced_sample": _q_cluster_balanced_sample,  # per-topic quota
         "pack_sequences": _q_pack_sequences,  # concat-and-chunk packing manifest
         "tfidf_keywords": _q_tfidf_keywords,  # top-3 tf-idf terms per doc
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,  # pairs -> CC -> clusters
@@ -2837,6 +2866,60 @@ FROM assign a
 """
 
 
+def _cluster_balanced_sample_oracle_sql() -> str | None:
+    """DuckDB oracle for ``cluster_balanced_sample``: centroid-literal
+    assignment + cosine (as the kmeans_clusters oracle), then the
+    per-cluster quota rank (sim DESC, vec_id tie-break, top 20). Returns
+    None (rows-only fallback) if the parquet is unreadable."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        from fastselect_spark.similarity.ivf import train_ivf_centroids_numpy
+
+        C = train_ivf_centroids_numpy(f"{sf_dir}/embeddings.parquet", n_cells=8)
+    except Exception:
+        return None
+    cent_rows = ",\n    ".join(
+        "({}, [{}])".format(c, ", ".join(repr(float(v)) for v in row))
+        for c, row in enumerate(C)
+    )
+    return f"""
+WITH cent(cell, cw) AS (VALUES
+    {cent_rows}
+),
+c AS (SELECT vec_id, embedding AS ce FROM embeddings),
+norms AS (
+    SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS vnorm
+    FROM (SELECT vec_id, UNNEST(ce) AS x FROM c) GROUP BY 1
+),
+az AS (
+    SELECT vec_id, cell, UNNEST(ce) AS x, UNNEST(cw) AS y FROM c, cent
+),
+adots AS (
+    SELECT vec_id, cell, SUM(CAST(x AS DOUBLE) * y) AS dot
+    FROM az GROUP BY 1, 2
+),
+assign AS (
+    SELECT a.vec_id, a.cell, a.dot / n.vnorm AS sim FROM (
+        SELECT vec_id, cell, dot,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, cell) AS rn
+        FROM adots
+    ) a JOIN norms n USING (vec_id) WHERE a.rn = 1
+),
+ranked AS (
+    SELECT vec_id, cell, sim,
+           ROW_NUMBER() OVER (PARTITION BY cell
+                              ORDER BY sim DESC, vec_id) AS cluster_rank
+    FROM assign
+)
+SELECT vec_id, CAST(cell AS INT) AS cluster_id,
+       CAST(cluster_rank AS INT) AS cluster_rank, ROUND(sim, 6) AS sim
+FROM ranked WHERE cluster_rank <= 20
+"""
+
+
 def _pca_projection_oracle_sql() -> str | None:
     """DuckDB oracle for ``pca_projection``: the independent NumPy replica
     trains mean/components from the gate's parquet; the SQL projects
@@ -3374,6 +3457,9 @@ def oracle_sql() -> dict[str, str]:
     sd = _semantic_dedup_oracle_sql()
     if sd is not None:
         out["semantic_dedup"] = sd
+    cbs = _cluster_balanced_sample_oracle_sql()
+    if cbs is not None:
+        out["cluster_balanced_sample"] = cbs
     # the streaming quality filter is a stateless projection of the same
     # rows — the batch filter SQL is its oracle verbatim
     out["streaming_quality_filter"] = out["quality_filter"]

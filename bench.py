@@ -253,6 +253,23 @@ def default_mode() -> None:
         mean, comps, _ = train_pca(emb, 8)
         ops["pca_rows"] = pca_project(emb, mean, comps).count()
         ops["pca_train_project_sec"] = round(time.perf_counter() - t0, 3)
+        # corpus clustering + SemDeDup share one deterministic training run
+        from fastselect_spark.dedup import semantic_dedup
+        from fastselect_spark.similarity import kmeans_clusters, train_ivf_centroids
+
+        t0 = time.perf_counter()
+        cents = train_ivf_centroids(emb, n_cells=16)
+        ops["kmeans_rows"] = kmeans_clusters(
+            emb, n_clusters=16, centroids=cents
+        ).count()
+        ops["kmeans_train_assign_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        ops["semdedup_dropped"] = (
+            semantic_dedup(emb, threshold=0.42, n_clusters=16, centroids=cents)
+            .where(~F.col("kept"))
+            .count()
+        )
+        ops["semdedup_sec"] = round(time.perf_counter() - t0, 3)
         docs.unpersist()
         out["corpus_ops"] = ops
     except Exception as exc:  # surface the regression in the bench output

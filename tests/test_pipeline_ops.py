@@ -430,6 +430,23 @@ def test_semantic_dedup_block_chunking_invariant(planted_embeddings, monkeypatch
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_cluster_balanced_sample_quota(planted_embeddings):
+    """kmeans_clusters ∘ cap_per_source: at most `quota` rows per cluster,
+    ranked by centroid cosine descending (rank 1 = most prototypical)."""
+    from fastselect_spark.corpus import cap_per_source
+
+    clustered = kmeans_clusters(planted_embeddings, n_clusters=6)
+    capped = cap_per_source(
+        clustered, quota=5, source_col="cluster_id",
+        order_by=[F.col("sim").desc()], key_col="vec_id",
+    ).toPandas()
+    by_cluster = capped.groupby("cluster_id")
+    assert (by_cluster.size() <= 5).all()
+    for _, g in by_cluster:
+        g = g.sort_values("source_rank")
+        assert (g["sim"].diff().dropna() <= 1e-12).all()
+
+
 # ---------- multimodal ----------
 
 def test_multimodal_fake_decoder_end_to_end(spark):

@@ -240,6 +240,32 @@ def main() -> int:
         and "Exchange SinglePartition" not in p,
     )
 
+    # 11. k-means cluster assignment is ONE broadcast mapInPandas scan —
+    # the corpus is never shuffled and the output carries no array
+    from fastselect_spark.similarity import kmeans_clusters, train_ivf_centroids
+
+    C = train_ivf_centroids(emb, n_cells=4)
+    cl = kmeans_clusters(emb, n_clusters=4, centroids=C)
+    p = plan_of(cl)
+    failures += not check(
+        "kmeans_clusters assignment scan is exchange-free",
+        "Exchange" not in p and "MapInPandas" in p,
+    )
+
+    # 12. semantic dedup: exactly one exchange (the cluster_id group) and
+    # the verdict output is narrow — no embedding column downstream of the
+    # per-cluster prune
+    from fastselect_spark.dedup import semantic_dedup
+
+    sd = semantic_dedup(emb, threshold=0.42, n_clusters=4, centroids=C)
+    p = plan_of(sd, execute=True)
+    failures += not check(
+        "semantic_dedup is one cluster_id exchange + per-cluster Arrow pass",
+        len(re.findall(r"Exchange hashpartitioning", p)) == 1
+        and "FlatMapGroupsInPandas" in p
+        and "Exchange SinglePartition" not in p,
+    )
+
     print(f"\n{'ALL CHECKS PASS' if not failures else f'{failures} CHECK(S) FAILED'}")
     return 1 if failures else 0
 
