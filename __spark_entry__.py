@@ -532,6 +532,23 @@ def _q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (corpus/dsir.py): hashed-bigram bucket
+    distributions for a planted target subset (doc_id % 23 == 0) vs the
+    raw pool, then the per-doc log-likelihood-ratio score — two
+    tree-reduced distribution scans + one broadcast scoring scan, zero
+    shuffles. The portable md5 bucket hash lets the oracle recompute
+    distributions AND scores end-to-end in SQL."""
+    from fastselect_spark.corpus import dsir_logweights
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    target = docs.where(F.col("doc_id") % 23 == 0)
+    raw = docs.where(F.col("doc_id") % 23 != 0)
+    w = dsir_logweights(raw, target, n_buckets=10_000, shingle_k=2)
+    return w.select("doc_id", F.round("logw", 6).alias("logw"))
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence-packing manifest: docs hash
     into independent shards, each shard packs its docs (ascending id)
@@ -1369,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _q_kmeans_clusters,  # oracle = centroid-literal assignment
         "semantic_dedup": _q_semantic_dedup,  # oracle = centroid-literal NOT EXISTS
         "cluster_balanced_sample": _q_cluster_balanced_sample,  # per-topic quota
+        "dsir_logweights": _q_dsir_logweights,  # hashed-bigram importance LLR
         "pack_sequences": _q_pack_sequences,  # concat-and-chunk packing manifest
         "tfidf_keywords": _q_tfidf_keywords,  # top-3 tf-idf terms per doc
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,  # pairs -> CC -> clusters
@@ -2866,6 +2884,50 @@ FROM assign a
 """
 
 
+# DSIR importance weights, end-to-end in SQL: same tokenization as the
+# minhash oracle (lowercase, \s+ -> ' ', space-joined bigrams, whole-text
+# fallback under 2 tokens), same portable 60-bit md5 bucket hash, add-1
+# smoothing over 10000 buckets on both distributions. Occurrences, NOT
+# distinct shingles — these are frequency distributions.
+_DSIR_LOGWEIGHTS_SQL = """
+WITH docs AS MATERIALIZED (
+    SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+    FROM documents
+),
+tok AS (SELECT doc_id, norm, string_split(norm, ' ') AS t FROM docs),
+sh AS MATERIALIZED (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 2
+                THEN list_transform(
+                         generate_series(1, len(t) - 1),
+                         i -> array_to_string(list_slice(t, i, i + 1), ' '))
+                ELSE [norm] END AS grams
+    FROM tok
+),
+b AS MATERIALIZED (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(UNNEST(grams)), 1, 15) AS BIGINT)
+               % 10000 AS bucket
+    FROM sh
+),
+tcnt AS (SELECT bucket, COUNT(*) AS c FROM b WHERE doc_id % 23 = 0 GROUP BY 1),
+scnt AS (SELECT bucket, COUNT(*) AS c FROM b WHERE doc_id % 23 <> 0 GROUP BY 1),
+ttot AS (SELECT SUM(c) AS n FROM tcnt),
+stot AS (SELECT SUM(c) AS n FROM scnt),
+lw AS (
+    SELECT b.doc_id,
+           LN((COALESCE(tc.c, 0) + 1.0) / (ttot.n + 10000.0))
+         - LN((COALESCE(sc.c, 0) + 1.0) / (stot.n + 10000.0)) AS lr
+    FROM b
+    LEFT JOIN tcnt tc USING (bucket)
+    LEFT JOIN scnt sc USING (bucket),
+    ttot, stot
+    WHERE b.doc_id % 23 <> 0
+)
+SELECT doc_id, ROUND(SUM(lr), 6) AS logw FROM lw GROUP BY 1
+"""
+
+
 def _cluster_balanced_sample_oracle_sql() -> str | None:
     """DuckDB oracle for ``cluster_balanced_sample``: centroid-literal
     assignment + cosine (as the kmeans_clusters oracle), then the
@@ -3460,6 +3522,7 @@ def oracle_sql() -> dict[str, str]:
     cbs = _cluster_balanced_sample_oracle_sql()
     if cbs is not None:
         out["cluster_balanced_sample"] = cbs
+    out["dsir_logweights"] = _DSIR_LOGWEIGHTS_SQL
     # the streaming quality filter is a stateless projection of the same
     # rows — the batch filter SQL is its oracle verbatim
     out["streaming_quality_filter"] = out["quality_filter"]

@@ -2,6 +2,11 @@ from fastselect_spark.corpus.decontaminate import (
     contamination_hits,
     decontaminate,
 )
+from fastselect_spark.corpus.dsir import (
+    dsir_logweights,
+    dsir_select_top,
+    hashed_ngram_distribution,
+)
 from fastselect_spark.corpus.filtering import quality_filter
 from fastselect_spark.corpus.packing import pack_sequences
 from fastselect_spark.corpus.sampling import (
@@ -16,6 +21,9 @@ __all__ = [
     "contamination_hits",
     "decontaminate",
     "deterministic_sample",
+    "dsir_logweights",
+    "dsir_select_top",
+    "hashed_ngram_distribution",
     "pack_sequences",
     "quality_filter",
     "sample_by_source",

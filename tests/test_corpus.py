@@ -255,3 +255,48 @@ def test_tfidf_keywords_oracle(spark):
         for rank, (neg, t, tf) in enumerate(scored, 1):
             expect.append((d, rank, t, tf, dfs[t], round(-neg, 6)))
     assert got == expect
+
+
+# ---------- DSIR importance weighting ----------
+
+@pytest.fixture(scope="module")
+def dsir_corpus(spark):
+    """Planted two-dialect corpus: target speaks 'alpha', half the raw
+    pool speaks 'alpha', the other half speaks 'beta'."""
+    alpha = "the alpha model trains on clean curated text data"
+    beta = "zzq wvx qqj kxv jjz vqk xxw zvj qzz wkx"
+    rows = [{"doc_id": i, "text": alpha, "kind": "target"} for i in range(0, 20)]
+    rows += [{"doc_id": 100 + i, "text": alpha, "kind": "raw_alpha"} for i in range(20)]
+    rows += [{"doc_id": 200 + i, "text": beta, "kind": "raw_beta"} for i in range(20)]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_dsir_logweights_separate_dialects(dsir_corpus):
+    """Raw docs matching the target dialect must outscore off-dialect docs."""
+    from fastselect_spark.corpus import dsir_logweights
+
+    target = dsir_corpus.where(F.col("kind") == "target")
+    raw = dsir_corpus.where(F.col("kind") != "target")
+    w = dsir_logweights(raw, target, n_buckets=1000).toPandas()
+    assert len(w) == 40
+    alpha_w = w.loc[w["doc_id"] < 200, "logw"]
+    beta_w = w.loc[w["doc_id"] >= 200, "logw"]
+    assert alpha_w.min() > beta_w.max()
+    assert (alpha_w > 0).all() and (beta_w < 0).all()
+
+
+def test_dsir_select_top_exact_rank(dsir_corpus):
+    """dsir_select_top's histogram-threshold selection equals the pandas
+    (logw DESC, doc_id ASC) top-N on the same weights, at a fraction that
+    forces the boundary-bucket remainder path."""
+    from fastselect_spark.corpus import dsir_logweights, dsir_select_top
+
+    target = dsir_corpus.where(F.col("kind") == "target")
+    raw = dsir_corpus.where(F.col("kind") != "target")
+    kept = dsir_select_top(raw, target, fraction=0.25, n_buckets=1000).toPandas()
+    w = dsir_logweights(raw, target, n_buckets=1000).toPandas()
+    want = set(
+        w.sort_values(["logw", "doc_id"], ascending=[False, True])
+        .head(int(round(len(w) * 0.25)))["doc_id"]
+    )
+    assert set(kept["doc_id"]) == want
