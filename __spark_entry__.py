@@ -549,6 +549,25 @@ def _q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select("doc_id", F.round("logw", 6).alias("logw"))
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality classifier (corpus/classifier.py): logistic
+    regression over hashed-bigram features, trained distributively (one
+    tree-reduced gradient pass per iteration) on the planted target label
+    doc_id % 23 == 0, then scored in one broadcast scan. The oracle
+    retrains with the independent NumPy replica and scores from weight
+    LITERALS in SQL (centroid-literal pattern; weight divergence ~1e-13
+    << the 1e-6 rounding)."""
+    from fastselect_spark.corpus import quality_scores, train_quality_classifier
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").withColumn(
+        "label", (F.col("doc_id") % 23 == 0).cast("double")
+    )
+    w = train_quality_classifier(docs, n_buckets=4096, iterations=30, lr=1.0)
+    scored = quality_scores(spark.table("documents"), w)
+    return scored.select("doc_id", F.round("clf_score", 6).alias("clf_score"))
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence-packing manifest: docs hash
     into independent shards, each shard packs its docs (ascending id)
@@ -1387,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,  # oracle = centroid-literal NOT EXISTS
         "cluster_balanced_sample": _q_cluster_balanced_sample,  # per-topic quota
         "dsir_logweights": _q_dsir_logweights,  # hashed-bigram importance LLR
+        "quality_classifier": _q_quality_classifier,  # oracle = weight-literal scoring
         "pack_sequences": _q_pack_sequences,  # concat-and-chunk packing manifest
         "tfidf_keywords": _q_tfidf_keywords,  # top-3 tf-idf terms per doc
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,  # pairs -> CC -> clusters
@@ -2928,6 +2948,62 @@ SELECT doc_id, ROUND(SUM(lr), 6) AS logw FROM lw GROUP BY 1
 """
 
 
+def _quality_classifier_oracle_sql() -> str | None:
+    """DuckDB oracle for ``quality_classifier``: the independent NumPy
+    replica retrains the logistic weights from the gate's parquet (same
+    zero init / iterations / lr / label rule); the SQL rebuilds hashed
+    bigram features (the DSIR tokenization CTEs) and scores
+    sigmoid(sum(w[bucket]) / n_grams + bias) from weight literals.
+    Returns None (rows-only fallback) if the parquet is unreadable."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        from fastselect_spark.corpus import train_quality_classifier_numpy
+
+        w = train_quality_classifier_numpy(
+            f"{sf_dir}/documents.parquet", label_mod=23, n_buckets=4096
+        )
+    except Exception:
+        return None
+    bias = repr(float(w[-1]))
+    wt_rows = ",\n    ".join(
+        f"({b}, {float(v)!r})" for b, v in enumerate(w[:-1]) if v != 0.0
+    )
+    return f"""
+WITH wt(bucket, w) AS (VALUES
+    {wt_rows}
+),
+docs AS MATERIALIZED (
+    SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+    FROM documents
+),
+tok AS (SELECT doc_id, norm, string_split(norm, ' ') AS t FROM docs),
+sh AS MATERIALIZED (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 2
+                THEN list_transform(
+                         generate_series(1, len(t) - 1),
+                         i -> array_to_string(list_slice(t, i, i + 1), ' '))
+                ELSE [norm] END AS grams
+    FROM tok
+),
+b AS MATERIALIZED (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(UNNEST(grams)), 1, 15) AS BIGINT)
+               % 4096 AS bucket
+    FROM sh
+),
+z AS (
+    SELECT b.doc_id,
+           COALESCE(SUM(wt.w), 0.0) / COUNT(*) + {bias} AS z
+    FROM b LEFT JOIN wt USING (bucket)
+    GROUP BY 1
+)
+SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS clf_score FROM z
+"""
+
+
 def _cluster_balanced_sample_oracle_sql() -> str | None:
     """DuckDB oracle for ``cluster_balanced_sample``: centroid-literal
     assignment + cosine (as the kmeans_clusters oracle), then the
@@ -3523,6 +3599,9 @@ def oracle_sql() -> dict[str, str]:
     if cbs is not None:
         out["cluster_balanced_sample"] = cbs
     out["dsir_logweights"] = _DSIR_LOGWEIGHTS_SQL
+    qc = _quality_classifier_oracle_sql()
+    if qc is not None:
+        out["quality_classifier"] = qc
     # the streaming quality filter is a stateless projection of the same
     # rows — the batch filter SQL is its oracle verbatim
     out["streaming_quality_filter"] = out["quality_filter"]

@@ -1,3 +1,8 @@
+from fastselect_spark.corpus.classifier import (
+    quality_scores,
+    train_quality_classifier,
+    train_quality_classifier_numpy,
+)
 from fastselect_spark.corpus.decontaminate import (
     contamination_hits,
     decontaminate,
@@ -26,6 +31,9 @@ __all__ = [
     "hashed_ngram_distribution",
     "pack_sequences",
     "quality_filter",
+    "quality_scores",
     "sample_by_source",
+    "train_quality_classifier",
+    "train_quality_classifier_numpy",
     "train_val_test_split",
 ]

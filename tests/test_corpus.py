@@ -300,3 +300,46 @@ def test_dsir_select_top_exact_rank(dsir_corpus):
         .head(int(round(len(w) * 0.25)))["doc_id"]
     )
     assert set(kept["doc_id"]) == want
+
+
+# ---------- quality classifier ----------
+
+def test_quality_classifier_separates_dialects(dsir_corpus):
+    """Trained on target=alpha labels, alpha docs must score near 1 and
+    beta docs near 0."""
+    from fastselect_spark.corpus import quality_scores, train_quality_classifier
+
+    labeled = dsir_corpus.withColumn(
+        "label", (F.col("kind") != "raw_beta").cast("double")
+    )
+    w = train_quality_classifier(labeled, n_buckets=512, iterations=50, lr=2.0)
+    s = quality_scores(dsir_corpus, w).toPandas()
+    alpha = s.loc[s["doc_id"] < 200, "clf_score"]
+    beta = s.loc[s["doc_id"] >= 200, "clf_score"]
+    # imbalanced planted labels (2:1) keep beta off zero at 50 iterations;
+    # the separation margin is the real claim
+    assert alpha.min() > 0.8
+    assert beta.max() < 0.35
+    assert alpha.min() - beta.max() > 0.6
+
+
+def test_quality_classifier_numpy_replica_parity(dsir_corpus, tmp_path):
+    """The distributed trainer and the single-process replica must agree
+    to float-reduction noise (same init/iterations/lr/label rule)."""
+    import numpy as np
+
+    from fastselect_spark.corpus import (
+        train_quality_classifier,
+        train_quality_classifier_numpy,
+    )
+
+    pq_path = str(tmp_path / "docs.parquet")
+    dsir_corpus.select("doc_id", "text").toPandas().to_parquet(pq_path)
+    labeled = dsir_corpus.withColumn(
+        "label", (F.col("doc_id") % 7 == 0).cast("double")
+    )
+    w_spark = train_quality_classifier(labeled, n_buckets=256, iterations=10)
+    w_np = train_quality_classifier_numpy(
+        pq_path, label_mod=7, n_buckets=256, iterations=10
+    )
+    np.testing.assert_allclose(w_spark, w_np, atol=1e-10)
