@@ -568,6 +568,43 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", F.round("clf_score", 6).alias("clf_score"))
 
 
+def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (similarity/pq.py): deterministic
+    per-subspace Lloyd codebooks (m=8, k=32), one broadcast row-local
+    encode scan -> (vec_id, subspace, code). The oracle recomputes
+    nearest-codeword assignment from codebook literals via the
+    scale-invariant argmin(|c|^2*|x| - 2 x·c) form."""
+    from fastselect_spark.similarity import pq_encode, train_pq_codebooks
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    C = train_pq_codebooks(emb, m=8, k=32)
+    codes = pq_encode(emb, C)
+    return codes.select(
+        "vec_id", F.posexplode("codes").alias("subspace", "code")
+    ).select(
+        "vec_id",
+        F.col("subspace").cast("int").alias("subspace"),
+        "code",
+    )
+
+
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k: approximate cosine from the codes table alone
+    (m lookup-table reads per corpus vector — the compressed-domain scan
+    that makes 100 TB ANN affordable). Oracle = codebook literals ->
+    SQL encoding -> LUT dots -> windowed rank."""
+    from fastselect_spark.similarity import pq_topk, train_pq_codebooks
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    C = train_pq_codebooks(emb, m=8, k=32)
+    topk = pq_topk(emb, emb.where(F.col("vec_id") < 5), C, k=5)
+    return topk.select(
+        "query_id", "neighbor_id", F.round("adc", 6).alias("adc"), "rank"
+    )
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence-packing manifest: docs hash
     into independent shards, each shard packs its docs (ascending id)
@@ -1407,6 +1444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balanced_sample": _q_cluster_balanced_sample,  # per-topic quota
         "dsir_logweights": _q_dsir_logweights,  # hashed-bigram importance LLR
         "quality_classifier": _q_quality_classifier,  # oracle = weight-literal scoring
+        "pq_codes": _q_pq_codes,  # oracle = codebook-literal assignment
+        "pq_topk": _q_pq_topk,  # oracle = codebook-literal ADC rank
         "pack_sequences": _q_pack_sequences,  # concat-and-chunk packing manifest
         "tfidf_keywords": _q_tfidf_keywords,  # top-3 tf-idf terms per doc
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,  # pairs -> CC -> clusters
@@ -3004,6 +3043,110 @@ SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS clf_score FROM z
 """
 
 
+def _pq_literals() -> str | None:
+    """Shared codebook-literal VALUES body for the PQ oracles:
+    ``(s, code, cvec, cn2)`` rows from the independent NumPy-replica
+    trainer (m=8, k=32 — the contract config)."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        from fastselect_spark.similarity import train_pq_codebooks_numpy
+
+        C = train_pq_codebooks_numpy(f"{sf_dir}/embeddings.parquet", m=8, k=32)
+    except Exception:
+        return None
+    return ",\n    ".join(
+        "({}, {}, [{}], {!r})".format(
+            s,
+            code,
+            ", ".join(repr(float(v)) for v in C[s, code]),
+            float((C[s, code] ** 2).sum()),
+        )
+        for s in range(C.shape[0])
+        for code in range(C.shape[1])
+    )
+
+
+# Shared PQ assignment CTE chain (after a cw(s, code, cvec, cn2) literal
+# table): nearest codeword per (vector, subspace) via the scale-invariant
+# argmin(|c|^2 * |x| - 2 x·c) — identical ranking to Spark's argmin over
+# the normalized vector, without per-element division.
+_PQ_ASSIGN_CTES = """
+c AS (SELECT vec_id, embedding AS ce FROM embeddings),
+norms AS (
+    SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS vnorm
+    FROM (SELECT vec_id, UNNEST(ce) AS x FROM c) GROUP BY 1
+),
+sz AS (
+    SELECT c.vec_id, cw.s, cw.code, cw.cn2,
+           UNNEST(list_slice(c.ce, cw.s * 8 + 1, cw.s * 8 + 8)) AS x,
+           UNNEST(cw.cvec) AS y
+    FROM c, cw
+),
+sd AS MATERIALIZED (
+    SELECT vec_id, s, code, ANY_VALUE(cn2) AS cn2,
+           SUM(CAST(x AS DOUBLE) * y) AS dot
+    FROM sz GROUP BY 1, 2, 3
+),
+assign AS MATERIALIZED (
+    SELECT vec_id, s, code, dot FROM (
+        SELECT sd.vec_id, sd.s, sd.code, sd.dot,
+               ROW_NUMBER() OVER (PARTITION BY sd.vec_id, sd.s
+                                  ORDER BY sd.cn2 * n.vnorm - 2 * sd.dot,
+                                           sd.code) AS rn
+        FROM sd JOIN norms n USING (vec_id)
+    ) WHERE rn = 1
+)
+"""
+
+
+def _pq_codes_oracle_sql() -> str | None:
+    lits = _pq_literals()
+    if lits is None:
+        return None
+    return f"""
+WITH cw(s, code, cvec, cn2) AS (VALUES
+    {lits}
+),
+{_PQ_ASSIGN_CTES}
+SELECT vec_id, CAST(s AS INT) AS subspace, CAST(code AS INT) AS code
+FROM assign
+"""
+
+
+def _pq_topk_oracle_sql() -> str | None:
+    lits = _pq_literals()
+    if lits is None:
+        return None
+    return f"""
+WITH cw(s, code, cvec, cn2) AS (VALUES
+    {lits}
+),
+{_PQ_ASSIGN_CTES},
+-- query LUT: dot(normalized query subvector, codeword) per (q, s, code)
+qlut AS MATERIALIZED (
+    SELECT sd.vec_id AS query_id, sd.s, sd.code, sd.dot / n.vnorm AS qdot
+    FROM sd JOIN norms n USING (vec_id)
+    WHERE sd.vec_id < 5
+),
+adc AS (
+    SELECT ql.query_id, a.vec_id AS neighbor_id, SUM(ql.qdot) AS adc
+    FROM assign a JOIN qlut ql ON ql.s = a.s AND ql.code = a.code
+    WHERE a.vec_id <> ql.query_id
+    GROUP BY 1, 2
+),
+r AS (
+    SELECT query_id, neighbor_id, adc,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc DESC, neighbor_id) AS rank
+    FROM adc
+)
+SELECT query_id, neighbor_id, ROUND(adc, 6) AS adc, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
 def _cluster_balanced_sample_oracle_sql() -> str | None:
     """DuckDB oracle for ``cluster_balanced_sample``: centroid-literal
     assignment + cosine (as the kmeans_clusters oracle), then the
@@ -3602,6 +3745,12 @@ def oracle_sql() -> dict[str, str]:
     qc = _quality_classifier_oracle_sql()
     if qc is not None:
         out["quality_classifier"] = qc
+    pqc = _pq_codes_oracle_sql()
+    if pqc is not None:
+        out["pq_codes"] = pqc
+    pqt = _pq_topk_oracle_sql()
+    if pqt is not None:
+        out["pq_topk"] = pqt
     # the streaming quality filter is a stateless projection of the same
     # rows — the batch filter SQL is its oracle verbatim
     out["streaming_quality_filter"] = out["quality_filter"]

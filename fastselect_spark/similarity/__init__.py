@@ -5,6 +5,12 @@ from fastselect_spark.similarity.ivf import (  # noqa: F401
     kmeans_clusters,
     train_ivf_centroids,
 )
+from fastselect_spark.similarity.pq import (  # noqa: F401
+    pq_encode,
+    pq_topk,
+    train_pq_codebooks,
+    train_pq_codebooks_numpy,
+)
 from fastselect_spark.similarity.pca import (  # noqa: F401
     pca_project,
     train_pca,

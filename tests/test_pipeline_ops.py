@@ -447,6 +447,52 @@ def test_cluster_balanced_sample_quota(planted_embeddings):
         assert (g["sim"].diff().dropna() <= 1e-12).all()
 
 
+def test_pq_planted_pairs_top1(planted_embeddings):
+    """ADC over PQ codes must rank each planted near-identical copy
+    (cos≈1) as top-1 for its base query — near-dups share codes in every
+    subspace, so their ADC is the maximal self-similarity estimate."""
+    from fastselect_spark.similarity import pq_encode, pq_topk, train_pq_codebooks
+
+    C = train_pq_codebooks(planted_embeddings, m=4, k=16)
+    codes = pq_encode(planted_embeddings, C).toPandas()
+    assert set(codes.columns) == {"vec_id", "codes"}
+    assert all(len(c) == 4 for c in codes["codes"])
+    by_id = dict(zip(codes["vec_id"], (tuple(c) for c in codes["codes"])))
+    same = sum(by_id[i] == by_id[200 + i] for i in range(10))
+    assert same == 10
+    queries = planted_embeddings.where(F.col("vec_id") < 10)
+    top = pq_topk(planted_embeddings, queries, C, k=1).toPandas()
+    top1 = {r.query_id: r.neighbor_id for r in top.itertuples()}
+    assert sum(top1.get(i) == 200 + i for i in range(10)) == 10
+
+
+def test_pq_adc_approximates_cosine(embeddings):
+    """ADC scores must track exact cosine: mean absolute quantization
+    error bounded, and stored-codes reuse gives identical results."""
+    import numpy as np
+
+    from fastselect_spark.similarity import (
+        cosine_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    C = train_pq_codebooks(embeddings, m=8, k=32)
+    queries = embeddings.where(F.col("vec_id") < 3)
+    codes = pq_encode(embeddings, C)
+    a = pq_topk(embeddings, queries, C, k=5).toPandas()
+    b = pq_topk(embeddings, queries, C, k=5, codes=codes).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        b.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+    exact = cosine_topk(embeddings, queries, k=embeddings.count()).toPandas()
+    escore = {(r.query_id, r.neighbor_id): r.cosine for r in exact.itertuples()}
+    errs = [abs(escore[(r.query_id, r.neighbor_id)] - r.adc) for r in a.itertuples()]
+    assert np.mean(errs) < 0.25
+
+
 # ---------- multimodal ----------
 
 def test_multimodal_fake_decoder_end_to_end(spark):
