@@ -288,6 +288,22 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-span removal (dedup/spans.py): global
+    first-occurrence-wins dedup of 8-token spans, docs rebuilt from their
+    surviving spans. Non-vacuous on the raw fixture (the small vocabulary
+    produces natural span collisions: 175 of 3,609 spans drop at sf0.01)."""
+    from fastselect_spark.dedup import remove_duplicate_spans
+
+    _register(spark, sf_dir, "documents")
+    return remove_duplicate_spans(spark.table("documents"), span_tokens=8).select(
+        "doc_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "text_dedup",
+    )
+
+
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clustering: connected components over the n-gram-Jaccard
     near-dup pair graph (min-label propagation, all Catalyst ops), plus the
@@ -1427,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality_by_source": _q_lang_quality_by_source,
         "dedup_exact_groups": _q_dedup_exact_groups,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_spans": _q_dedup_spans,  # C4-style duplicate-span removal
         "dedup_components": _q_dedup_components,
         "minhash_near_dups": _q_minhash_near_dups,  # md5 family: SQL-transliterated
         "simhash_near_dups": _q_simhash_near_dups,  # md5 family: SQL-transliterated
@@ -3281,6 +3298,35 @@ def oracle_sql() -> dict[str, str]:
         FROM fp GROUP BY 1 HAVING COUNT(*) > 1
         """,
         "ngram_jaccard": _NGRAM_ORACLE,
+        "dedup_spans": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(trim(lower(coalesce(text, ''))),
+                                               '\s+', ' ', 'g'), ' ') AS w
+            FROM documents
+        ),
+        spans0 AS (
+            SELECT doc_id, w,
+                   unnest(range(CAST(ceil(len(w) / 8.0) AS BIGINT))) AS g
+            FROM toks
+        ),
+        spans AS (
+            SELECT doc_id, CAST(g AS INT) AS pos,
+                   array_to_string(w[(g*8+1):((g+1)*8)], ' ') AS span
+            FROM spans0
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY span
+                                         ORDER BY doc_id, pos) AS rn
+            FROM spans
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_spans,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               COALESCE(STRING_AGG(CASE WHEN rn = 1 THEN span END, ' '
+                                   ORDER BY pos), '') AS text_dedup
+        FROM ranked GROUP BY doc_id
+        """,
         "dedup_components": _COMPONENTS_ORACLE,
         "embedding_topk": _EMBED_TOPK_ORACLE,
         # seed-deterministic recall 1.0 at its operating point (12x6-bit

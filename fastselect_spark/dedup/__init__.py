@@ -5,6 +5,10 @@ from fastselect_spark.dedup.minhash import (  # noqa: F401
 )
 from fastselect_spark.dedup.simhash import add_simhash, simhash_near_duplicates  # noqa: F401
 from fastselect_spark.dedup.ngram import ngram_jaccard_pairs  # noqa: F401
+from fastselect_spark.dedup.spans import (  # noqa: F401
+    explode_spans,
+    remove_duplicate_spans,
+)
 from fastselect_spark.dedup.embedding import embedding_near_duplicates  # noqa: F401
 from fastselect_spark.dedup.semdedup import (  # noqa: F401
     semantic_dedup,

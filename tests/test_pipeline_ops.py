@@ -140,6 +140,40 @@ def test_exact_dedup(near_dup_corpus):
     assert deduped.where(F.col("doc_id").isin([100, 101, 102, 103, 104])).count() == 0
 
 
+def test_duplicate_span_removal(spark):
+    """C4-style span dedup: global first occurrence wins, later copies drop,
+    docs rebuild from surviving spans in order."""
+    from fastselect_spark.dedup import explode_spans, remove_duplicate_spans
+
+    shared = "a b c d"  # one full 4-token span, duplicated across docs
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    f"{shared} e f g h",        # spans: [a b c d][e f g h]
+                    f"x y z w {shared}",        # second span loses to doc 1
+                    f"{shared} {shared}",       # within-doc dup: pos 1 loses
+                    "unique tail",              # short doc -> one tail span
+                ],
+            }
+        )
+    )
+    out = (
+        remove_duplicate_spans(docs, span_tokens=4)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert out["n_spans"].tolist() == [2, 2, 2, 1]
+    assert out["n_kept"].tolist() == [2, 1, 0, 1]
+    assert out["text_dedup"].tolist() == ["a b c d e f g h", "x y z w", "", "unique tail"]
+
+    # reconstruction invariant: concatenating ALL spans = normalized text
+    spans = explode_spans(docs, span_tokens=4).orderBy("doc_id", "pos").toPandas()
+    rebuilt = spans.groupby("doc_id")["span"].apply(" ".join)
+    assert rebuilt.loc[2] == "x y z w a b c d"
+
+
 def test_minhash_near_duplicates(near_dup_corpus):
     pairs = minhash_near_duplicates(
         near_dup_corpus, threshold=0.6, num_hashes=64, bands=16
