@@ -255,6 +255,55 @@ def _q_lang_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (text/pii.py): the raw fixture has no PII, so plant
+    deterministic emails / IPv4s / SSNs / phone numbers derived from
+    doc_id (the oracle performs the identical derivation in SQL), then
+    run the staged detect-and-redact chain. Zero-shuffle narrow plan."""
+    from fastselect_spark.text.pii import redact_pii
+
+    _register(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"), did.cast("string"),
+                    F.lit("@ex"), (did % 7).cast("string"), F.lit(".com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.lit(" ip 10."), (did % 256).cast("string"),
+                    F.lit(".0."), (did % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 6 == 0,
+                F.concat(
+                    F.lit(" call +1 555-01"),
+                    F.lpad((did % 100).cast("string"), 2, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(planted).select(
+        "doc_id", "n_email", "n_ipv4", "n_ssn", "n_phone", "n_pii",
+        "text_redacted",
+    )
+
+
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastselect_spark.text import add_fingerprint
 
@@ -1441,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "text_stats": _q_text_stats,
         "lang_quality_by_source": _q_lang_quality_by_source,
+        "pii_redaction": _q_pii_redaction,  # staged regex scrub, planted PII
         "dedup_exact_groups": _q_dedup_exact_groups,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_spans": _q_dedup_spans,  # C4-style duplicate-span removal
@@ -3281,6 +3331,64 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp_exact
         FROM documents
+        """,
+        # byte-identical regex patterns (Java-regex ∩ RE2 subset) and the
+        # same staged priority chain as text/pii.py
+        "pii_redaction": r"""
+        WITH planted AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                        || CAST(doc_id AS STRING) || '@ex'
+                        || CAST(doc_id % 7 AS STRING) || '.com' ELSE '' END
+                   || CASE WHEN doc_id % 4 = 0 THEN ' ip 10.'
+                        || CAST(doc_id % 256 AS STRING) || '.0.'
+                        || CAST(doc_id % 100 AS STRING) ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-'
+                        || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ELSE '' END
+                   || CASE WHEN doc_id % 6 = 0 THEN ' call +1 555-01'
+                        || lpad(CAST(doc_id % 100 AS STRING), 2, '0') ELSE '' END
+                   AS t0
+            FROM documents
+        ),
+        s1 AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   regexp_replace(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+            FROM planted
+        ),
+        s2 AS (
+            SELECT doc_id, n_email,
+                   CAST(len(regexp_extract_all(t1,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   regexp_replace(t1,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                       '<IP>', 'g') AS t2
+            FROM s1
+        ),
+        s3 AS (
+            SELECT doc_id, n_email, n_ipv4,
+                   CAST(len(regexp_extract_all(t2,
+                       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+                   regexp_replace(t2,
+                       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS t3
+            FROM s2
+        ),
+        s4 AS (
+            SELECT doc_id, n_email, n_ipv4, n_ssn,
+                   CAST(len(regexp_extract_all(t3,
+                       '(?:\+|\b)[0-9][0-9 -]{7,13}[0-9]\b')) AS BIGINT) AS n_phone,
+                   regexp_replace(t3,
+                       '(?:\+|\b)[0-9][0-9 -]{7,13}[0-9]\b', '<PHONE>', 'g') AS t4
+            FROM s3
+        )
+        SELECT doc_id, n_email, n_ipv4, n_ssn, n_phone,
+               n_email + n_ipv4 + n_ssn + n_phone AS n_pii,
+               t4 AS text_redacted
+        FROM s4
         """,
         "dedup_exact_groups": """
         WITH corpus AS (

@@ -10,3 +10,4 @@ from fastselect_spark.text.repetition import (  # noqa: F401
     repetition_filter,
 )
 from fastselect_spark.text.tfidf import top_tfidf_terms  # noqa: F401
+from fastselect_spark.text.pii import detect_pii, redact_pii  # noqa: F401

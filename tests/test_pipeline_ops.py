@@ -140,6 +140,37 @@ def test_exact_dedup(near_dup_corpus):
     assert deduped.where(F.col("doc_id").isin([100, 101, 102, 103, 104])).count() == 0
 
 
+def test_pii_redaction(spark):
+    """Staged priority scrub: each char claimed by at most one PII class."""
+    from fastselect_spark.text import redact_pii
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "mail a.b+c@ex.co and ip 192.168.0.1 ok",
+                    "ssn 123-45-6789 call +1 555-0123 ok",  # ssn wins over phone
+                    "no pii here at all",
+                    None,  # null text -> empty, zero counts
+                ],
+            }
+        )
+    )
+    out = redact_pii(docs).orderBy("doc_id").toPandas()
+    assert out["n_email"].tolist() == [1, 0, 0, 0]
+    assert out["n_ipv4"].tolist() == [1, 0, 0, 0]
+    assert out["n_ssn"].tolist() == [0, 1, 0, 0]
+    assert out["n_phone"].tolist() == [0, 1, 0, 0]
+    assert out["n_pii"].tolist() == [2, 2, 0, 0]
+    assert out["text_redacted"].tolist() == [
+        "mail <EMAIL> and ip <IP> ok",
+        "ssn <SSN> call <PHONE> ok",
+        "no pii here at all",
+        "",
+    ]
+
+
 def test_duplicate_span_removal(spark):
     """C4-style span dedup: global first occurrence wins, later copies drop,
     docs rebuild from surviving spans in order."""
