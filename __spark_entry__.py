@@ -255,6 +255,21 @@ def _q_lang_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (text/bm25.py): three fixed literal queries
+    over the documents corpus, Lucene idf, top-5 per query. Ranking is on
+    the 6-decimal-rounded score (then doc_id) so cross-engine float ulp
+    noise cannot flip ranks."""
+    from fastselect_spark.text.bm25 import bm25_topk
+
+    _register(spark, sf_dir, "documents")
+    return bm25_topk(
+        spark.table("documents"),
+        [(0, "spark window"), (1, "hash join"), (2, "batch stream merge")],
+        k=5,
+    )
+
+
 def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (text/pii.py): the raw fixture has no PII, so plant
     deterministic emails / IPv4s / SSNs / phone numbers derived from
@@ -1491,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "lang_quality_by_source": _q_lang_quality_by_source,
         "pii_redaction": _q_pii_redaction,  # staged regex scrub, planted PII
+        "bm25_topk": _q_bm25_topk,  # Okapi BM25 ranked retrieval, full SQL oracle
         "dedup_exact_groups": _q_dedup_exact_groups,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_spans": _q_dedup_spans,  # C4-style duplicate-span removal
@@ -3331,6 +3347,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp_exact
         FROM documents
+        """,
+        # full BM25 recomputation: same tokenizer, Lucene idf, rounded-score
+        # ranking (round-then-rank on both engines, doc_id tie-break)
+        "bm25_topk": r"""
+        WITH toked AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(trim(lower(coalesce(text, ''))),
+                                               '\s+', ' ', 'g'), ' ') AS w
+            FROM documents
+        ),
+        dls AS (SELECT doc_id, len(w) AS dl, w FROM toked),
+        stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dls),
+        qterms(query_id, term) AS (
+            VALUES (0, 'spark'), (0, 'window'),
+                   (1, 'hash'), (1, 'join'),
+                   (2, 'batch'), (2, 'merge'), (2, 'stream')
+        ),
+        tok AS (SELECT doc_id, dl, unnest(w) AS term FROM dls),
+        postings AS (
+            SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+            FROM tok WHERE term IN (SELECT DISTINCT term FROM qterms)
+            GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+        idf AS (
+            SELECT term, ln(1 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf
+            FROM dfreq, stats s
+        ),
+        contrib AS (
+            SELECT q.query_id, p.doc_id,
+                   i.idf * (p.tf * (1.2 + 1.0))
+                   / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)) AS c
+            FROM postings p
+            JOIN idf i USING (term)
+            JOIN qterms q USING (term), stats s
+        ),
+        scored AS (
+            SELECT query_id, doc_id, ROUND(SUM(c), 6) AS score
+            FROM contrib GROUP BY query_id, doc_id
+        ),
+        ranked AS (
+            SELECT query_id, doc_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scored
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+               doc_id, score
+        FROM ranked WHERE rank <= 5
         """,
         # byte-identical regex patterns (Java-regex ∩ RE2 subset) and the
         # same staged priority chain as text/pii.py

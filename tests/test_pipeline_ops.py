@@ -140,6 +140,45 @@ def test_exact_dedup(near_dup_corpus):
     assert deduped.where(F.col("doc_id").isin([100, 101, 102, 103, 104])).count() == 0
 
 
+def test_bm25_topk(spark):
+    """BM25 vs a NumPy hand-oracle on a 4-doc corpus."""
+    from fastselect_spark.text.bm25 import bm25_topk
+
+    texts = [
+        "cat dog cat",          # tf(cat)=2, dl=3
+        "dog bird",             # dl=2
+        "cat cat cat cat",      # tf(cat)=4, dl=4
+        "fish",                 # dl=1
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(4), "text": texts})
+    )
+    out = (
+        bm25_topk(docs, [(0, "cat"), (1, "dog fish")], k=3)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+
+    k1, b = 1.2, 0.75
+    n, avgdl = 4, 10 / 4
+    def score(tf, dl, df):
+        idf = np.log(1 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    # query 0 = cat: docs 0 and 2 match (df=2)
+    q0 = out[out.query_id == 0]
+    assert q0.doc_id.tolist() == [2, 0]  # tf=4/dl=4 beats tf=2/dl=3
+    np.testing.assert_allclose(
+        q0.score.values,
+        np.round([score(4, 4, 2), score(2, 3, 2)], 6),
+        atol=1e-9,
+    )
+    # query 1 = dog fish: docs 0, 1 (dog, df=2) and 3 (fish, df=1)
+    q1 = out[out.query_id == 1]
+    assert set(q1.doc_id) == {0, 1, 3}
+    assert q1["rank"].tolist() == [1, 2, 3]
+
+
 def test_pii_redaction(spark):
     """Staged priority scrub: each char claimed by at most one PII class."""
     from fastselect_spark.text import redact_pii
