@@ -629,6 +629,22 @@ def _q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select("doc_id", F.round("logw", 6).alias("logw"))
 
 
+def _q_perplexity_tertiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter (corpus/lm.py): hashed-unigram LM fit
+    on the lang='en' reference slice (one tree-reduced scan), every doc
+    scored in one broadcast scan, head/middle/tail tertiles per language
+    ranked on the 6-decimal-rounded perplexity. The portable md5 bucket
+    family lets the oracle recompute the LM AND the scores end-to-end in
+    SQL."""
+    from fastselect_spark.corpus import perplexity_tertiles
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    return perplexity_tertiles(
+        docs, docs.where(F.col("lang") == "en"), n_buckets=10_000
+    ).select("doc_id", "lang", "n_tokens", "ppl", "tier")
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style quality classifier (corpus/classifier.py): logistic
     regression over hashed-bigram features, trained distributively (one
@@ -1526,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,  # oracle = centroid-literal NOT EXISTS
         "cluster_balanced_sample": _q_cluster_balanced_sample,  # per-topic quota
         "dsir_logweights": _q_dsir_logweights,  # hashed-bigram importance LLR
+        "perplexity_tertiles": _q_perplexity_tertiles,  # CCNet head/middle/tail
         "quality_classifier": _q_quality_classifier,  # oracle = weight-literal scoring
         "pq_codes": _q_pq_codes,  # oracle = codebook-literal assignment
         "pq_topk": _q_pq_topk,  # oracle = codebook-literal ADC rank
@@ -3070,6 +3087,46 @@ SELECT doc_id, ROUND(SUM(lr), 6) AS logw FROM lw GROUP BY 1
 """
 
 
+_PPL_TERTILES_SQL = """
+WITH docs AS MATERIALIZED (
+    SELECT doc_id, lang,
+           lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+    FROM documents
+),
+tok AS (SELECT doc_id, lang, string_split(norm, ' ') AS t FROM docs),
+b AS MATERIALIZED (
+    SELECT doc_id, lang,
+           CAST('0x' || substr(md5(UNNEST(t)), 1, 15) AS BIGINT)
+               % 10000 AS bucket
+    FROM tok
+),
+refcnt AS (
+    SELECT bucket, COUNT(*) AS c FROM b
+    WHERE lang = 'en' GROUP BY 1
+),
+rtot AS (SELECT SUM(c) AS n FROM refcnt),
+scored AS (
+    SELECT b.doc_id, b.lang, COUNT(*) AS n_tokens,
+           SUM(LN((COALESCE(rc.c, 0) + 1.0) / (rtot.n + 10000.0)))
+               / COUNT(*) AS meanlp
+    FROM b LEFT JOIN refcnt rc USING (bucket), rtot
+    GROUP BY b.doc_id, b.lang
+),
+r AS (
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(EXP(-meanlp), 6) AS ppl
+    FROM scored
+),
+t AS (
+    SELECT *, NTILE(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS nt
+    FROM r
+)
+SELECT doc_id, lang, n_tokens, ppl,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+FROM t
+"""
+
+
 def _quality_classifier_oracle_sql() -> str | None:
     """DuckDB oracle for ``quality_classifier``: the independent NumPy
     replica retrains the logistic weights from the gate's parquet (same
@@ -3961,6 +4018,7 @@ def oracle_sql() -> dict[str, str]:
     if cbs is not None:
         out["cluster_balanced_sample"] = cbs
     out["dsir_logweights"] = _DSIR_LOGWEIGHTS_SQL
+    out["perplexity_tertiles"] = _PPL_TERTILES_SQL
     qc = _quality_classifier_oracle_sql()
     if qc is not None:
         out["quality_classifier"] = qc

@@ -13,6 +13,7 @@ from fastselect_spark.corpus.dsir import (
     hashed_ngram_distribution,
 )
 from fastselect_spark.corpus.filtering import quality_filter
+from fastselect_spark.corpus.lm import lm_perplexity, perplexity_tertiles
 from fastselect_spark.corpus.packing import pack_sequences
 from fastselect_spark.corpus.sampling import (
     cap_per_source,

@@ -11,3 +11,4 @@ from fastselect_spark.text.repetition import (  # noqa: F401
 )
 from fastselect_spark.text.tfidf import top_tfidf_terms  # noqa: F401
 from fastselect_spark.text.pii import detect_pii, redact_pii  # noqa: F401
+from fastselect_spark.text.bm25 import bm25_topk  # noqa: F401

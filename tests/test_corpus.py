@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -300,6 +301,48 @@ def test_dsir_select_top_exact_rank(dsir_corpus):
         .head(int(round(len(w) * 0.25)))["doc_id"]
     )
     assert set(kept["doc_id"]) == want
+
+
+# ---------- CCNet perplexity filter ----------
+
+def test_lm_perplexity_dialect_separation(dsir_corpus):
+    """Docs in the reference dialect score lower perplexity than
+    off-dialect docs; values match a NumPy replica of the hashed LM."""
+    import hashlib
+
+    from fastselect_spark.corpus import lm_perplexity
+
+    ref = dsir_corpus.where(F.col("kind") == "target")
+    out = lm_perplexity(dsir_corpus, ref, n_buckets=1000).toPandas()
+    assert len(out) == 60
+    alpha = out.loc[out["doc_id"] < 200, "ppl"]
+    beta = out.loc[out["doc_id"] >= 200, "ppl"]
+    assert alpha.max() < beta.min()
+
+    # NumPy replica for one alpha doc
+    alpha_text = "the alpha model trains on clean curated text data"
+    toks = alpha_text.split(" ")
+    bucket = lambda g: int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % 1000
+    cnt = np.zeros(1000)
+    for t in toks:
+        cnt[bucket(t)] += 20  # 20 identical reference docs
+    p = (cnt + 1.0) / (cnt.sum() + 1000.0)
+    mean_lp = np.mean([np.log(p[bucket(t)]) for t in toks])
+    np.testing.assert_allclose(
+        out.loc[out["doc_id"] == 0, "ppl"].iloc[0], np.exp(-mean_lp), rtol=1e-12
+    )
+
+
+def test_perplexity_tertiles_balanced(dsir_corpus):
+    from fastselect_spark.corpus import perplexity_tertiles
+
+    ref = dsir_corpus.where(F.col("kind") == "target")
+    docs = dsir_corpus.withColumn("lang", F.lit("xx"))
+    out = perplexity_tertiles(docs, ref, lang_col="lang").toPandas()
+    counts = out["tier"].value_counts()
+    assert counts["head"] == 20 and counts["middle"] == 20 and counts["tail"] == 20
+    # all beta docs (high ppl) land in the tail
+    assert (out.loc[out["doc_id"] >= 200, "tier"] == "tail").all()
 
 
 # ---------- quality classifier ----------
