@@ -41,22 +41,19 @@ def _tokens(text_col: str):
     )
 
 
-def bm25_topk(
+def _bm25_scored(
     docs: DataFrame,
     queries: list[tuple[int, str]],
-    k: int = 5,
     k1: float = 1.2,
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
     round_decimals: int = 6,
-) -> DataFrame:
-    """(query_id, rank, doc_id, score): BM25 top-k docs per query.
-
-    ``queries`` is a small driver-side list of (query_id, query_text);
-    duplicate terms within one query count once (set semantics, the
-    standard bag-of-terms simplification).
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """(scored, postings): the pre-top-k score frame plus the persisted
+    branch-point postings handle (callers must unpersist it). Split out
+    so tools/explain_audit.py can inspect the join plan before
+    ``bm25_topk`` checkpoints it away."""
     spark = docs.sparkSession
 
     # corpus side: tokens + per-doc length (narrow)
@@ -116,6 +113,28 @@ def bm25_topk(
 
     scored = contrib.groupBy("query_id", id_col).agg(
         F.round(F.sum("contrib"), round_decimals).alias("score")
+    )
+    return scored, postings
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): BM25 top-k docs per query.
+
+    ``queries`` is a small driver-side list of (query_id, query_text);
+    duplicate terms within one query count once (set semantics, the
+    standard bag-of-terms simplification).
+    """
+    scored, postings = _bm25_scored(
+        docs, queries, k1, b, text_col, id_col, round_decimals
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col)

@@ -266,6 +266,64 @@ def main() -> int:
         and "Exchange SinglePartition" not in p,
     )
 
+    # 13. span dedup: exactly two exchanges (span election + doc
+    # reassembly), the chunk explode stays narrow
+    from fastselect_spark.dedup import remove_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sp = remove_duplicate_spans(docs, span_tokens=8)
+    p = plan_of(sp, execute=True)
+    failures += not check(
+        "span dedup is two exchanges (span election, doc reassembly)",
+        len(re.findall(r"Exchange hashpartitioning", p)) == 2
+        and "Generate posexplode" in p
+        and "Exchange SinglePartition" not in p,
+    )
+
+    # 14. PII scrub: pure narrow projection — zero exchanges
+    from fastselect_spark.text import redact_pii
+
+    p = plan_of(redact_pii(docs), execute=True)
+    failures += not check(
+        "pii redaction plans zero exchanges", "Exchange" not in p
+    )
+
+    # 15. BM25: vocabulary filter sits below the postings aggregate, the
+    # idf/query joins broadcast, and BOTH consumers of the postings branch
+    # read the persisted handle instead of re-running the corpus explode
+    from fastselect_spark.text.bm25 import _bm25_scored
+
+    scored, postings = _bm25_scored(
+        docs, [(0, "spark window"), (1, "hash join")]
+    )
+    p = plan_of(scored, execute=True)
+    postings.unpersist()
+    failures += not check(
+        "bm25 joins broadcast + postings branch-point cached",
+        # AQE prints broadcast stages by reference, so the cached postings
+        # show as ONE InMemoryTableScan; the single FileScan (inside the
+        # InMemoryRelation definition) proves the corpus explode is not
+        # re-run per branch
+        "BroadcastHashJoin" in p
+        and "SortMergeJoin" not in p
+        and "InMemoryTableScan" in p
+        and len(re.findall(r"FileScan", p)) == 1
+        and re.search(r"Filter .*term#\d+ IN \(", p) is not None,
+    )
+
+    # 16. perplexity scoring is one broadcast Arrow scan; the only
+    # exchange is the per-language tertile window
+    from fastselect_spark.corpus import perplexity_tertiles
+
+    pt = perplexity_tertiles(docs, docs.where(F.col("lang") == "en"))
+    p = plan_of(pt, execute=True)
+    failures += not check(
+        "perplexity tertiles: one lang exchange + one Arrow scoring scan",
+        len(re.findall(r"Exchange hashpartitioning", p)) == 1
+        and "MapInPandas" in p
+        and "Exchange SinglePartition" not in p,
+    )
+
     print(f"\n{'ALL CHECKS PASS' if not failures else f'{failures} CHECK(S) FAILED'}")
     return 1 if failures else 0
 
