@@ -270,6 +270,27 @@ def default_mode() -> None:
             .count()
         )
         ops["semdedup_sec"] = round(time.perf_counter() - t0, 3)
+        # round-4 additions: span dedup, PII scrub, BM25, perplexity filter
+        from fastselect_spark.corpus import perplexity_tertiles
+        from fastselect_spark.dedup import remove_duplicate_spans
+        from fastselect_spark.text import bm25_topk, redact_pii
+
+        t0 = time.perf_counter()
+        ops["span_dedup_rows"] = remove_duplicate_spans(docs).count()
+        ops["span_dedup_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        ops["pii_redact_rows"] = redact_pii(docs).count()
+        ops["pii_redact_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        ops["bm25_rows"] = bm25_topk(
+            docs, [(0, "spark window"), (1, "hash join"), (2, "batch stream merge")]
+        ).count()
+        ops["bm25_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        ops["perplexity_rows"] = perplexity_tertiles(
+            docs, docs.where(F.col("lang") == "en")
+        ).count()
+        ops["perplexity_sec"] = round(time.perf_counter() - t0, 3)
         docs.unpersist()
         out["corpus_ops"] = ops
     except Exception as exc:  # surface the regression in the bench output
