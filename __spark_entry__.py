@@ -1031,6 +1031,54 @@ def _q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_streaming_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time PII scrubbing: the staged regex chain (text/pii.py) is
+    a stateless JVM projection, so it runs UNCHANGED on the document
+    stream — documents land already redacted. availableNow over the
+    staged arrival waves; stateless row ops make the streaming result
+    exactly the batch result, so the planted-PII batch SQL is its oracle.
+    PII is planted from doc_id the same way as `pii_redaction` (the raw
+    fixture has none)."""
+    from fastselect_spark.text import redact_pii
+
+    path = _staged_documents_stream_path(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    did = F.col("doc_id")
+    planted = stream.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"), did.cast("string"),
+                    F.lit("@ex"), (did % 7).cast("string"), F.lit(".com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = _run_available_now(
+        spark,
+        redact_pii(planted).select(
+            "doc_id", "n_email", "n_ssn", "n_pii", "text_redacted"
+        ),
+        "fs_stream_pii",
+        mode="append",
+    )
+    return out
+
+
 def _q_streaming_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest-time MinHash-LSH near-dup detection: the batch
     signature+banding expression stack runs unchanged on the stream; each
@@ -1565,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_progress": _q_streaming_stateful,
         "streaming_minhash_near_dups": _q_streaming_minhash_near_dups,  # oracle = batch minhash SQL
         "streaming_quality_filter": _q_streaming_quality_filter,  # oracle = batch filter SQL
+        "streaming_pii_redaction": _q_streaming_pii_redaction,  # oracle = batch scrub SQL
         "q1_pricing_summary": _q_q1_pricing_summary,
         "top_customers": _q_top_customers,
         "supplier_part_revenue": _q_supplier_part_revenue,
@@ -4031,6 +4080,58 @@ def oracle_sql() -> dict[str, str]:
     # the streaming quality filter is a stateless projection of the same
     # rows — the batch filter SQL is its oracle verbatim
     out["streaming_quality_filter"] = out["quality_filter"]
+    # stateless scrub => stream result == batch result; email+SSN planting
+    out["streaming_pii_redaction"] = r"""
+        WITH planted AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                        || CAST(doc_id AS STRING) || '@ex'
+                        || CAST(doc_id % 7 AS STRING) || '.com' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-'
+                        || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ELSE '' END
+                   AS t0
+            FROM documents
+        ),
+        s1 AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   regexp_replace(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+            FROM planted
+        ),
+        s2 AS (
+            SELECT doc_id, n_email,
+                   CAST(len(regexp_extract_all(t1,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   regexp_replace(t1,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                       '<IP>', 'g') AS t2
+            FROM s1
+        ),
+        s3 AS (
+            SELECT doc_id, n_email, n_ipv4,
+                   CAST(len(regexp_extract_all(t2,
+                       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+                   regexp_replace(t2,
+                       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS t3
+            FROM s2
+        ),
+        s4 AS (
+            SELECT doc_id, n_email, n_ipv4, n_ssn,
+                   CAST(len(regexp_extract_all(t3,
+                       '(?:\+|\b)[0-9][0-9 -]{7,13}[0-9]\b')) AS BIGINT) AS n_phone,
+                   regexp_replace(t3,
+                       '(?:\+|\b)[0-9][0-9 -]{7,13}[0-9]\b', '<PHONE>', 'g') AS t4
+            FROM s3
+        )
+        SELECT doc_id, n_email, n_ssn,
+               n_email + n_ipv4 + n_ssn + n_phone AS n_pii,
+               t4 AS text_redacted
+        FROM s4
+    """
     return out
 
 
