@@ -368,6 +368,55 @@ def _q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-prep flagship: PII scrub (planted email+SSN) → C4-style
+    global span dedup on the redacted text → exact dedup of the rebuilt
+    texts → per-(lang, source) corpus report. Every stage is an
+    individually-oracled operator; the oracle chains their SQL blocks
+    end-to-end, so this checks the COMPOSITION (column contracts, text
+    flow, dedup-after-redaction semantics), not just the pieces."""
+    from fastselect_spark.dedup import dedup_exact, remove_duplicate_spans
+    from fastselect_spark.text import redact_pii
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"), did.cast("string"),
+                    F.lit("@ex"), (did % 7).cast("string"), F.lit(".com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = redact_pii(planted).select(
+        "doc_id", F.col("text_redacted").alias("text"), "n_pii"
+    )
+    sd = remove_duplicate_spans(red, span_tokens=8)
+    surv = dedup_exact(sd, text_col="text_dedup", id_col="doc_id")
+    joined = surv.join(red.select("doc_id", "n_pii"), "doc_id").join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    )
+    return joined.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_out"),
+        F.sum("n_pii").cast("long").alias("pii_total"),
+        F.sum("n_spans").cast("long").alias("spans_total"),
+        F.sum("n_kept").cast("long").alias("spans_kept"),
+    )
+
+
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clustering: connected components over the n-gram-Jaccard
     near-dup pair graph (min-label propagation, all Catalyst ops), plus the
@@ -1574,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact_groups,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_spans": _q_dedup_spans,  # C4-style duplicate-span removal
+        "corpus_prep_pipeline": _q_corpus_prep_pipeline,  # scrub→span→exact→report
         "dedup_components": _q_dedup_components,
         "minhash_near_dups": _q_minhash_near_dups,  # md5 family: SQL-transliterated
         "simhash_near_dups": _q_simhash_near_dups,  # md5 family: SQL-transliterated
@@ -3453,6 +3503,109 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp_exact
         FROM documents
+        """,
+        # composition oracle: the pii_redaction chain (email+SSN planting) →
+        # the dedup_spans CTEs on the redacted text → the exact-dedup
+        # fingerprint keep-rule → per-(lang, source) rollup
+        "corpus_prep_pipeline": r"""
+        WITH planted AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                        || CAST(doc_id AS STRING) || '@ex'
+                        || CAST(doc_id % 7 AS STRING) || '.com' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-'
+                        || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ELSE '' END
+                   AS t0
+            FROM documents
+        ),
+        s1 AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   regexp_replace(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+            FROM planted
+        ),
+        s2 AS (
+            SELECT doc_id, n_email,
+                   CAST(len(regexp_extract_all(t1,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   regexp_replace(t1,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                       '<IP>', 'g') AS t2
+            FROM s1
+        ),
+        s3 AS (
+            SELECT doc_id, n_email, n_ipv4,
+                   CAST(len(regexp_extract_all(t2,
+                       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+                   regexp_replace(t2,
+                       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS t3
+            FROM s2
+        ),
+        s4 AS (
+            SELECT doc_id, n_email, n_ipv4, n_ssn,
+                   CAST(len(regexp_extract_all(t3,
+                       '(?:\+|\b)[0-9][0-9 -]{7,13}[0-9]\b')) AS BIGINT) AS n_phone,
+                   regexp_replace(t3,
+                       '(?:\+|\b)[0-9][0-9 -]{7,13}[0-9]\b', '<PHONE>', 'g') AS t4
+            FROM s3
+        ),
+        pii AS (
+            SELECT doc_id, n_email + n_ipv4 + n_ssn + n_phone AS n_pii, t4
+            FROM s4
+        ),
+        toks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(trim(lower(coalesce(t4, ''))),
+                                               '\s+', ' ', 'g'), ' ') AS w
+            FROM pii
+        ),
+        spans0 AS (
+            SELECT doc_id, w,
+                   unnest(range(CAST(ceil(len(w) / 8.0) AS BIGINT))) AS g
+            FROM toks
+        ),
+        spans AS (
+            SELECT doc_id, CAST(g AS INT) AS pos,
+                   array_to_string(w[(g*8+1):((g+1)*8)], ' ') AS span
+            FROM spans0
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY span
+                                         ORDER BY doc_id, pos) AS rn
+            FROM spans
+        ),
+        sdoc AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_spans,
+                   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   COALESCE(STRING_AGG(CASE WHEN rn = 1 THEN span END, ' '
+                                       ORDER BY pos), '') AS text_dedup
+            FROM ranked GROUP BY doc_id
+        ),
+        fp AS (
+            SELECT *, MD5(LOWER(REGEXP_REPLACE(TRIM(text_dedup),
+                                               '\s+', ' ', 'g'))) AS fpx
+            FROM sdoc
+        ),
+        keep AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY fpx
+                                         ORDER BY doc_id) AS krn
+            FROM fp
+        )
+        SELECT d.lang, d.source,
+               COUNT(*) AS n_docs_out,
+               CAST(SUM(p.n_pii) AS BIGINT) AS pii_total,
+               CAST(SUM(k.n_spans) AS BIGINT) AS spans_total,
+               CAST(SUM(k.n_kept) AS BIGINT) AS spans_kept
+        FROM keep k
+        JOIN pii p USING (doc_id)
+        JOIN documents d USING (doc_id)
+        WHERE krn = 1
+        GROUP BY d.lang, d.source
         """,
         # full BM25 recomputation: same tokenizer, Lucene idf, rounded-score
         # ranking (round-then-rank on both engines, doc_id tie-break)
