@@ -224,6 +224,82 @@ def _q_jmi_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cmim_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMIM greedy selection (Fleuret 2004): J(f) = min_{s in S} I(f;Y|s),
+    computed from the same one-pass joint tables as JMI via the chain rule
+    I(f;Y|s) = I((f,s);Y) - I(s;Y). Oracle unrolls the 3-step greedy loop
+    in SQL CTEs over the shared MI tables."""
+    from fastselect_spark.selection import cmim_select
+
+    _register(spark, sf_dir, "lineitem")
+    m = spark.sql(_LINEITEM_CODES_SQL)
+    idx = cmim_select(m, _MI_FEATURES, "y", n_select=3)
+    return spark.createDataFrame(
+        [(r, _MI_FEATURES[i]) for r, i in enumerate(idx)],
+        schema="rank int, feature string",
+    )
+
+
+def _q_fcbf_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FCBF (Yu & Liu 2003): rank by SU(f;Y), eliminate features whose
+    surviving predecessor correlates with them more than the label does.
+    SU reuses the CFS scalar; joint tables reuse the JMI single pass. The
+    oracle recomputes SU (no-eps MI + entropies) and unrolls the
+    rank/eliminate recursion for the 4-feature contract."""
+    from fastselect_spark.selection import fcbf_select
+    from fastselect_spark.selection.cfs import symmetrical_uncertainty
+    from fastselect_spark.selection.jmi import _joint_tables
+
+    _register(spark, sf_dir, "lineitem")
+    m = spark.sql(_LINEITEM_CODES_SQL)
+    idx = fcbf_select(m, _MI_FEATURES, "y")
+    rel_t, _, _, _ = _joint_tables(m, _MI_FEATURES, "y")
+    su_y = [symmetrical_uncertainty(rel_t[f]) for f in range(len(_MI_FEATURES))]
+    df = spark.createDataFrame(
+        [(r, _MI_FEATURES[i], float(su_y[i])) for r, i in enumerate(idx)],
+        schema="rank int, feature string, su double",
+    )
+    return df.select("rank", "feature", F.round("su", 6).alias("su"))
+
+
+def _q_anova_f_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F per feature (sklearn f_classif semantics): the same
+    per-class count/sum/sumsq single aggregation as fisher_scores with
+    degrees-of-freedom scaling. Engine-side ROUND on both sides."""
+    from fastselect_spark.selection import anova_f_score
+
+    _register(spark, sf_dir, "lineitem")
+    m = spark.sql(_LINEITEM_CODES_SQL)
+    scores = anova_f_score(m, _MI_FEATURES, "y")
+    df = spark.createDataFrame(
+        [(f, float(s)) for f, s in zip(_MI_FEATURES, scores)],
+        schema="feature string, anova_f double",
+    )
+    return df.select("feature", F.round("anova_f", 6).alias("anova_f"))
+
+
+def _q_variance_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VarianceThreshold pre-filter: population variance per feature from
+    one sufficient-stats agg; kept = var > 3.0 (exercises both outcomes on
+    the lineitem codes). The q/n - (s/n)^2 op order is mirrored exactly in
+    the oracle so the keep flags are bit-identical across engines."""
+    from fastselect_spark.selection import feature_variances
+
+    _register(spark, sf_dir, "lineitem")
+    m = spark.sql(_LINEITEM_CODES_SQL)
+    var = feature_variances(m, _MI_FEATURES)
+    df = spark.createDataFrame(
+        [
+            (f, float(v), int(v > 3.0))
+            for f, v in zip(_MI_FEATURES, var)
+        ],
+        schema="feature string, variance double, kept int",
+    )
+    return df.select(
+        "feature", F.round("variance", 6).alias("variance"), "kept"
+    )
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastselect_spark.text import (
         add_quality_score,
@@ -1605,6 +1681,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrmr_selection": _q_mrmr_selection,  # greedy loop unrolled in SQL CTEs
         "fisher_scores": _q_fisher_scores,
         "jmi_selection": _q_jmi_selection,  # greedy loop unrolled in SQL CTEs
+        "cmim_selection": _q_cmim_selection,  # conditional-MI greedy, SQL-unrolled
+        "fcbf_selection": _q_fcbf_selection,  # SU rank/eliminate, SQL-unrolled
+        "anova_f_scores": _q_anova_f_scores,
+        "variance_threshold": _q_variance_threshold,
         "relieff_scores": _q_relieff_scores,  # O(n^2) kernel as self-join SQL
         "surf_scores": _q_surf_scores,  # O(n^2) kernel as self-join SQL
         "surf_star_scores": _q_surf_star_scores,  # far-zone star variant
@@ -1892,6 +1972,201 @@ FROM (
     UNION ALL SELECT 1, fid FROM s2
     UNION ALL SELECT 2, fid FROM s3
 ) rk JOIN feats f USING (fid)
+"""
+
+# CMIM (Fleuret 2004): seed argmax relevance; then argmax over candidates of
+# min_{s in S} I(f;Y|s), with I(f;Y|s) = I((f,s);Y) - I(s;Y) (chain rule) —
+# the joint-MI tables are the JMI oracle's, rel carries I(s;Y). Strict ->
+# first-index tie-break = ORDER BY score DESC, fa.
+_CMIM_ORACLE = f"""
+WITH m AS ({_LINEITEM_CODES_SQL}),
+{_MI_TABLES_CTE},
+jj AS (
+    SELECT fa, fb, a, b, y, CAST(COUNT(*) AS DOUBLE) AS c
+    FROM plong GROUP BY 1, 2, 3, 4, 5
+),
+jn AS (SELECT fa, fb, SUM(c) AS n FROM jj GROUP BY 1, 2),
+jx AS (SELECT fa, fb, a, b, SUM(c) AS cx FROM jj GROUP BY 1, 2, 3, 4),
+jy AS (SELECT fa, fb, y, SUM(c) AS cy FROM jj GROUP BY 1, 2, 3),
+jmi0 AS (
+    SELECT jj.fa, jj.fb,
+           SUM((c / n) * LOG2((c / n) / ((cx / n) * (cy / n) + 1e-12))) AS mi
+    FROM jj JOIN jn USING (fa, fb) JOIN jx USING (fa, fb, a, b) JOIN jy USING (fa, fb, y)
+    GROUP BY jj.fa, jj.fb
+),
+jmi AS (SELECT fa, fb, mi FROM jmi0 UNION ALL SELECT fb, fa, mi FROM jmi0),
+cond AS (
+    SELECT j.fa, j.fb, j.mi - r.mi AS cmi
+    FROM jmi j JOIN rel r ON r.fid = j.fb
+),
+s1 AS (SELECT fid FROM rel ORDER BY mi DESC, fid LIMIT 1),
+s2 AS (
+    SELECT fa AS fid FROM cond WHERE fb = (SELECT fid FROM s1)
+    ORDER BY cmi DESC, fa LIMIT 1
+),
+s3 AS (
+    SELECT c1.fa AS fid FROM cond c1 JOIN cond c2 ON c1.fa = c2.fa
+    WHERE c1.fb = (SELECT fid FROM s1) AND c2.fb = (SELECT fid FROM s2)
+    ORDER BY LEAST(c1.cmi, c2.cmi) DESC, c1.fa LIMIT 1
+)
+SELECT CAST(rk.rank AS INT) AS rank, f.feature
+FROM (
+    SELECT 0 AS rank, fid FROM s1
+    UNION ALL SELECT 1, fid FROM s2
+    UNION ALL SELECT 2, fid FROM s3
+) rk JOIN feats f USING (fid)
+"""
+
+# FCBF (Yu & Liu 2003): SU = 2*I/(Hx+Hy) with the CFS scalar's no-eps MI
+# (cfs.symmetrical_uncertainty), NOT the rel CTE's eps form — recomputed
+# here from the same count tables. Rank by SU(f;Y) desc, then the
+# predominance elimination is unrolled per rank: rank j survives iff no
+# SURVIVING rank i<j has SU(i,j) >= SU(j;Y).
+_FCBF_ORACLE = f"""
+WITH m AS ({_LINEITEM_CODES_SQL}),
+{_MI_TABLES_CTE},
+hx AS (
+    SELECT fid, -SUM((cx / n) * LOG2(cx / n)) AS h
+    FROM rpx JOIN rn USING (fid) GROUP BY fid
+),
+hy AS (
+    SELECT fid, -SUM((cy / n) * LOG2(cy / n)) AS h
+    FROM rpy JOIN rn USING (fid) GROUP BY fid
+),
+mi0 AS (
+    SELECT rj.fid, SUM((c / n) * LOG2((c / n) / ((cx / n) * (cy / n)))) AS mi
+    FROM rj JOIN rn USING (fid) JOIN rpx USING (fid, v) JOIN rpy USING (fid, y)
+    GROUP BY rj.fid
+),
+suy AS (
+    SELECT fid,
+           CASE WHEN hx.h + hy.h < 1e-12 THEN 0
+                ELSE 2 * mi0.mi / (hx.h + hy.h) END AS su
+    FROM mi0 JOIN hx USING (fid) JOIN hy USING (fid)
+),
+pj AS (SELECT fa, fb, a, b, CAST(COUNT(*) AS DOUBLE) AS c FROM plong GROUP BY 1, 2, 3, 4),
+pn AS (SELECT fa, fb, SUM(c) AS n FROM pj GROUP BY 1, 2),
+ppa AS (SELECT fa, fb, a, SUM(c) AS cx FROM pj GROUP BY 1, 2, 3),
+ppb AS (SELECT fa, fb, b, SUM(c) AS cy FROM pj GROUP BY 1, 2, 3),
+phx AS (
+    SELECT fa, fb, -SUM((cx / n) * LOG2(cx / n)) AS h
+    FROM ppa JOIN pn USING (fa, fb) GROUP BY fa, fb
+),
+phy AS (
+    SELECT fa, fb, -SUM((cy / n) * LOG2(cy / n)) AS h
+    FROM ppb JOIN pn USING (fa, fb) GROUP BY fa, fb
+),
+pmi0 AS (
+    SELECT pj.fa, pj.fb, SUM((c / n) * LOG2((c / n) / ((cx / n) * (cy / n)))) AS mi
+    FROM pj JOIN pn USING (fa, fb) JOIN ppa USING (fa, fb, a) JOIN ppb USING (fa, fb, b)
+    GROUP BY pj.fa, pj.fb
+),
+suff0 AS (
+    SELECT fa, fb,
+           CASE WHEN phx.h + phy.h < 1e-12 THEN 0
+                ELSE 2 * pmi0.mi / (phx.h + phy.h) END AS su
+    FROM pmi0 JOIN phx USING (fa, fb) JOIN phy USING (fa, fb)
+),
+suff AS (SELECT fa, fb, su FROM suff0 UNION ALL SELECT fb, fa, su FROM suff0),
+ranked AS (
+    SELECT fid, su, ROW_NUMBER() OVER (ORDER BY su DESC, fid) AS rk
+    FROM suy WHERE su > 0
+),
+pr AS (
+    SELECT ra.rk AS ra, rb.rk AS rb, s.su
+    FROM suff s JOIN ranked ra ON s.fa = ra.fid JOIN ranked rb ON s.fb = rb.fid
+),
+k2 AS (SELECT COALESCE(
+        (SELECT p.su FROM pr p WHERE p.ra = 1 AND p.rb = 2)
+        < (SELECT r.su FROM ranked r WHERE r.rk = 2), TRUE) AS k),
+k3 AS (SELECT COALESCE(
+        (SELECT p.su FROM pr p WHERE p.ra = 1 AND p.rb = 3)
+        < (SELECT r.su FROM ranked r WHERE r.rk = 3), TRUE)
+       AND (NOT (SELECT k FROM k2) OR COALESCE(
+        (SELECT p.su FROM pr p WHERE p.ra = 2 AND p.rb = 3)
+        < (SELECT r.su FROM ranked r WHERE r.rk = 3), TRUE)) AS k),
+k4 AS (SELECT COALESCE(
+        (SELECT p.su FROM pr p WHERE p.ra = 1 AND p.rb = 4)
+        < (SELECT r.su FROM ranked r WHERE r.rk = 4), TRUE)
+       AND (NOT (SELECT k FROM k2) OR COALESCE(
+        (SELECT p.su FROM pr p WHERE p.ra = 2 AND p.rb = 4)
+        < (SELECT r.su FROM ranked r WHERE r.rk = 4), TRUE))
+       AND (NOT (SELECT k FROM k3) OR COALESCE(
+        (SELECT p.su FROM pr p WHERE p.ra = 3 AND p.rb = 4)
+        < (SELECT r.su FROM ranked r WHERE r.rk = 4), TRUE)) AS k),
+flags AS (
+    SELECT 1 AS rk, TRUE AS keep
+    UNION ALL SELECT 2, (SELECT k FROM k2)
+    UNION ALL SELECT 3, (SELECT k FROM k3)
+    UNION ALL SELECT 4, (SELECT k FROM k4)
+),
+sel AS (
+    SELECT r.fid, r.su, r.rk
+    FROM ranked r JOIN flags fl ON fl.rk = r.rk WHERE fl.keep
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY sel.rk) - 1 AS INT) AS rank,
+       f.feature, ROUND(sel.su, 6) AS su
+FROM sel JOIN feats f ON f.fid = sel.fid
+"""
+
+# one-way ANOVA F: same class sufficient stats as the Fisher oracle; the
+# st*st/n and GREATEST op order mirrors selection/univariate.py exactly
+# (class sums of small-integer codes are exact in double on both engines).
+_ANOVA_ORACLE = f"""
+WITH m AS ({_LINEITEM_CODES_SQL}),
+long AS (
+    SELECT 'f_line' AS feature, CAST(f_line AS DOUBLE) AS v, y FROM m UNION ALL
+    SELECT 'f_qty', f_qty, y FROM m UNION ALL
+    SELECT 'f_disc', f_disc, y FROM m UNION ALL
+    SELECT 'f_tax', f_tax, y FROM m
+),
+cls AS (
+    SELECT feature, y, COUNT(*) AS n_c, SUM(v) AS s, SUM(v * v) AS q
+    FROM long GROUP BY 1, 2
+),
+tot AS (
+    SELECT feature, SUM(n_c) AS n, SUM(s) AS st, COUNT(*) AS k
+    FROM cls GROUP BY 1
+),
+per AS (
+    SELECT c.feature, t.k, t.n,
+           SUM(c.s * c.s / c.n_c) - t.st * t.st / t.n AS between_raw,
+           SUM(c.q) - t.st * t.st / t.n AS total_raw
+    FROM cls c JOIN tot t USING (feature)
+    GROUP BY c.feature, t.k, t.n, t.st
+),
+fin AS (
+    SELECT feature,
+           GREATEST(between_raw, 0) AS between_v,
+           GREATEST(total_raw - between_raw, 0) AS within_v,
+           k, n
+    FROM per
+)
+SELECT feature,
+       ROUND(CASE WHEN within_v > 0
+                  THEN (between_v / (k - 1)) / (within_v / (n - k))
+                  WHEN between_v > 0 THEN 'inf'::DOUBLE
+                  ELSE 0 END, 6) AS anova_f
+FROM fin
+"""
+
+_VARIANCE_ORACLE = f"""
+WITH m AS ({_LINEITEM_CODES_SQL}),
+long AS (
+    SELECT 'f_line' AS feature, CAST(f_line AS DOUBLE) AS v FROM m UNION ALL
+    SELECT 'f_qty', f_qty FROM m UNION ALL
+    SELECT 'f_disc', f_disc FROM m UNION ALL
+    SELECT 'f_tax', f_tax FROM m
+),
+v AS (
+    SELECT feature,
+           GREATEST(SUM(v * v) / COUNT(*)
+                    - (SUM(v) / COUNT(*)) * (SUM(v) / COUNT(*)), 0) AS variance
+    FROM long GROUP BY 1
+)
+SELECT feature, ROUND(variance, 6) AS variance,
+       CAST(variance > 3.0 AS INT) AS kept
+FROM v
 """
 
 
@@ -4098,6 +4373,10 @@ def oracle_sql() -> dict[str, str]:
         "mi_relevance": _MI_ORACLE,
         "mrmr_selection": _MRMR_ORACLE,
         "jmi_selection": _JMI_ORACLE,
+        "cmim_selection": _CMIM_ORACLE,
+        "fcbf_selection": _FCBF_ORACLE,
+        "anova_f_scores": _ANOVA_ORACLE,
+        "variance_threshold": _VARIANCE_ORACLE,
         "mdr_interaction": _MDR_INTERACTION_ORACLE,
         "mdr_predictions": _MDR_PREDICTIONS_ORACLE,
         "turf_selection": _TURF_ORACLE,

@@ -11,6 +11,13 @@ from fastselect_spark.selection.mdr import MDRClassifier  # noqa: F401
 from fastselect_spark.selection.turf import TuRFSelector  # noqa: F401
 from fastselect_spark.selection.fisher import fisher_score  # noqa: F401
 from fastselect_spark.selection.jmi import JMISelector, jmi_select  # noqa: F401
+from fastselect_spark.selection.cmim import CMIMSelector, cmim_select  # noqa: F401
+from fastselect_spark.selection.fcbf import FCBFSelector, fcbf_select  # noqa: F401
+from fastselect_spark.selection.univariate import (  # noqa: F401
+    anova_f_score,
+    feature_variances,
+    variance_threshold,
+)
 from fastselect_spark.selection.pipeline import scores_from_cube  # noqa: F401
 from fastselect_spark.selection.matrix import (  # noqa: F401
     chi2_matrix,

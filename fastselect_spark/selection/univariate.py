@@ -1,0 +1,85 @@
+"""Univariate filters (graft-added: not in the reference, which starts at
+chi2/MI — these are the standard cheap pre-filters a selection pipeline runs
+before the expensive scorers; sklearn ``f_classif`` / ``VarianceThreshold``
+semantics are the documented oracle).
+
+Both are ONE ``agg`` over the frame — count/sum/sum-of-squares sufficient
+statistics with map-side partial aggregation, finalized on the driver. No
+shuffle beyond the single aggregation exchange; scales linearly in rows and
+is embarrassingly partition-parallel, the same shape as ``fisher.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def anova_f_score(
+    df: DataFrame, feature_cols: list[str], label_col: str = "label"
+) -> np.ndarray:
+    """One-way ANOVA F statistic per feature (sklearn ``f_classif`` without
+    the p-values — no scipy in this environment; see CLAUDE.md).
+
+        F = (SS_between / (k-1)) / (SS_within / (n-k))
+
+    Same per-class count/sum/sumsq aggregation as :func:`fisher_score`;
+    only the degrees-of-freedom scaling differs. Zero within-class variance
+    scores +inf when class means differ, 0 when the feature is constant.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in feature_cols:
+        d = F.col(c).cast("double")
+        aggs += [F.sum(d).alias(f"__s_{c}"), F.sum(d * d).alias(f"__q_{c}")]
+    rows = df.groupBy(F.col(label_col).alias("__y")).agg(*aggs).collect()
+    rows.sort(key=lambda r: r["__y"])
+    p = len(feature_cols)
+    k = len(rows)
+    if k < 2:
+        return np.zeros(p, dtype=np.float64)
+    n_c = np.array([r["__n"] for r in rows], dtype=np.float64)
+    s = np.array([[r[f"__s_{c}"] or 0.0 for c in feature_cols] for r in rows])
+    q = np.array([[r[f"__q_{c}"] or 0.0 for c in feature_cols] for r in rows])
+    n = n_c.sum()
+    if n <= k:
+        return np.zeros(p, dtype=np.float64)
+    # st**2 / n (not n * mu**2): the exact op order the SQL oracle mirrors
+    st = s.sum(axis=0)
+    ss_between = (s**2 / n_c[:, None]).sum(axis=0) - st**2 / n
+    ss_total = q.sum(axis=0) - st**2 / n
+    ss_within = np.maximum(ss_total - ss_between, 0.0)
+    ss_between = np.maximum(ss_between, 0.0)
+    ms_between = ss_between / (k - 1)
+    ms_within = ss_within / (n - k)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(
+            ms_within > 0,
+            ms_between / ms_within,
+            np.where(ms_between > 0, np.inf, 0.0),
+        )
+
+
+def feature_variances(df: DataFrame, feature_cols: list[str]) -> np.ndarray:
+    """Population variance per feature from one sufficient-stats agg."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in feature_cols:
+        d = F.col(c).cast("double")
+        aggs += [F.sum(d).alias(f"__s_{c}"), F.sum(d * d).alias(f"__q_{c}")]
+    r = df.agg(*aggs).collect()[0]
+    n = float(r["__n"])
+    if n == 0:
+        return np.zeros(len(feature_cols), dtype=np.float64)
+    s = np.array([r[f"__s_{c}"] or 0.0 for c in feature_cols])
+    q = np.array([r[f"__q_{c}"] or 0.0 for c in feature_cols])
+    return np.maximum(q / n - (s / n) ** 2, 0.0)
+
+
+def variance_threshold(
+    df: DataFrame, feature_cols: list[str], threshold: float = 0.0
+) -> list[int]:
+    """Indices of features whose population variance exceeds ``threshold``
+    (sklearn ``VarianceThreshold`` keeps strictly-greater at the default
+    0.0, i.e. drops constants; we match that: keep ``var > threshold``)."""
+    var = feature_variances(df, feature_cols)
+    return [i for i in range(len(feature_cols)) if var[i] > threshold]

@@ -1,0 +1,209 @@
+"""CMIM / FCBF / ANOVA-F / variance-threshold tests against brute-force
+NumPy oracles (same harness style as test_jmi.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fastselect_spark.selection import (
+    CMIMSelector,
+    FCBFSelector,
+    anova_f_score,
+    cmim_select,
+    fcbf_select,
+    feature_variances,
+    variance_threshold,
+)
+from tests.oracle_numpy import mi_oracle
+
+
+def _to_df(spark, X, y, partitions=4):
+    cols = [f"f{i}" for i in range(X.shape[1])]
+    pdf = pd.DataFrame(X, columns=cols)
+    pdf["label"] = y
+    return spark.createDataFrame(pdf).repartition(partitions), cols
+
+
+# ------------------------------------------------------------------ CMIM --
+
+def _cmim_oracle(X, y, n_select):
+    p = X.shape[1]
+    rel = np.array([mi_oracle(X[:, f], y) for f in range(p)])
+    kmax = X.max() + 1
+    joint = np.zeros((p, p))
+    for i in range(p):
+        for j in range(i + 1, p):
+            m = mi_oracle(X[:, i] * kmax + X[:, j], y)
+            joint[i, j] = joint[j, i] = m
+    cond = joint - rel[None, :]  # I(f;Y|s) = I((f,s);Y) - I(s;Y)
+    sel = [int(np.argmax(rel))]
+    while len(sel) < n_select:
+        best, bs = -1, -np.inf
+        for f in range(p):
+            if f in sel:
+                continue
+            sc = min(cond[f, s] for s in sel)
+            if sc > bs:
+                bs, best = sc, f
+        sel.append(best)
+    return sel
+
+
+def test_cmim_matches_oracle(spark):
+    rng = np.random.default_rng(31)
+    X = rng.integers(0, 4, (250, 7))
+    y = ((X[:, 1] + X[:, 3]) % 2).astype(int)
+    df, cols = _to_df(spark, X, y)
+    assert cmim_select(df, cols, "label", n_select=4) == _cmim_oracle(X, y, 4)
+
+
+def test_cmim_penalizes_redundant_copy(spark):
+    """f1 = exact copy of f0: after picking f0, the copy carries ZERO
+    conditional information — CMIM must prefer any weakly-informative
+    independent feature over the clone (mRMR-style redundancy avoidance,
+    here via the min-conditional criterion)."""
+    rng = np.random.default_rng(7)
+    n = 500
+    f0 = rng.integers(0, 2, n)
+    y = np.where(rng.random(n) < 0.85, f0, 1 - f0)
+    f1 = f0.copy()  # clone: I(f1;y|f0) = 0
+    f2 = np.where(rng.random(n) < 0.60, y, rng.integers(0, 2, n))
+    X = np.column_stack([f0, f1, f2])
+    df, cols = _to_df(spark, X, y)
+    sel = CMIMSelector(2).fit(df, cols, "label")
+    assert sel.top_features_.tolist() == [0, 2]
+    assert sel.selected_cols_ == ["f0", "f2"]
+
+
+def test_cmim_transform_contract(spark):
+    rng = np.random.default_rng(3)
+    X = rng.integers(0, 3, (60, 4))
+    df, cols = _to_df(spark, X, rng.integers(0, 2, 60))
+    sel = CMIMSelector(2).fit(df, cols, "label")
+    with pytest.raises(ValueError, match="features"):
+        sel.transform(df.drop(cols[0]))
+
+
+# ------------------------------------------------------------------ FCBF --
+
+def _entropy(v):
+    _, c = np.unique(v, return_counts=True)
+    p = c / c.sum()
+    return float(-(p * np.log2(p)).sum())
+
+
+def _su_oracle(a, b):
+    ha, hb = _entropy(a), _entropy(b)
+    if ha + hb < 1e-12:
+        return 0.0
+    return 2.0 * mi_oracle(a, b) / (ha + hb)
+
+
+def _fcbf_oracle(X, y, delta=0.0):
+    p = X.shape[1]
+    su_y = np.array([_su_oracle(X[:, f], y) for f in range(p)])
+    order = sorted((f for f in range(p) if su_y[f] > delta), key=lambda f: (-su_y[f], f))
+    selected, removed = [], set()
+    for f in order:
+        if f in removed:
+            continue
+        selected.append(f)
+        for q in order:
+            if q in removed or q in selected:
+                continue
+            if _su_oracle(X[:, f], X[:, q]) >= su_y[q]:
+                removed.add(q)
+    return selected
+
+
+def test_fcbf_matches_oracle(spark):
+    rng = np.random.default_rng(41)
+    X = rng.integers(0, 4, (300, 6))
+    y = ((X[:, 0] + X[:, 4]) % 3 == 0).astype(int)
+    df, cols = _to_df(spark, X, y)
+    assert fcbf_select(df, cols, "label") == _fcbf_oracle(X, y)
+
+
+def test_fcbf_removes_redundant_clone(spark):
+    """A noisy copy of the top feature is predominated by it (SU(f0,f1)
+    high, SU(f1,y) lower) and must be eliminated; an independent
+    informative feature survives."""
+    rng = np.random.default_rng(11)
+    n = 800
+    f0 = rng.integers(0, 3, n)
+    y = (f0 > 0).astype(int)
+    f1 = np.where(rng.random(n) < 0.95, f0, rng.integers(0, 3, n))
+    f2 = np.where(rng.random(n) < 0.70, y, rng.integers(0, 2, n))
+    f3 = rng.integers(0, 4, n)  # noise
+    X = np.column_stack([f0, f1, f2, f3])
+    df, cols = _to_df(spark, X, y)
+    got = fcbf_select(df, cols, "label")
+    assert got == _fcbf_oracle(X, y)
+    assert 0 in got and 1 not in got and 2 in got
+
+
+def test_fcbf_delta_floor_and_constant(spark):
+    """A constant feature has SU 0 and is dropped by the delta floor."""
+    rng = np.random.default_rng(5)
+    n = 200
+    f0 = rng.integers(0, 2, n)
+    X = np.column_stack([f0, np.zeros(n, dtype=int)])
+    df, cols = _to_df(spark, X, f0)
+    sel = FCBFSelector().fit(df, cols, "label")
+    assert sel.top_features_.tolist() == [0]
+    with pytest.raises(ValueError, match="features"):
+        sel.transform(df.drop("f1"))
+
+
+# ------------------------------------------------------- ANOVA / variance --
+
+def _anova_oracle(X, y):
+    k = len(np.unique(y))
+    n = len(y)
+    groups = [X[y == c] for c in np.unique(y)]
+    mu = X.mean(axis=0)
+    ssb = sum(len(g) * (g.mean(axis=0) - mu) ** 2 for g in groups)
+    ssw = sum(((g - g.mean(axis=0)) ** 2).sum(axis=0) for g in groups)
+    msb = ssb / (k - 1)
+    msw = ssw / (n - k)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(msw > 0, msb / msw, np.where(msb > 0, np.inf, 0.0))
+
+
+def test_anova_matches_oracle(spark):
+    rng = np.random.default_rng(13)
+    y = rng.integers(0, 3, 400)
+    X = rng.normal(0, 1, (400, 5))
+    X[:, 1] += y * 0.8  # informative
+    X[:, 3] += y * 2.5  # strongly informative
+    df, cols = _to_df(spark, np.round(X, 6), y)
+    got = anova_f_score(df, cols, "label")
+    np.testing.assert_allclose(got, _anova_oracle(np.round(X, 6), y), rtol=1e-8)
+    assert got[3] > got[1] > got[0]
+
+
+def test_anova_constant_and_separable(spark):
+    """Constant feature → 0; zero within-class variance with distinct
+    means → +inf (documented convention, same as fisher_score)."""
+    y = np.array([0, 0, 1, 1])
+    X = np.column_stack([[5.0, 5.0, 5.0, 5.0], [1.0, 1.0, 2.0, 2.0]])
+    df, cols = _to_df(spark, X, y, partitions=2)
+    got = anova_f_score(df, cols, "label")
+    assert got[0] == 0.0 and np.isinf(got[1])
+
+
+def test_variance_threshold(spark):
+    rng = np.random.default_rng(19)
+    n = 300
+    X = np.column_stack([
+        np.full(n, 7.0),              # constant -> dropped at 0.0
+        rng.normal(0, 0.1, n),        # tiny variance
+        rng.normal(0, 2.0, n),        # large variance
+    ])
+    df, cols = _to_df(spark, X, np.zeros(n, dtype=int))
+    var = feature_variances(df, cols)
+    np.testing.assert_allclose(var, X.var(axis=0), rtol=1e-9, atol=1e-12)
+    assert variance_threshold(df, cols) == [1, 2]
+    assert variance_threshold(df, cols, threshold=1.0) == [2]
