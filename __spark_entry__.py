@@ -224,6 +224,34 @@ def _q_jmi_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_leakage_safe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe categorical encodings on transcripts: smoothed
+    expanding target mean per role (strictly-past frame — the zero-leakage
+    invariant the north_rule demands), strictly-past frequency count, and
+    portable md5 hash buckets (the fixed-width 100 TB categorical path).
+    All sums are integer-exact so te is bit-identical cross-engine."""
+    from fastselect_spark.featurize import (
+        count_encode_expanding,
+        hash_encode,
+        target_encode_expanding,
+    )
+
+    tr = _transcripts(spark, sf_dir).withColumn(
+        "label", F.col("tool").isNotNull().cast("int")
+    )
+    df = target_encode_expanding(tr, ["role"], "label", prior=0.5, alpha=10.0)
+    df = count_encode_expanding(df, ["role"])
+    df = hash_encode(df, ["role", "text"], n_buckets=64, seed=7)
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        F.round("te", 9).alias("te"),
+        "ce",
+        "role_hb",
+        "text_hb",
+    )
+
+
 def _q_cmim_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMIM greedy selection (Fleuret 2004): J(f) = min_{s in S} I(f;Y|s),
     computed from the same one-pass joint tables as JMI via the chain rule
@@ -1681,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrmr_selection": _q_mrmr_selection,  # greedy loop unrolled in SQL CTEs
         "fisher_scores": _q_fisher_scores,
         "jmi_selection": _q_jmi_selection,  # greedy loop unrolled in SQL CTEs
+        "leakage_safe_encoding": _q_leakage_safe_encoding,  # expanding TE/CE + hash
         "cmim_selection": _q_cmim_selection,  # conditional-MI greedy, SQL-unrolled
         "fcbf_selection": _q_fcbf_selection,  # SU rank/eliminate, SQL-unrolled
         "anova_f_scores": _q_anova_f_scores,
@@ -4374,6 +4403,30 @@ def oracle_sql() -> dict[str, str]:
         "mrmr_selection": _MRMR_ORACLE,
         "jmi_selection": _JMI_ORACLE,
         "cmim_selection": _CMIM_ORACLE,
+        # expanding windows over strictly-past rows; label sums are exact
+        # integers so te divides bit-identically; hash = portable 60-bit md5
+        "leakage_safe_encoding": f"""
+        WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+        lab AS (
+            SELECT conv_id, turn_idx, role, text, ts,
+                   CAST(tool IS NOT NULL AS INT) AS label
+            FROM transcripts
+        )
+        SELECT conv_id, turn_idx,
+               ROUND((COALESCE(SUM(CAST(label AS DOUBLE)) OVER w_past, 0)
+                      + 10.0 * 0.5)
+                     / (CAST(COUNT(label) OVER w_past AS DOUBLE) + 10.0),
+                     9) AS te,
+               CAST(ROW_NUMBER() OVER w_all - 1 AS BIGINT) AS ce,
+               CAST(CAST('0x' || substr(md5('7:' || role), 1, 15) AS BIGINT)
+                    % 64 AS INT) AS role_hb,
+               CAST(CAST('0x' || substr(md5('7:' || text), 1, 15) AS BIGINT)
+                    % 64 AS INT) AS text_hb
+        FROM lab
+        WINDOW w_past AS (PARTITION BY role ORDER BY ts, conv_id, turn_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               w_all AS (PARTITION BY role ORDER BY ts, conv_id, turn_idx)
+        """,
         "fcbf_selection": _FCBF_ORACLE,
         "anova_f_scores": _ANOVA_ORACLE,
         "variance_threshold": _VARIANCE_ORACLE,

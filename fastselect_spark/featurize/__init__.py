@@ -9,3 +9,8 @@ from fastselect_spark.featurize.windows import (  # noqa: F401
     featurize_transcripts,
 )
 from fastselect_spark.featurize.asof import asof_join  # noqa: F401
+from fastselect_spark.featurize.encoding import (  # noqa: F401
+    count_encode_expanding,
+    hash_encode,
+    target_encode_expanding,
+)

@@ -1,0 +1,105 @@
+"""Leakage-safe categorical encodings for the transcripts feature matrix.
+
+Three encoders, all Window + built-in expressions (no Python in the hot
+path), all honoring the zero-temporal-leakage invariant (BASELINE.json
+north_rule): every statistic a row receives is computed from STRICTLY
+EARLIER rows only, via ``rowsBetween(unboundedPreceding, -1)`` frames.
+
+- ``target_encode_expanding`` — smoothed expanding target mean per key:
+  ``(sum_prev + alpha * prior) / (cnt_prev + alpha)``. The prior is a
+  caller-supplied constant (e.g. the TRAINING-period base rate) — deriving
+  it from the scored frame itself would leak the global label mean into
+  every row, and a global expanding prior would plan a single-partition
+  window; both rejected by design, documented here.
+- ``count_encode_expanding`` — strictly-past occurrence count of the key.
+- ``hash_encode`` — the hashing trick: portable 60-bit md5 bucket per
+  categorical value (same cross-engine hash family as simhash.py:37 —
+  ``conv(substring(md5(x),1,15),16,10) % n``), row-local, shuffle-free.
+
+Scale shape: the expanding encoders shuffle once on the key (same
+Exchange-reuse discipline as windows.py — partial aggregation does not
+apply to windows, but per-key cardinality is bounded by corpus rows and
+skewed keys degrade to the salted prefix pattern of asof.py if ever
+needed); hash_encode is a pure projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _past_window(key_cols: list[str], order_cols: list[str]):
+    return (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+
+def target_encode_expanding(
+    df: DataFrame,
+    key_cols: list[str],
+    label_col: str = "label",
+    order_cols: list[str] | None = None,
+    prior: float = 0.5,
+    alpha: float = 10.0,
+    out_col: str = "te",
+) -> DataFrame:
+    """Smoothed expanding-mean target encoding over strictly-past rows.
+
+    ``order_cols`` must be a TOTAL order within each key (ties would make
+    "past" ambiguous across engines) — default ``ts, conv_id, turn_idx``
+    which is unique on transcripts. A row with no history gets ``prior``
+    exactly (cnt_prev = 0 ⇒ (0 + α·prior)/α = prior)."""
+    order_cols = order_cols or ["ts", "conv_id", "turn_idx"]
+    w = _past_window(key_cols, order_cols)
+    lab = F.col(label_col).cast("double")
+    sum_prev = F.coalesce(F.sum(lab).over(w), F.lit(0.0))
+    cnt_prev = F.count(lab).over(w).cast("double")
+    enc = (sum_prev + F.lit(float(alpha)) * F.lit(float(prior))) / (
+        cnt_prev + F.lit(float(alpha))
+    )
+    return df.withColumn(out_col, enc)
+
+
+def count_encode_expanding(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str] | None = None,
+    out_col: str = "ce",
+) -> DataFrame:
+    """Strictly-past occurrence count of the key (frequency encoding that
+    never sees the future: row i of a key gets i-1)."""
+    order_cols = order_cols or ["ts", "conv_id", "turn_idx"]
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return df.withColumn(out_col, (F.row_number().over(w) - 1).cast("long"))
+
+
+def hash_bucket(col: str | Column, n_buckets: int, seed: int = 0) -> Column:
+    """Portable 60-bit md5 bucket — bit-identical in Spark, DuckDB and
+    hashlib (CLAUDE.md round-3: the cross-engine hash family). NULL values
+    hash to bucket NULL (propagated, not silently folded)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), c.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (h % n_buckets).cast("int")
+
+
+def hash_encode(
+    df: DataFrame,
+    cols: list[str],
+    n_buckets: int = 64,
+    seed: int = 0,
+    suffix: str = "_hb",
+) -> DataFrame:
+    """Hashing-trick encoding: one bucket-index column per input column.
+    Pure row-local projection — no shuffle, no vocabulary pass, fixed
+    output width regardless of cardinality (the 100 TB-safe categorical
+    encoder; collisions are the documented tradeoff)."""
+    for c in cols:
+        df = df.withColumn(f"{c}{suffix}", hash_bucket(c, n_buckets, seed))
+    return df
