@@ -1132,6 +1132,63 @@ def _staged_documents_stream_path(spark: SparkSession, sf_dir: str) -> str:
     return _STAGED[key]
 
 
+def _staged_asof_stream_path(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the tagged union of (session-feature rows, turn rows) as THREE
+    time-ordered arrival waves (equal-ts rows never split across waves, so
+    every feature arrives no later than the first turn it can serve — the
+    streaming as-of exactness condition, streaming/asof.py docstring)."""
+    key = f"asof::{sf_dir}"
+    if key not in _STAGED:
+        import atexit
+        import shutil
+        import tempfile
+
+        from pyspark.sql import Window as W
+
+        root = tempfile.mkdtemp(prefix="fs_stream_asof_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = root + "/tagged"
+        feat = (
+            featurize_transcripts(_transcripts(spark, sf_dir))
+            .select("conv_id", "turn_idx", "ts", "session_id", "n_tokens")
+            .persist()
+        )
+        sess = feat.groupBy("conv_id", "session_id").agg(
+            F.max("ts").alias("ts"),
+            F.round(F.avg("n_tokens"), 6).alias("fval"),
+        )
+        u = sess.select(
+            "conv_id",
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("int").alias("turn_idx"),
+            "ts",
+            "fval",
+        ).unionByName(
+            feat.select(
+                "conv_id",
+                F.lit(1).alias("kind"),
+                F.col("turn_idx").cast("int").alias("turn_idx"),
+                "ts",
+                F.lit(None).cast("double").alias("fval"),
+            )
+        )
+        # fixture-staging only: the single-partition ntile window runs over
+        # DISTINCT ts (bounded), never over the data itself
+        waves = (
+            u.select("ts").distinct()
+            .withColumn("wave", F.ntile(3).over(W.orderBy("ts")))
+        )
+        tagged = u.join(waves, "ts").persist()
+        for w in (1, 2, 3):
+            tagged.where(F.col("wave") == w).select(
+                "conv_id", "kind", "turn_idx", "ts", "fval"
+            ).coalesce(1).write.mode("append").parquet(path)
+        tagged.unpersist()
+        feat.unpersist()
+        _STAGED[key] = path
+    return _STAGED[key]
+
+
 def _streamable_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + deterministic ts (epoch base + doc_id seconds)."""
     _register(spark, sf_dir, "documents")
@@ -1258,6 +1315,36 @@ def _q_streaming_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFram
     out = _run_available_now(spark, cands, "fs_stream_mh", mode="append")
     pairs = out.dropDuplicates(["id_a", "id_b"])
     return verify_candidate_pairs(docs, pairs, threshold=0.5)
+
+
+def _q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-time enrichment: each turn, as it arrives, is
+    matched against the latest already-emitted session-stats row of its
+    conversation (streaming/asof.py — ONE keyed state operator over the
+    tagged union, no stream-stream join). Three time-ordered arrival
+    waves; with in-order arrival and a TTL longer than the run the result
+    equals the batch as-of join, so the oracle is the same DuckDB
+    ASOF LEFT JOIN the batch queries use."""
+    from fastselect_spark.streaming import streaming_asof_enrich
+
+    path = _staged_asof_stream_path(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, kind int, turn_idx int, ts timestamp, fval double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = streaming_asof_enrich(
+        stream.where("kind = 1").select("conv_id", "turn_idx", "ts"),
+        stream.where("kind = 0").select("conv_id", "ts", "fval"),
+    )
+    res = _run_available_now(spark, out, "fs_stream_asof", mode="append")
+    return res.select(
+        "conv_id",
+        "turn_idx",
+        F.round("fval_asof", 6).alias("sess_avg_tokens_asof"),
+    )
 
 
 def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1765,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,  # md5-chain synth: oracle
         "video_frame_sampling": _q_video_frame_sampling,  # md5-chain synth: oracle
         "streaming_sessions": _q_streaming_sessions,
+        "streaming_asof_enrich": _q_streaming_asof_enrich,  # oracle = batch ASOF JOIN
         "streaming_token_rates": _q_streaming_token_rates,
         "streaming_sliding_rates": _q_streaming_sliding_rates,
         "streaming_dedup": _q_streaming_dedup,
@@ -4565,6 +4653,23 @@ def oracle_sql() -> dict[str, str]:
     # the streaming quality filter is a stateless projection of the same
     # rows — the batch filter SQL is its oracle verbatim
     out["streaming_quality_filter"] = out["quality_filter"]
+    # in-order arrival + TTL > run ⇒ streaming as-of == batch as-of join
+    # (streaming/asof.py exactness conditions); same DuckDB ASOF LEFT JOIN
+    # as asof_session_stats, minus the n_turns column
+    out["streaming_asof_enrich"] = (
+        _FEATURIZE_BASE
+        + """
+, sess AS (
+    SELECT conv_id, session_id, MAX(ts) AS ts,
+           ROUND(AVG(n_tokens), 6) AS fval
+    FROM feat GROUP BY conv_id, session_id
+)
+SELECT f.conv_id, f.turn_idx,
+       ROUND(s.fval, 6) AS sess_avg_tokens_asof
+FROM feat f ASOF LEFT JOIN sess s
+    ON f.conv_id = s.conv_id AND f.ts >= s.ts
+"""
+    )
     # stateless scrub => stream result == batch result; email+SSN planting
     out["streaming_pii_redaction"] = r"""
         WITH planted AS (
