@@ -252,6 +252,51 @@ def _q_leakage_safe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-distribution drift (PSI) between the even-doc_id reference
+    half and the odd-doc_id current half of the documents table, on two
+    text-derived numeric features. Reference defines the 10 uniform bin
+    edges; zero proportions clipped at 1e-6 (featurize/drift.py) — the
+    oracle mirrors binning, clipping, and the (p-q)·ln(p/q) sum exactly."""
+    from fastselect_spark.featurize import psi_scores
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.length("text").cast("double").alias("n_chars"),
+        F.size(F.split("text", r"\s+")).cast("double").alias("n_toks"),
+    )
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    cur = docs.where(F.col("doc_id") % 2 == 1)
+    scores = psi_scores(ref, cur, ["n_chars", "n_toks"], bins=10)
+    df = spark.createDataFrame(
+        sorted(scores.items()), schema="feature string, psi double"
+    )
+    return df.select("feature", F.round("psi", 6).alias("psi"))
+
+
+def _q_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StandardScaler fit (one sufficient-stats agg) + transform (pure
+    literal projection — shuffle-free at any scale) on document text
+    features; sklearn ddof=0 / zero-variance→scale-1 semantics."""
+    from fastselect_spark.selection import standard_scale, standard_scaler_stats
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.length("text").cast("double").alias("n_chars"),
+        F.size(F.split("text", r"\s+")).cast("double").alias("n_toks"),
+    )
+    cols = ["n_chars", "n_toks"]
+    mean, std = standard_scaler_stats(docs, cols)
+    out = standard_scale(docs, cols, mean, std)
+    return out.select(
+        "doc_id",
+        F.round("n_chars_z", 6).alias("n_chars_z"),
+        F.round("n_toks_z", 6).alias("n_toks_z"),
+    )
+
+
 def _q_cmim_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMIM greedy selection (Fleuret 2004): J(f) = min_{s in S} I(f;Y|s),
     computed from the same one-pass joint tables as JMI via the chain rule
@@ -1797,6 +1842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fisher_scores": _q_fisher_scores,
         "jmi_selection": _q_jmi_selection,  # greedy loop unrolled in SQL CTEs
         "leakage_safe_encoding": _q_leakage_safe_encoding,  # expanding TE/CE + hash
+        "psi_drift": _q_psi_drift,  # population-stability drift monitor
+        "standard_scale": _q_standard_scale,  # fit stats + literal projection
         "cmim_selection": _q_cmim_selection,  # conditional-MI greedy, SQL-unrolled
         "fcbf_selection": _q_fcbf_selection,  # SU rank/eliminate, SQL-unrolled
         "anova_f_scores": _q_anova_f_scores,
@@ -4517,6 +4564,92 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fcbf_selection": _FCBF_ORACLE,
         "anova_f_scores": _ANOVA_ORACLE,
+        # PSI: ref (even doc_id) defines 10 uniform bins; clip-to-edge-bin,
+        # 1e-6 proportion floor, (p-q)*ln(p/q) — ops mirrored from drift.py
+        "psi_drift": r"""
+        WITH d AS (
+            SELECT doc_id, CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                   CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS DOUBLE) AS n_toks
+            FROM documents
+        ),
+        long AS (
+            SELECT doc_id, 'n_chars' AS feature, n_chars AS v FROM d
+            UNION ALL SELECT doc_id, 'n_toks', n_toks FROM d
+        ),
+        edges AS (
+            SELECT feature, MIN(v) AS lo,
+                   CASE WHEN MAX(v) > MIN(v) THEN (MAX(v) - MIN(v)) / 10
+                        ELSE 1.0 END AS width
+            FROM long WHERE doc_id % 2 = 0 GROUP BY 1
+        ),
+        binned AS (
+            SELECT l.feature, l.doc_id % 2 AS grp,
+                   CAST(LEAST(GREATEST(FLOOR((l.v - e.lo) / e.width), 0), 9)
+                        AS INT) AS b
+            FROM long l JOIN edges e USING (feature)
+        ),
+        counts AS (
+            SELECT feature, grp, b, COUNT(*) AS c FROM binned GROUP BY 1, 2, 3
+        ),
+        grid AS (
+            SELECT e.feature, g.grp, bb.b
+            FROM edges e
+            CROSS JOIN (VALUES (0), (1)) g(grp)
+            CROSS JOIN (SELECT UNNEST(RANGE(10)) AS b) bb
+        ),
+        filled AS (
+            SELECT g.feature, g.grp, g.b, COALESCE(c.c, 0) AS c
+            FROM grid g LEFT JOIN counts c
+              ON c.feature = g.feature AND c.grp = g.grp AND c.b = g.b
+        ),
+        tot AS (SELECT feature, grp, SUM(c) AS n FROM filled GROUP BY 1, 2),
+        p0 AS (
+            SELECT f.feature, f.b,
+                   GREATEST(CAST(f.c AS DOUBLE)
+                            / GREATEST(CAST(t.n AS DOUBLE), 1.0), 1e-6) AS p
+            FROM filled f JOIN tot t USING (feature, grp) WHERE f.grp = 0
+        ),
+        p1 AS (
+            SELECT f.feature, f.b,
+                   GREATEST(CAST(f.c AS DOUBLE)
+                            / GREATEST(CAST(t.n AS DOUBLE), 1.0), 1e-6) AS p
+            FROM filled f JOIN tot t USING (feature, grp) WHERE f.grp = 1
+        )
+        SELECT p0.feature,
+               ROUND(SUM((p0.p - p1.p) * LN(p0.p / p1.p)), 6) AS psi
+        FROM p0 JOIN p1 USING (feature, b) GROUP BY 1
+        """,
+        # StandardScaler: mean = s/n, var = max(q/n - mean^2, 0),
+        # std 0 -> 1.0; z = (v - mean)/std — same op order as univariate.py
+        "standard_scale": r"""
+        WITH d AS (
+            SELECT doc_id, CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                   CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS DOUBLE) AS n_toks
+            FROM documents
+        ),
+        st AS (
+            SELECT COUNT(*) AS n,
+                   SUM(n_chars) AS s1, SUM(n_chars * n_chars) AS q1,
+                   SUM(n_toks) AS s2, SUM(n_toks * n_toks) AS q2
+            FROM d
+        ),
+        mm AS (
+            SELECT n, s1 / n AS m1, s2 / n AS m2,
+                   GREATEST(q1 / n - (s1 / n) * (s1 / n), 0) AS v1,
+                   GREATEST(q2 / n - (s2 / n) * (s2 / n), 0) AS v2
+            FROM st
+        ),
+        sc AS (
+            SELECT m1, m2,
+                   CASE WHEN SQRT(v1) > 0 THEN SQRT(v1) ELSE 1.0 END AS sd1,
+                   CASE WHEN SQRT(v2) > 0 THEN SQRT(v2) ELSE 1.0 END AS sd2
+            FROM mm
+        )
+        SELECT d.doc_id,
+               ROUND((d.n_chars - sc.m1) / sc.sd1, 6) AS n_chars_z,
+               ROUND((d.n_toks - sc.m2) / sc.sd2, 6) AS n_toks_z
+        FROM d CROSS JOIN sc
+        """,
         "variance_threshold": _VARIANCE_ORACLE,
         "mdr_interaction": _MDR_INTERACTION_ORACLE,
         "mdr_predictions": _MDR_PREDICTIONS_ORACLE,

@@ -14,3 +14,4 @@ from fastselect_spark.featurize.encoding import (  # noqa: F401
     hash_encode,
     target_encode_expanding,
 )
+from fastselect_spark.featurize.drift import psi_scores  # noqa: F401

@@ -16,6 +16,8 @@ from fastselect_spark.selection.fcbf import FCBFSelector, fcbf_select  # noqa: F
 from fastselect_spark.selection.univariate import (  # noqa: F401
     anova_f_score,
     feature_variances,
+    standard_scale,
+    standard_scaler_stats,
     variance_threshold,
 )
 from fastselect_spark.selection.pipeline import scores_from_cube  # noqa: F401

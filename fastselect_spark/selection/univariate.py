@@ -75,6 +75,46 @@ def feature_variances(df: DataFrame, feature_cols: list[str]) -> np.ndarray:
     return np.maximum(q / n - (s / n) ** 2, 0.0)
 
 
+def standard_scaler_stats(
+    df: DataFrame, feature_cols: list[str]
+) -> tuple[np.ndarray, np.ndarray]:
+    """(mean, population std) per feature from one sufficient-stats agg —
+    sklearn ``StandardScaler`` semantics (ddof=0; zero-variance features
+    get scale 1.0 so transform leaves them centered, sklearn's
+    ``_handle_zeros_in_scale``)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in feature_cols:
+        d = F.col(c).cast("double")
+        aggs += [F.sum(d).alias(f"__s_{c}"), F.sum(d * d).alias(f"__q_{c}")]
+    r = df.agg(*aggs).collect()[0]
+    n = float(r["__n"])
+    s = np.array([r[f"__s_{c}"] or 0.0 for c in feature_cols])
+    q = np.array([r[f"__q_{c}"] or 0.0 for c in feature_cols])
+    mean = s / n
+    var = np.maximum(q / n - mean**2, 0.0)
+    std = np.sqrt(var)
+    std = np.where(std > 0.0, std, 1.0)
+    return mean, std
+
+
+def standard_scale(
+    df: DataFrame,
+    feature_cols: list[str],
+    mean: np.ndarray,
+    std: np.ndarray,
+    suffix: str = "_z",
+) -> DataFrame:
+    """Apply fitted (mean, std) as a pure projection — fit stats travel as
+    literals, so scaling a 100 TB frame is one shuffle-free scan."""
+    for i, c in enumerate(feature_cols):
+        df = df.withColumn(
+            f"{c}{suffix}",
+            (F.col(c).cast("double") - F.lit(float(mean[i])))
+            / F.lit(float(std[i])),
+        )
+    return df
+
+
 def variance_threshold(
     df: DataFrame, feature_cols: list[str], threshold: float = 0.0
 ) -> list[int]:
