@@ -252,6 +252,26 @@ def _q_leakage_safe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_resample_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation daily-grid resampling: sequence/explode grid +
+    the existing as-of join attach the latest token count at each grid
+    point (featurize/resample.py — pure composition, so leakage and skew
+    behavior are inherited from the audited as-of operator). The right
+    side is pre-deduped to unique (conv_id, ts) so the backward pick is
+    deterministic cross-engine."""
+    from fastselect_spark.featurize import resample_grid
+    from fastselect_spark.featurize.windows import token_count
+
+    tr = _transcripts(spark, sf_dir)
+    f = tr.groupBy("conv_id", "ts").agg(
+        F.max(token_count().cast("double")).alias("n_tokens")
+    )
+    out = resample_grid(f, ["n_tokens"], step_seconds=86400)
+    return out.select(
+        "conv_id", "ts", F.round("n_tokens_asof", 6).alias("n_tokens_asof")
+    )
+
+
 def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-distribution drift (PSI) between the even-doc_id reference
     half and the odd-doc_id current half of the documents table, on two
@@ -1842,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fisher_scores": _q_fisher_scores,
         "jmi_selection": _q_jmi_selection,  # greedy loop unrolled in SQL CTEs
         "leakage_safe_encoding": _q_leakage_safe_encoding,  # expanding TE/CE + hash
+        "resample_grid": _q_resample_grid,  # time-grid resample via as-of
         "psi_drift": _q_psi_drift,  # population-stability drift monitor
         "standard_scale": _q_standard_scale,  # fit stats + literal projection
         "cmim_selection": _q_cmim_selection,  # conditional-MI greedy, SQL-unrolled
@@ -4564,6 +4585,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fcbf_selection": _FCBF_ORACLE,
         "anova_f_scores": _ANOVA_ORACLE,
+        # grid = conversation-local daily sequence (capped), values via the
+        # same backward ASOF pick; right side deduped to unique (conv, ts)
+        "resample_grid": f"""
+        WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+        f AS (
+            SELECT conv_id, ts,
+                   MAX(CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                            AS DOUBLE)) AS n_tokens
+            FROM transcripts GROUP BY 1, 2
+        ),
+        b AS (SELECT conv_id, MIN(ts) AS lo, MAX(ts) AS hi FROM f GROUP BY 1),
+        grid AS (
+            SELECT conv_id,
+                   UNNEST(generate_series(
+                       lo,
+                       LEAST(hi, lo + INTERVAL '864000000 seconds'),
+                       INTERVAL '86400 seconds')) AS ts
+            FROM b
+        )
+        SELECT g.conv_id, g.ts, ROUND(f.n_tokens, 6) AS n_tokens_asof
+        FROM grid g ASOF LEFT JOIN f
+          ON g.conv_id = f.conv_id AND g.ts >= f.ts
+        """,
         # PSI: ref (even doc_id) defines 10 uniform bins; clip-to-edge-bin,
         # 1e-6 proportion floor, (p-q)*ln(p/q) — ops mirrored from drift.py
         "psi_drift": r"""

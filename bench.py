@@ -291,6 +291,55 @@ def default_mode() -> None:
             docs, docs.where(F.col("lang") == "en")
         ).count()
         ops["perplexity_sec"] = round(time.perf_counter() - t0, 3)
+        # round-4 additions: drift monitor, scaler, leakage-safe encoders
+        from fastselect_spark.featurize import (
+            count_encode_expanding,
+            hash_encode,
+            psi_scores,
+            target_encode_expanding,
+        )
+        from fastselect_spark.selection import (
+            standard_scale,
+            standard_scaler_stats,
+        )
+
+        dd = docs.select(
+            "doc_id",
+            F.length("text").cast("double").alias("n_chars"),
+            F.size(F.split("text", r"\s+")).cast("double").alias("n_toks"),
+        )
+        t0 = time.perf_counter()
+        psi_scores(
+            dd.where(F.col("doc_id") % 2 == 0),
+            dd.where(F.col("doc_id") % 2 == 1),
+            ["n_chars", "n_toks"],
+        )
+        ops["psi_drift_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        m, s = standard_scaler_stats(dd, ["n_chars", "n_toks"])
+        ops["standard_scale_rows"] = standard_scale(
+            dd, ["n_chars", "n_toks"], m, s
+        ).count()
+        ops["standard_scale_sec"] = round(time.perf_counter() - t0, 3)
+        tr_enc = spark.read.parquet(
+            os.path.join(SF_DIR, "events.parquet")
+        ).selectExpr(
+            "CAST(user_id AS STRING) AS conv_id",
+            "CAST(event_id AS INT) AS turn_idx",
+            "event_type AS role",
+            "ts",
+            "CAST(event_type = 'purchase' AS INT) AS label",
+        )
+        t0 = time.perf_counter()
+        ops["encoding_rows"] = hash_encode(
+            count_encode_expanding(
+                target_encode_expanding(tr_enc, ["role"], "label"), ["role"]
+            ),
+            ["role"],
+            64,
+            7,
+        ).count()
+        ops["encoding_sec"] = round(time.perf_counter() - t0, 3)
         docs.unpersist()
         out["corpus_ops"] = ops
     except Exception as exc:  # surface the regression in the bench output

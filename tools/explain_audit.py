@@ -324,6 +324,49 @@ def main() -> int:
         and "Exchange SinglePartition" not in p,
     )
 
+    # 17. leakage-safe encoders: te + ce share ONE role exchange (same
+    # partition key + order), and the hashing trick adds no exchange at all
+    from fastselect_spark.featurize import (
+        count_encode_expanding,
+        hash_encode,
+        target_encode_expanding,
+    )
+
+    lab = tr.withColumn("label", F.col("tool").isNotNull().cast("int"))
+    enc = count_encode_expanding(
+        target_encode_expanding(lab, ["role"], "label"), ["role"]
+    )
+    p = plan_of(enc, execute=True)
+    # transcripts derivation itself costs one user_id exchange; the two
+    # expanding windows must add exactly ONE more (shared role exchange)
+    n_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    failures += not check(
+        "expanding encoders share one role exchange",
+        n_ex <= 2,
+        f"(exchanges={n_ex})",
+    )
+    h = hash_encode(docs.select("doc_id", "source"), ["source"], 64, 7)
+    p = plan_of(h)
+    failures += not check(
+        "hash_encode is a shuffle-free projection", "Exchange" not in p
+    )
+
+    # 18. StandardScaler transform is a literal projection (no exchange,
+    # no extra scan beyond the input)
+    from fastselect_spark.selection import standard_scale
+
+    sc = standard_scale(
+        docs.select("doc_id", F.length("text").cast("double").alias("x")),
+        ["x"],
+        [100.0],
+        [10.0],
+    )
+    p = plan_of(sc)
+    failures += not check(
+        "standard_scale transform plans zero exchanges",
+        "Exchange" not in p and len(re.findall(r"FileScan", p)) == 1,
+    )
+
     print(f"\n{'ALL CHECKS PASS' if not failures else f'{failures} CHECK(S) FAILED'}")
     return 1 if failures else 0
 
