@@ -12,10 +12,11 @@ outliers clip into the edge bins). Zero proportions are clipped to
 ``eps`` (1e-6) before the log — the standard PSI regularization,
 documented so the oracle can mirror it exactly.
 
-Distributed shape: ONE min/max agg on the reference + ONE histogram agg
-per frame (groupBy bin with map-side partials — counts are exact
-integers), driver finalize over a (bins × p) table. Linear scans, no
-joins, no per-row Python; the 100 TB cost is two passes over each frame.
+Distributed shape: ONE min/max agg on the reference + ONE fused
+union-tagged histogram agg over both frames (map-side partials — counts
+are exact integers), driver finalize over a (2 × bins × p) table. Linear
+scans, no joins, no per-row Python; the 100 TB cost is two passes over
+the reference and one over the current frame.
 """
 
 from __future__ import annotations
@@ -32,20 +33,41 @@ def _bin_expr(col: str, lo: float, width: float, bins: int):
     return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
 
 
-def _hist(df: DataFrame, cols: list[str], edges: dict, bins: int) -> dict:
+def _hists_fused(
+    ref: DataFrame, cur: DataFrame, cols: list[str], edges: dict, bins: int
+) -> tuple[dict, dict]:
+    """Both frames' histograms in ONE union-tagged aggregation scan (one
+    job instead of two; counts identical by construction). 2·p·bins sum
+    expressions — fine for monitoring-sized p; for very wide matrices
+    switch to a melt + groupBy(bin) (the countDistinct-expansion lesson)."""
+    proj = [F.col(c).cast("double").alias(c) for c in cols]
+    u = (
+        ref.select(*proj).withColumn("__g", F.lit(0))
+        .unionByName(cur.select(*proj).withColumn("__g", F.lit(1)))
+    )
     aggs = []
-    for c in cols:
-        lo, width = edges[c]
-        b = _bin_expr(c, lo, width, bins)
-        for k in range(bins):
-            aggs.append(
-                F.sum((b == k).cast("long")).alias(f"__h_{c}_{k}")
+    for g in (0, 1):
+        for c in cols:
+            lo, width = edges[c]
+            b = _bin_expr(c, lo, width, bins)
+            for k in range(bins):
+                aggs.append(
+                    F.sum(((b == k) & (F.col("__g") == g)).cast("long")).alias(
+                        f"__h_{g}_{c}_{k}"
+                    )
+                )
+    row = u.agg(*aggs).collect()[0]
+
+    def unpack(g: int) -> dict:
+        return {
+            c: np.array(
+                [row[f"__h_{g}_{c}_{k}"] or 0 for k in range(bins)],
+                dtype=np.float64,
             )
-    row = df.agg(*aggs).collect()[0]
-    return {
-        c: np.array([row[f"__h_{c}_{k}"] or 0 for k in range(bins)], dtype=np.float64)
-        for c in cols
-    }
+            for c in cols
+        }
+
+    return unpack(0), unpack(1)
 
 
 def psi_scores(
@@ -66,8 +88,7 @@ def psi_scores(
         hi = float(mm[f"__hi_{c}"])
         width = (hi - lo) / bins if hi > lo else 1.0
         edges[c] = (lo, width)
-    h_ref = _hist(ref, cols, edges, bins)
-    h_cur = _hist(cur, cols, edges, bins)
+    h_ref, h_cur = _hists_fused(ref, cur, cols, edges, bins)
     out = {}
     for c in cols:
         p = h_ref[c] / max(h_ref[c].sum(), 1.0)
