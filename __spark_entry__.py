@@ -252,6 +252,36 @@ def _q_leakage_safe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quantile_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization + RobustScaler on document text features: exact
+    interpolated percentiles (Spark `percentile` == DuckDB `quantile_cont`
+    == NumPy linear — the cross-engine quantile family), transforms are
+    literal projections (selection/univariate.py)."""
+    from fastselect_spark.selection import (
+        quantile_clip,
+        robust_scale,
+        robust_scaler_stats,
+    )
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.length("text").cast("double").alias("n_chars"),
+        F.size(F.split("text", r"\s+")).cast("double").alias("n_toks"),
+    )
+    cols = ["n_chars", "n_toks"]
+    w = quantile_clip(docs, cols, lower=0.05, upper=0.95)
+    c, s = robust_scaler_stats(docs, cols)
+    out = robust_scale(w, cols, c, s)
+    return out.select(
+        "doc_id",
+        F.round("n_chars_w", 6).alias("n_chars_w"),
+        F.round("n_chars_r", 6).alias("n_chars_r"),
+        F.round("n_toks_w", 6).alias("n_toks_w"),
+        F.round("n_toks_r", 6).alias("n_toks_r"),
+    )
+
+
 def _q_resample_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation daily-grid resampling: sequence/explode grid +
     the existing as-of join attach the latest token count at each grid
@@ -1862,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fisher_scores": _q_fisher_scores,
         "jmi_selection": _q_jmi_selection,  # greedy loop unrolled in SQL CTEs
         "leakage_safe_encoding": _q_leakage_safe_encoding,  # expanding TE/CE + hash
+        "quantile_prep": _q_quantile_prep,  # winsorize + robust scale
         "resample_grid": _q_resample_grid,  # time-grid resample via as-of
         "psi_drift": _q_psi_drift,  # population-stability drift monitor
         "standard_scale": _q_standard_scale,  # fit stats + literal projection
@@ -4585,6 +4616,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fcbf_selection": _FCBF_ORACLE,
         "anova_f_scores": _ANOVA_ORACLE,
+        # quantile_cont == Spark percentile == NumPy linear interpolation;
+        # clip/scale mirrored as LEAST/GREATEST + the IQR-or-1 rule
+        "quantile_prep": r"""
+        WITH d AS (
+            SELECT doc_id, CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                   CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS DOUBLE) AS n_toks
+            FROM documents
+        ),
+        q AS (
+            SELECT
+                quantile_cont(n_chars, 0.05) AS c_lo,
+                quantile_cont(n_chars, 0.95) AS c_hi,
+                quantile_cont(n_chars, 0.25) AS c_q1,
+                quantile_cont(n_chars, 0.5)  AS c_med,
+                quantile_cont(n_chars, 0.75) AS c_q3,
+                quantile_cont(n_toks, 0.05) AS t_lo,
+                quantile_cont(n_toks, 0.95) AS t_hi,
+                quantile_cont(n_toks, 0.25) AS t_q1,
+                quantile_cont(n_toks, 0.5)  AS t_med,
+                quantile_cont(n_toks, 0.75) AS t_q3
+            FROM d
+        )
+        SELECT d.doc_id,
+               ROUND(LEAST(GREATEST(d.n_chars, q.c_lo), q.c_hi), 6) AS n_chars_w,
+               ROUND((d.n_chars - q.c_med)
+                     / (CASE WHEN q.c_q3 - q.c_q1 > 0
+                             THEN q.c_q3 - q.c_q1 ELSE 1.0 END), 6) AS n_chars_r,
+               ROUND(LEAST(GREATEST(d.n_toks, q.t_lo), q.t_hi), 6) AS n_toks_w,
+               ROUND((d.n_toks - q.t_med)
+                     / (CASE WHEN q.t_q3 - q.t_q1 > 0
+                             THEN q.t_q3 - q.t_q1 ELSE 1.0 END), 6) AS n_toks_r
+        FROM d CROSS JOIN q
+        """,
         # grid = conversation-local daily sequence (capped), values via the
         # same backward ASOF pick; right side deduped to unique (conv, ts)
         "resample_grid": f"""

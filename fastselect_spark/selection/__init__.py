@@ -16,6 +16,10 @@ from fastselect_spark.selection.fcbf import FCBFSelector, fcbf_select  # noqa: F
 from fastselect_spark.selection.univariate import (  # noqa: F401
     anova_f_score,
     feature_variances,
+    quantile_clip,
+    quantile_stats,
+    robust_scale,
+    robust_scaler_stats,
     standard_scale,
     standard_scaler_stats,
     variance_threshold,

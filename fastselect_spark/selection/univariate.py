@@ -115,6 +115,75 @@ def standard_scale(
     return df
 
 
+def quantile_stats(
+    df: DataFrame, feature_cols: list[str], qs: list[float]
+) -> dict[str, list[float]]:
+    """Exact interpolated percentiles per feature in ONE aggregation
+    (Spark's ``percentile`` = linear interpolation on the sorted values,
+    the same definition as DuckDB ``quantile_cont`` and NumPy's default —
+    the cross-engine-exact quantile family). Exact percentile sorts each
+    column per partition then merges — fine for feature-matrix widths; use
+    approx_percentile for sketch-sized budgets at extreme scale."""
+    aggs = []
+    for c in feature_cols:
+        d = F.col(c).cast("double")
+        for q in qs:
+            aggs.append(F.percentile(d, F.lit(q)).alias(f"__q_{c}_{q}"))
+    row = df.agg(*aggs).collect()[0]
+    return {c: [float(row[f"__q_{c}_{q}"]) for q in qs] for c in feature_cols}
+
+
+def quantile_clip(
+    df: DataFrame,
+    feature_cols: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    suffix: str = "_w",
+) -> DataFrame:
+    """Winsorization: clip each feature to its [lower, upper] exact
+    quantiles. One quantile agg, then a pure literal projection —
+    shuffle-free on the scan side at any scale."""
+    st = quantile_stats(df, feature_cols, [lower, upper])
+    for c in feature_cols:
+        lo, hi = st[c]
+        df = df.withColumn(
+            f"{c}{suffix}",
+            F.least(
+                F.greatest(F.col(c).cast("double"), F.lit(lo)), F.lit(hi)
+            ),
+        )
+    return df
+
+
+def robust_scaler_stats(
+    df: DataFrame, feature_cols: list[str]
+) -> tuple[np.ndarray, np.ndarray]:
+    """(median, IQR) per feature — sklearn ``RobustScaler`` semantics
+    (zero IQR gets scale 1.0). One percentile aggregation."""
+    st = quantile_stats(df, feature_cols, [0.25, 0.5, 0.75])
+    center = np.array([st[c][1] for c in feature_cols])
+    iqr = np.array([st[c][2] - st[c][0] for c in feature_cols])
+    scale = np.where(iqr > 0.0, iqr, 1.0)
+    return center, scale
+
+
+def robust_scale(
+    df: DataFrame,
+    feature_cols: list[str],
+    center: np.ndarray,
+    scale: np.ndarray,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Apply fitted (median, IQR) as a literal projection."""
+    for i, c in enumerate(feature_cols):
+        df = df.withColumn(
+            f"{c}{suffix}",
+            (F.col(c).cast("double") - F.lit(float(center[i])))
+            / F.lit(float(scale[i])),
+        )
+    return df
+
+
 def variance_threshold(
     df: DataFrame, feature_cols: list[str], threshold: float = 0.0
 ) -> list[int]:

@@ -65,3 +65,41 @@ def test_standard_scaler_matches_numpy(spark):
     exp = (X - mean) / std
     np.testing.assert_allclose(np.sort(out, axis=0), np.sort(exp, axis=0), atol=1e-9)
     assert np.allclose(out[:, 2], 0.0)
+
+
+def test_quantile_clip_and_robust_scale_match_numpy(spark):
+    from fastselect_spark.selection import (
+        quantile_clip,
+        quantile_stats,
+        robust_scale,
+        robust_scaler_stats,
+    )
+
+    rng = np.random.default_rng(23)
+    X = np.round(rng.lognormal(1, 0.8, (400, 1)), 6)
+    d = _df(spark, X, ["a"])
+    st = quantile_stats(d, ["a"], [0.05, 0.5, 0.95])
+    np.testing.assert_allclose(
+        st["a"], np.percentile(X[:, 0], [5, 50, 95]), rtol=1e-12
+    )
+    w = quantile_clip(d, ["a"], 0.05, 0.95).toPandas()["a_w"].to_numpy()
+    lo, hi = np.percentile(X[:, 0], [5, 95])
+    np.testing.assert_allclose(
+        np.sort(w), np.sort(np.clip(X[:, 0], lo, hi)), rtol=1e-12
+    )
+    c, s = robust_scaler_stats(d, ["a"])
+    q1, med, q3 = np.percentile(X[:, 0], [25, 50, 75])
+    assert abs(c[0] - med) < 1e-12 and abs(s[0] - (q3 - q1)) < 1e-12
+    r = robust_scale(d, ["a"], c, s).toPandas()["a_r"].to_numpy()
+    np.testing.assert_allclose(
+        np.sort(r), np.sort((X[:, 0] - med) / (q3 - q1)), atol=1e-12
+    )
+
+
+def test_robust_scaler_zero_iqr_is_one(spark):
+    from fastselect_spark.selection import robust_scaler_stats
+
+    X = np.full((50, 1), 4.0)
+    d = _df(spark, X, ["a"])
+    c, s = robust_scaler_stats(d, ["a"])
+    assert c[0] == 4.0 and s[0] == 1.0
