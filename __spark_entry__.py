@@ -252,6 +252,27 @@ def _q_leakage_safe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_conversation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation summary matrix (featurize/convagg.py): ONE
+    groupBy(conv_id) agg on the featurized frame — length, duration,
+    sessions, tool rate, token stats, exact role entropy."""
+    from fastselect_spark.featurize import conversation_features
+
+    feat = featurize_transcripts(_transcripts(spark, sf_dir))
+    out = conversation_features(feat)
+    return out.select(
+        "conv_id",
+        "n_turns",
+        "duration_s",
+        "n_sessions",
+        "n_tool_calls",
+        F.round("tool_rate", 6).alias("tool_rate"),
+        F.round("tokens_total", 6).alias("tokens_total"),
+        F.round("tokens_avg", 6).alias("tokens_avg"),
+        F.round("role_entropy", 6).alias("role_entropy"),
+    )
+
+
 def _q_quantile_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization + RobustScaler on document text features: exact
     interpolated percentiles (Spark `percentile` == DuckDB `quantile_cont`
@@ -1892,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fisher_scores": _q_fisher_scores,
         "jmi_selection": _q_jmi_selection,  # greedy loop unrolled in SQL CTEs
         "leakage_safe_encoding": _q_leakage_safe_encoding,  # expanding TE/CE + hash
+        "conversation_features": _q_conversation_features,  # per-entity summary
         "quantile_prep": _q_quantile_prep,  # winsorize + robust scale
         "resample_grid": _q_resample_grid,  # time-grid resample via as-of
         "psi_drift": _q_psi_drift,  # population-stability drift monitor
@@ -4616,6 +4638,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fcbf_selection": _FCBF_ORACLE,
         "anova_f_scores": _ANOVA_ORACLE,
+        # one groupBy(conv_id) agg; duration via FLOOR(EPOCH()) whole
+        # seconds (the engine's unix_timestamp convention); entropy summed
+        # in the fixed user/assistant/tool order
+        "conversation_features": _FEATURIZE_BASE
+        + """
+, ra AS (
+    SELECT conv_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(FLOOR(EPOCH(MAX(ts))) - FLOOR(EPOCH(MIN(ts))) AS DOUBLE)
+               AS duration_s,
+           CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tool_calls,
+           SUM(n_tokens) AS tokens_total,
+           AVG(n_tokens) AS tokens_avg,
+           SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS nu,
+           SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS na,
+           SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS nt
+    FROM feat GROUP BY 1
+)
+SELECT conv_id, n_turns, duration_s, n_sessions, n_tool_calls,
+       ROUND(CAST(n_tool_calls AS DOUBLE) / CAST(n_turns AS DOUBLE), 6)
+           AS tool_rate,
+       ROUND(tokens_total, 6) AS tokens_total,
+       ROUND(tokens_avg, 6) AS tokens_avg,
+       ROUND(
+           (CASE WHEN nu > 0 THEN -(nu / CAST(n_turns AS DOUBLE))
+                 * LN(nu / CAST(n_turns AS DOUBLE)) ELSE 0 END)
+         + (CASE WHEN na > 0 THEN -(na / CAST(n_turns AS DOUBLE))
+                 * LN(na / CAST(n_turns AS DOUBLE)) ELSE 0 END)
+         + (CASE WHEN nt > 0 THEN -(nt / CAST(n_turns AS DOUBLE))
+                 * LN(nt / CAST(n_turns AS DOUBLE)) ELSE 0 END), 6)
+           AS role_entropy
+FROM ra
+""",
         # quantile_cont == Spark percentile == NumPy linear interpolation;
         # clip/scale mirrored as LEAST/GREATEST + the IQR-or-1 rule
         "quantile_prep": r"""

@@ -1,0 +1,70 @@
+"""Conversation-level aggregate features — the per-entity summary matrix
+(one row per conv_id) that sits beside the per-turn matrix: length,
+duration, session count, tool-call rate, token stats, and role entropy.
+
+ONE groupBy(conv_id) aggregation (map-side partials, a single exchange on
+the same key every other featurize op shuffles by). Role entropy is an
+exact expression over the per-role counts: the aggregation carries one
+conditional count per role of the fixed transcript role alphabet
+(user/assistant/tool) — no second pass, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ROLES = ("user", "assistant", "tool")
+
+
+def _entropy_from_counts(counts: list[Column], total: Column) -> Column:
+    """-sum p*ln(p) over nonzero role counts (natural log)."""
+    terms = []
+    for c in counts:
+        p = c.cast("double") / total.cast("double")
+        terms.append(F.when(c > 0, -p * F.log(p)).otherwise(F.lit(0.0)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def conversation_features(
+    feat: DataFrame, conv_col: str = "conv_id"
+) -> DataFrame:
+    """Per-conversation summary matrix from the featurized turn frame
+    (needs ts, session_id, tool, n_tokens — i.e. featurize_transcripts
+    output). Timestamps aggregate as whole-second epochs (the engine's
+    unix_timestamp convention)."""
+    role_counts = [
+        F.sum((F.col("role") == r).cast("long")).alias(f"__n_{r}")
+        for r in ROLES
+    ]
+    agg = feat.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("double")
+        .alias("duration_s"),
+        (F.max("session_id") + 1).cast("long").alias("n_sessions"),
+        F.sum(F.col("tool").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_tool_calls"),
+        F.sum("n_tokens").cast("double").alias("tokens_total"),
+        F.avg("n_tokens").alias("tokens_avg"),
+        *role_counts,
+    )
+    n = F.col("n_turns")
+    counts = [F.col(f"__n_{r}") for r in ROLES]
+    return agg.select(
+        conv_col,
+        "n_turns",
+        "duration_s",
+        "n_sessions",
+        "n_tool_calls",
+        (F.col("n_tool_calls").cast("double") / n.cast("double")).alias(
+            "tool_rate"
+        ),
+        "tokens_total",
+        "tokens_avg",
+        _entropy_from_counts(counts, n).alias("role_entropy"),
+    )

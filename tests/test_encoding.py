@@ -108,3 +108,36 @@ def test_hash_encode_portable_and_rowlocal(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_conversation_features_numpy_replica(spark):
+    """Per-conversation aggregates vs a pandas groupby replica, including
+    the exact role-entropy expression."""
+    from fastselect_spark.featurize import conversation_features
+
+    rng = np.random.default_rng(29)
+    n = 90
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [str(i % 6) for i in range(n)],
+            "role": rng.choice(["user", "assistant", "tool"], n),
+            "tool": np.where(rng.random(n) < 0.3, "code", None),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.permutation(n) * 61, unit="s"),
+            "session_id": rng.integers(0, 3, n),
+            "n_tokens": rng.integers(1, 50, n).astype(float),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(4)
+    got = conversation_features(df).toPandas().set_index("conv_id")
+    for conv, g in pdf.groupby("conv_id"):
+        row = got.loc[conv]
+        assert row["n_turns"] == len(g)
+        assert row["duration_s"] == (
+            g["ts"].max().floor("s") - g["ts"].min().floor("s")
+        ).total_seconds()
+        assert row["n_sessions"] == g["session_id"].max() + 1
+        assert row["n_tool_calls"] == g["tool"].notna().sum()
+        assert abs(row["tokens_avg"] - g["n_tokens"].mean()) < 1e-9
+        p = g["role"].value_counts(normalize=True).to_numpy()
+        assert abs(row["role_entropy"] - float(-(p * np.log(p)).sum())) < 1e-12
