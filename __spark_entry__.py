@@ -1433,6 +1433,34 @@ def _q_streaming_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFram
     return verify_candidate_pairs(docs, pairs, threshold=0.5)
 
 
+def _q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time drift monitoring: per-2-minute-window PSI of document
+    text length against the frozen even-doc_id batch reference
+    (streaming/drift.py — ONE windowed agg, reference as literals, PSI as
+    a post-agg projection). Complete-mode availableNow == the batch
+    per-window PSI SQL."""
+    from fastselect_spark.featurize.drift import reference_histogram
+    from fastselect_spark.streaming import streaming_psi
+
+    _register(spark, sf_dir, "documents")
+    ref = spark.table("documents").where(F.col("doc_id") % 2 == 0).select(
+        F.length("text").cast("double").alias("n_chars")
+    )
+    lo, width, props = reference_histogram(ref, "n_chars", bins=10)
+    path = _staged_documents_stream_path(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("ts", F.length("text").cast("double").alias("n_chars"))
+    )
+    out = streaming_psi(stream, "n_chars", lo, width, props, window="2 minutes")
+    res = _run_available_now(spark, out, "fs_stream_psi", mode="complete")
+    return res.select(
+        "window_start", "n", F.round("psi", 6).alias("psi")
+    )
+
+
 def _q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming point-in-time enrichment: each turn, as it arrives, is
     matched against the latest already-emitted session-stats row of its
@@ -1974,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sampling": _q_video_frame_sampling,  # md5-chain synth: oracle
         "streaming_sessions": _q_streaming_sessions,
         "streaming_asof_enrich": _q_streaming_asof_enrich,  # oracle = batch ASOF JOIN
+        "streaming_psi_drift": _q_streaming_psi_drift,  # oracle = batch window PSI
         "streaming_token_rates": _q_streaming_token_rates,
         "streaming_sliding_rates": _q_streaming_sliding_rates,
         "streaming_dedup": _q_streaming_dedup,
@@ -4951,6 +4980,58 @@ FROM ra
     # the streaming quality filter is a stateless projection of the same
     # rows — the batch filter SQL is its oracle verbatim
     out["streaming_quality_filter"] = out["quality_filter"]
+    # streaming PSI == batch per-window PSI (complete mode, same literals):
+    # ref = even doc_ids; ts = the _streamable_documents derivation
+    out["streaming_psi_drift"] = r"""
+    WITH base AS (
+        SELECT doc_id,
+               TIMESTAMP '2026-01-01 00:00:00'
+                   + doc_id * INTERVAL '1 second' AS ts,
+               CAST(LENGTH(text) AS DOUBLE) AS v
+        FROM documents
+    ),
+    e AS (
+        SELECT MIN(v) AS lo,
+               CASE WHEN MAX(v) > MIN(v) THEN (MAX(v) - MIN(v)) / 10
+                    ELSE 1.0 END AS width
+        FROM base WHERE doc_id % 2 = 0
+    ),
+    grid AS (SELECT UNNEST(RANGE(10)) AS b),
+    refc AS (
+        SELECT CAST(LEAST(GREATEST(FLOOR((v - e.lo) / e.width), 0), 9) AS INT)
+                   AS b,
+               COUNT(*) AS c
+        FROM base, e WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    q AS (
+        SELECT g.b,
+               GREATEST(CAST(COALESCE(refc.c, 0) AS DOUBLE)
+                        / GREATEST((SELECT CAST(SUM(c) AS DOUBLE) FROM refc),
+                                   1.0),
+                        1e-6) AS q
+        FROM grid g LEFT JOIN refc ON refc.b = g.b
+    ),
+    win AS (
+        SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 120) * 120) AS TIMESTAMP)
+                   AS window_start,
+               CAST(LEAST(GREATEST(FLOOR((v - e.lo) / e.width), 0), 9) AS INT)
+                   AS b
+        FROM base, e
+    ),
+    wc AS (SELECT window_start, b, COUNT(*) AS c FROM win GROUP BY 1, 2),
+    wtot AS (SELECT window_start, SUM(c) AS n FROM wc GROUP BY 1),
+    wp AS (
+        SELECT t.window_start, g.b, t.n,
+               GREATEST(CAST(COALESCE(wc.c, 0) AS DOUBLE)
+                        / GREATEST(CAST(t.n AS DOUBLE), 1.0), 1e-6) AS p
+        FROM wtot t CROSS JOIN grid g
+        LEFT JOIN wc ON wc.window_start = t.window_start AND wc.b = g.b
+    )
+    SELECT wp.window_start, CAST(MAX(wp.n) AS BIGINT) AS n,
+           ROUND(SUM((wp.p - q.q) * LN(wp.p / q.q)), 6) AS psi
+    FROM wp JOIN q ON q.b = wp.b
+    GROUP BY 1
+    """
     # in-order arrival + TTL > run ⇒ streaming as-of == batch as-of join
     # (streaming/asof.py exactness conditions); same DuckDB ASOF LEFT JOIN
     # as asof_session_stats, minus the n_turns column

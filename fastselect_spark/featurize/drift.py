@@ -70,6 +70,25 @@ def _hists_fused(
     return unpack(0), unpack(1)
 
 
+def reference_histogram(
+    ref: DataFrame, col: str, bins: int = 10
+) -> tuple[float, float, np.ndarray]:
+    """(lo, width, proportions) of the reference frame — the frozen
+    baseline a streaming PSI monitor compares live windows against."""
+    mm = ref.agg(
+        F.min(F.col(col).cast("double")).alias("lo"),
+        F.max(F.col(col).cast("double")).alias("hi"),
+    ).collect()[0]
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    width = (hi - lo) / bins if hi > lo else 1.0
+    b = _bin_expr(col, lo, width, bins)
+    row = ref.agg(
+        *[F.sum((b == k).cast("long")).alias(f"c{k}") for k in range(bins)]
+    ).collect()[0]
+    counts = np.array([row[f"c{k}"] or 0 for k in range(bins)], dtype=np.float64)
+    return lo, width, counts / max(counts.sum(), 1.0)
+
+
 def psi_scores(
     ref: DataFrame,
     cur: DataFrame,

@@ -16,3 +16,4 @@ from fastselect_spark.streaming.minhash import (  # noqa: F401
 from fastselect_spark.streaming.asof import (  # noqa: F401
     streaming_asof_enrich,
 )
+from fastselect_spark.streaming.drift import streaming_psi  # noqa: F401
