@@ -252,6 +252,20 @@ def _q_leakage_safe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_frequency_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal frequency encoding of the documents' source and lang
+    columns: vocabulary groupBy + broadcast join back; rank by
+    (count desc, value) is a deterministic total order."""
+    from fastselect_spark.featurize import frequency_encode
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "source", "lang")
+    out = frequency_encode(frequency_encode(docs, "source"), "lang")
+    return out.select(
+        "doc_id", "source_rank", "source_freq", "lang_rank", "lang_freq"
+    )
+
+
 def _q_conversation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation summary matrix (featurize/convagg.py): ONE
     groupBy(conv_id) agg on the featurized frame — length, duration,
@@ -1941,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fisher_scores": _q_fisher_scores,
         "jmi_selection": _q_jmi_selection,  # greedy loop unrolled in SQL CTEs
         "leakage_safe_encoding": _q_leakage_safe_encoding,  # expanding TE/CE + hash
+        "frequency_encoding": _q_frequency_encoding,  # ordinal freq-rank encoder
         "conversation_features": _q_conversation_features,  # per-entity summary
         "quantile_prep": _q_quantile_prep,  # winsorize + robust scale
         "resample_grid": _q_resample_grid,  # time-grid resample via as-of
@@ -4667,6 +4682,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fcbf_selection": _FCBF_ORACLE,
         "anova_f_scores": _ANOVA_ORACLE,
+        # vocab counts + deterministic (count desc, value) rank
+        "frequency_encoding": r"""
+        WITH vs AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS source_freq
+            FROM documents GROUP BY 1
+        ),
+        rs AS (
+            SELECT source, source_freq,
+                   CAST(ROW_NUMBER() OVER (ORDER BY source_freq DESC, source)
+                        AS INT) AS source_rank
+            FROM vs
+        ),
+        vl AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS lang_freq
+            FROM documents GROUP BY 1
+        ),
+        rl AS (
+            SELECT lang, lang_freq,
+                   CAST(ROW_NUMBER() OVER (ORDER BY lang_freq DESC, lang)
+                        AS INT) AS lang_rank
+            FROM vl
+        )
+        SELECT d.doc_id, rs.source_rank, rs.source_freq,
+               rl.lang_rank, rl.lang_freq
+        FROM documents d JOIN rs USING (source) JOIN rl USING (lang)
+        """,
         # one groupBy(conv_id) agg; duration via FLOOR(EPOCH()) whole
         # seconds (the engine's unix_timestamp convention); entropy summed
         # in the fixed user/assistant/tool order

@@ -11,6 +11,7 @@ from fastselect_spark.featurize.windows import (  # noqa: F401
 from fastselect_spark.featurize.asof import asof_join  # noqa: F401
 from fastselect_spark.featurize.encoding import (  # noqa: F401
     count_encode_expanding,
+    frequency_encode,
     hash_encode,
     target_encode_expanding,
 )

@@ -76,6 +76,36 @@ def count_encode_expanding(
     return df.withColumn(out_col, (F.row_number().over(w) - 1).cast("long"))
 
 
+def frequency_encode(
+    df: DataFrame,
+    col: str,
+    out_rank: str | None = None,
+    out_freq: str | None = None,
+) -> DataFrame:
+    """Ordinal frequency encoding: each category gets its global occurrence
+    count and its dense rank by (count desc, value asc — a total order, so
+    ties are deterministic cross-engine). One groupBy builds the vocabulary
+    (bounded by category cardinality, not rows); the transform is a
+    BROADCAST join back — no row-table shuffle. Unlike the expanding
+    encoders this one is whole-corpus (not point-in-time): use it for
+    static categorical features, not label-derived ones."""
+    from pyspark.sql import Window as W
+
+    out_rank = out_rank or f"{col}_rank"
+    out_freq = out_freq or f"{col}_freq"
+    vocab = (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).cast("long").alias(out_freq))
+        .withColumn(
+            out_rank,
+            F.row_number()
+            .over(W.orderBy(F.col(out_freq).desc(), F.col(col)))
+            .cast("int"),
+        )
+    )
+    return df.join(F.broadcast(vocab), col, "left")
+
+
 def hash_bucket(col: str | Column, n_buckets: int, seed: int = 0) -> Column:
     """Portable 60-bit md5 bucket — bit-identical in Spark, DuckDB and
     hashlib (CLAUDE.md round-3: the cross-engine hash family). NULL values

@@ -141,3 +141,23 @@ def test_conversation_features_numpy_replica(spark):
         assert abs(row["tokens_avg"] - g["n_tokens"].mean()) < 1e-9
         p = g["role"].value_counts(normalize=True).to_numpy()
         assert abs(row["role_entropy"] - float(-(p * np.log(p)).sum())) < 1e-12
+
+
+def test_frequency_encode_ranks_and_broadcast(spark):
+    from fastselect_spark.featurize import frequency_encode
+
+    pdf = pd.DataFrame(
+        {"id": range(10), "c": ["x", "y", "x", "z", "x", "y", "w", "y", "x", "q"]}
+    )
+    df = spark.createDataFrame(pdf).repartition(3)
+    out = frequency_encode(df, "c").toPandas().set_index("id")
+    # counts: x=4, y=3, w=1, q=1, z=1 -> ranks x=1, y=2, then q,w,z by value
+    assert out.loc[0, "c_rank"] == 1 and out.loc[0, "c_freq"] == 4
+    assert out.loc[1, "c_rank"] == 2 and out.loc[1, "c_freq"] == 3
+    assert out.loc[9, "c_rank"] == 3   # q before w before z
+    assert out.loc[6, "c_rank"] == 4
+    assert out.loc[3, "c_rank"] == 5
+    plan = (
+        frequency_encode(df, "c")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
