@@ -26,9 +26,12 @@ from fastselect_spark.selection.univariate import (  # noqa: F401
 )
 from fastselect_spark.selection.pipeline import scores_from_cube  # noqa: F401
 from fastselect_spark.selection.matrix import (  # noqa: F401
+    BroadcastMIEngine,
     chi2_matrix,
+    cmim_select_matrix,
     encode_shared,
     fisher_matrix,
+    jmi_select_matrix,
     matrix_table,
     mi_matrices_broadcast,
     mi_relevance_matrix,

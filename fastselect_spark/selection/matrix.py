@@ -246,6 +246,67 @@ def mi_relevance_matrix(
     )
 
 
+def _pair_mi_block(Xt, ym, P, k, log_base):
+    """Vectorized MI for a block of pairs over the SHARED 0..k-1 code space.
+
+    ``Xt`` is the transposed (p, n) coded matrix, ``P`` an (m, 2) int64 pair
+    array; a second index of -1 means "the label" (relevance pair). Returns
+    the (m,) MI vector. This is the ONE kernel both the full p×p path
+    (:func:`mi_matrices_broadcast`) and the step-wise greedy engine
+    (:class:`BroadcastMIEngine`) call, so lazy columns are bit-identical to
+    full-matrix columns by construction."""
+    m = len(P)
+    kk = k * k
+    eps = 1e-12
+    A = Xt[P[:, 0]]  # (m, n) contiguous row gather
+    B = np.empty_like(A)
+    feat = P[:, 1] >= 0
+    if feat.any():
+        B[feat] = Xt[P[feat, 1]]
+    if (~feat).any():
+        B[~feat] = ym[None, :]
+    fused = A * k + B  # (m, n)
+    flat = (np.arange(m, dtype=np.int64)[:, None] * kk + fused).ravel()
+    T = np.bincount(flat, minlength=m * kk).reshape(m, k, k).astype(np.float64)
+    n_rows = Xt.shape[1]
+    Pm = T / n_rows
+    px = Pm.sum(axis=2, keepdims=True)
+    py = Pm.sum(axis=1, keepdims=True)
+    denom = px * py + eps
+    mask = Pm > eps
+    contrib = np.zeros_like(Pm)
+    np.log(np.where(mask, Pm / denom, 1.0), out=contrib, where=mask)
+    return (Pm * contrib).sum(axis=(1, 2)) / log_base
+
+
+def _joint_mi_block(Xt, ym, P, k, log_base):
+    """Vectorized I((X_i, X_j); Y) for a block of pairs — the JMI/CMIM
+    statistic (Yang & Moody 1999). The fused (x_i, x_j) pair state is one
+    axis (k² states in the shared code space), the label the other; the MI
+    formula is then identical in shape to :func:`_pair_mi_block`'s."""
+    m = len(P)
+    kky = k * k * k
+    eps = 1e-12
+    A = Xt[P[:, 0]]
+    B = Xt[P[:, 1]]
+    fused = (A * k + B) * k + ym[None, :]  # (m, n) triple code
+    flat = (np.arange(m, dtype=np.int64)[:, None] * kky + fused).ravel()
+    T = (
+        np.bincount(flat, minlength=m * kky)
+        .reshape(m, k * k, k)
+        .astype(np.float64)
+    )
+    n_rows = Xt.shape[1]
+    Pm = T / n_rows
+    px = Pm.sum(axis=2, keepdims=True)
+    py = Pm.sum(axis=1, keepdims=True)
+    denom = px * py + eps
+    mask = Pm > eps
+    contrib = np.zeros_like(Pm)
+    np.log(np.where(mask, Pm / denom, 1.0), out=contrib, where=mask)
+    return (Pm * contrib).sum(axis=(1, 2)) / log_base
+
+
 def mi_matrices_broadcast(
     spark: SparkSession,
     X_codes: np.ndarray,
@@ -306,30 +367,7 @@ def mi_matrices_broadcast(
     # mmap/munmap tens of MB per block and page-fault churn across processes
     # measured 5-8x slower than the same kernel single-process
     block = max(1, (1 << 14) // kk * max(1, 1000 // max(1, X_codes.shape[0])))
-    eps = 1e-12
     log_base = np.log(2.0) if unit == "bit" else 1.0
-
-    def _mi_block(Xt, ym, P):  # Xt (p, n); P (m, 2) pair rows -> (m,) MI
-        m = len(P)
-        A = Xt[P[:, 0]]  # (m, n) contiguous row gather
-        B = np.empty_like(A)
-        feat = P[:, 1] >= 0
-        if feat.any():
-            B[feat] = Xt[P[feat, 1]]
-        if (~feat).any():
-            B[~feat] = ym[None, :]
-        fused = A * k + B  # (m, n)
-        flat = (np.arange(m, dtype=np.int64)[:, None] * kk + fused).ravel()
-        T = np.bincount(flat, minlength=m * kk).reshape(m, k, k).astype(np.float64)
-        n_rows = Xt.shape[1]
-        Pm = T / n_rows
-        px = Pm.sum(axis=2, keepdims=True)
-        py = Pm.sum(axis=1, keepdims=True)
-        denom = px * py + eps
-        mask = Pm > eps
-        contrib = np.zeros_like(Pm)
-        np.log(np.where(mask, Pm / denom, 1.0), out=contrib, where=mask)
-        return (Pm * contrib).sum(axis=(1, 2)) / log_base
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Xm, ym = bc_X.value, bc_y.value
@@ -340,7 +378,7 @@ def mi_matrices_broadcast(
             out = np.empty(len(idx), dtype=np.float64)
             for s in range(0, len(idx), block):
                 sub = idx[s : s + block]
-                out[s : s + block] = _mi_block(Xm, ym, _decode(sub))
+                out[s : s + block] = _pair_mi_block(Xm, ym, _decode(sub), k, log_base)
             yield pd.DataFrame({"id": idx, "mi": out})
 
     n_chunks = min(n_pairs, max(sc.defaultParallelism * chunks_per_core, 2))
@@ -376,6 +414,129 @@ def encode_shared(X: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray,
     )
 
 
+class BroadcastMIEngine:
+    """Broadcast-once, score-on-demand MI engine for step-wise greedy
+    selection at large p.
+
+    Greedy selectors (mRMR, JMI, CMIM) never need the full p×p pair
+    statistics — each step only scores the remaining candidates against the
+    feature just selected, so the whole selection touches O(p·K) pairs, not
+    O(p²). This engine broadcasts the transposed coded matrix ONCE and runs
+    one pair-parallel job per requested column; columns are bit-identical to
+    the full-matrix path because both call the same block kernels
+    (:func:`_pair_mi_block` / :func:`_joint_mi_block`).
+
+    At the reference's mRMR benchmark config (n=1000, p=5000, K=10) this
+    replaces 12.5M pair contingencies with ~50k."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        X_codes: np.ndarray,
+        y_codes: np.ndarray,
+        unit: str = "bit",
+        chunks_per_core: int = 4,
+    ) -> None:
+        X_codes = np.ascontiguousarray(np.asarray(X_codes, dtype=np.int64))
+        y_codes = np.asarray(y_codes, dtype=np.int64)
+        self.n, self.p = X_codes.shape
+        self.k = int(max(X_codes.max(initial=0), y_codes.max(initial=0))) + 1
+        if self.k > MAX_STATES:
+            raise ValueError(
+                f"shared code space has {self.k} states (> {MAX_STATES})"
+            )
+        self.spark = spark
+        self.unit = unit
+        self.log_base = np.log(2.0) if unit == "bit" else 1.0
+        self.chunks_per_core = chunks_per_core
+        sc = spark.sparkContext
+        self._bc_X = sc.broadcast(np.ascontiguousarray(X_codes.T))
+        self._bc_y = sc.broadcast(y_codes)
+
+    def _run(self, pairs: np.ndarray, joint: bool) -> np.ndarray:
+        """One pair-parallel job over an explicit (m, 2) pair list."""
+        pairs = np.ascontiguousarray(np.asarray(pairs, dtype=np.int64))
+        m = len(pairs)
+        if m == 0:
+            return np.zeros(0, dtype=np.float64)
+        sc = self.spark.sparkContext
+        bc_P = sc.broadcast(pairs)
+        k, n, log_base = self.k, self.n, self.log_base
+        # same ~1MB-temp sizing rule as mi_matrices_broadcast; the joint
+        # kernel's contingency is k× larger (k²·k cells per pair)
+        cells = k * k * (k if joint else 1)
+        block = max(1, (1 << 14) // cells * max(1, 1000 // max(1, n)))
+        fn = _joint_mi_block if joint else _pair_mi_block
+        bc_X, bc_y = self._bc_X, self._bc_y
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Xm, ym, Pall = bc_X.value, bc_y.value, bc_P.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                idx = pdf["id"].to_numpy(dtype=np.int64)
+                out = np.empty(len(idx), dtype=np.float64)
+                for s in range(0, len(idx), block):
+                    sub = idx[s : s + block]
+                    out[s : s + block] = fn(Xm, ym, Pall[sub], k, log_base)
+                yield pd.DataFrame({"id": idx, "mi": out})
+
+        n_chunks = min(
+            m, max(sc.defaultParallelism * self.chunks_per_core, 2)
+        )
+        res = (
+            self.spark.range(m)
+            .repartition(n_chunks)
+            .mapInPandas(kernel, schema="id long, mi double")
+            .toPandas()
+        )
+        out = np.zeros(m, dtype=np.float64)
+        out[res["id"].to_numpy(dtype=np.int64)] = res["mi"].to_numpy(
+            dtype=np.float64
+        )
+        bc_P.destroy()
+        return out
+
+    def relevance(self) -> np.ndarray:
+        """I(X_f; Y) for every feature — one job, p pairs."""
+        pairs = np.stack(
+            [np.arange(self.p, dtype=np.int64), np.full(self.p, -1, np.int64)],
+            axis=1,
+        )
+        return self._run(pairs, joint=False)
+
+    @staticmethod
+    def _canonical(s: int, cand: np.ndarray) -> np.ndarray:
+        """(min, max) pair orientation — MI is symmetric in exact math, but
+        the full-matrix path builds every (i, j) table with i < j; matching
+        the orientation keeps lazy columns BIT-identical to full columns
+        (a transposed contingency sums in a different order: ~1 ulp)."""
+        cand = np.asarray(cand, dtype=np.int64)
+        other = np.full(len(cand), s, np.int64)
+        return np.stack(
+            [np.minimum(cand, other), np.maximum(cand, other)], axis=1
+        )
+
+    def mi_column(self, s: int, cand: np.ndarray) -> np.ndarray:
+        """I(X_f; X_s) for f in ``cand`` (mRMR redundancy column)."""
+        return self._run(self._canonical(s, cand), joint=False)
+
+    def joint_mi_column(self, s: int, cand: np.ndarray) -> np.ndarray:
+        """I((X_f, X_s); Y) for f in ``cand`` (JMI/CMIM column)."""
+        return self._run(self._canonical(s, cand), joint=True)
+
+    def close(self) -> None:
+        self._bc_X.destroy()
+        self._bc_y.destroy()
+
+
+# above this many feature pairs the full p×p redundancy matrix costs more
+# kernel time than K step-wise columns plus K job round-trips (~0.1-0.3 s
+# each on warm workers) — measured crossover is well below 2M pairs at the
+# bench configs, but the full path keeps its exact-matrix return contract
+_STEPWISE_PAIR_THRESHOLD = 2_000_000
+
+
 def mrmr_select_matrix(
     spark: SparkSession,
     X: np.ndarray,
@@ -383,11 +544,152 @@ def mrmr_select_matrix(
     n_select: int,
     method: str = "MID",
     unit: str = "bit",
+    strategy: str = "auto",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """mRMR at the reference's benchmark scale: shared-vocabulary encode,
-    pair-parallel MI matrices, driver greedy loop (mRMR.py:102-131 exact
-    semantics). Returns (selected_idx, relevance, redundancy)."""
+    pair-parallel MI, driver greedy loop (mRMR.py:102-131 exact semantics).
+    Returns (selected_idx, relevance, redundancy).
+
+    ``strategy``: ``'full'`` materializes the p×p redundancy matrix in one
+    job; ``'stepwise'`` computes only the O(p·K) candidate-vs-selected
+    columns (bit-identical selection — same kernel, and the greedy loop
+    never reads any other entry); ``'auto'`` picks stepwise once p(p-1)/2
+    exceeds 2M pairs. Stepwise returns a PARTIAL redundancy matrix: only
+    the computed (candidate, selected) columns are filled, all other
+    entries are 0."""
+    p = X.shape[1]
+    if strategy == "auto":
+        strategy = (
+            "stepwise" if p * (p - 1) // 2 > _STEPWISE_PAIR_THRESHOLD else "full"
+        )
+    if strategy == "full":
+        Xc, yc, _ = encode_shared(X, y)
+        relevance, redundancy = mi_matrices_broadcast(spark, Xc, yc, unit=unit)
+        picked = mrmr_greedy(relevance, redundancy, n_select, method)
+        return picked, relevance, redundancy
+    if strategy != "stepwise":
+        raise ValueError("strategy must be 'auto', 'full' or 'stepwise'")
+
+    if not (0 < n_select <= p):
+        raise ValueError(
+            "n_features_to_select must be a positive integer less "
+            "than or equal to the number of features."
+        )
     Xc, yc, _ = encode_shared(X, y)
-    relevance, redundancy = mi_matrices_broadcast(spark, Xc, yc, unit=unit)
-    picked = mrmr_greedy(relevance, redundancy, n_select, method)
-    return picked, relevance, redundancy
+    engine = BroadcastMIEngine(spark, Xc, yc, unit=unit)
+    try:
+        relevance = engine.relevance()
+        selected = np.zeros(n_select, dtype=np.int32)
+        remaining = np.ones(p, dtype=bool)
+        redundancy = np.zeros((p, p), dtype=np.float64)
+        red_sum = np.zeros(p, dtype=np.float64)
+
+        first = int(np.argmax(relevance))
+        selected[0] = first
+        remaining[first] = False
+        rem_idx = np.where(remaining)[0]
+        col = engine.mi_column(first, rem_idx)
+        red_sum[rem_idx] = col
+        redundancy[rem_idx, first] = col
+        redundancy[first, rem_idx] = col
+
+        for i in range(1, n_select):
+            rem_idx = np.where(remaining)[0]
+            # scoring + tie-break identical to mrmr_greedy (mrmr.py:48-62):
+            # only red_sum over REMAINING candidates is ever read, so the
+            # uncomputed pair entries cannot influence the selection
+            if method == "MID":
+                scores = relevance[rem_idx] - red_sum[rem_idx] / i
+            else:  # MIQ
+                scores = relevance[rem_idx] / (red_sum[rem_idx] / i + 1e-9)
+            max_score = np.max(scores)
+            top = rem_idx[np.isclose(scores, max_score, atol=1e-12)]
+            if top.size > 1:
+                best = int(top[np.argmin(red_sum[top] / i)])
+            else:
+                best = int(top[0])
+            selected[i] = best
+            remaining[best] = False
+            if i + 1 < n_select:
+                rem2 = np.where(remaining)[0]
+                col = engine.mi_column(best, rem2)
+                red_sum[rem2] += col
+                redundancy[rem2, best] = col
+                redundancy[best, rem2] = col
+        return selected, relevance, redundancy
+    finally:
+        engine.close()
+
+
+def jmi_select_matrix(
+    spark: SparkSession,
+    X: np.ndarray,
+    y: np.ndarray,
+    n_select: int,
+    unit: str = "bit",
+) -> tuple[list[int], np.ndarray]:
+    """JMI greedy selection in the wide-matrix regime (n bounded, p large).
+
+    Same criterion as :func:`fastselect_spark.selection.jmi.jmi_select`
+    (J(f) = Σ_{s∈S} I((X_f, X_s); Y), seed = argmax I(X_f; Y), first-max
+    tie-break) but the cumulative score is built from step-wise broadcast
+    joint-MI columns — O(p·K) pair contingencies instead of the DataFrame
+    path's O(p²) cube/melt tables. Returns (selected_indices, relevance)."""
+    p = X.shape[1]
+    if not (0 < n_select <= p):
+        raise ValueError("n_select out of range")
+    Xc, yc, _ = encode_shared(X, y)
+    engine = BroadcastMIEngine(spark, Xc, yc, unit=unit)
+    try:
+        relevance = engine.relevance()
+        selected = [int(np.argmax(relevance))]
+        remaining = np.ones(p, dtype=bool)
+        remaining[selected[0]] = False
+        acc = np.zeros(p, dtype=np.float64)
+        while len(selected) < n_select:
+            cand = np.where(remaining)[0]
+            acc[cand] += engine.joint_mi_column(selected[-1], cand)
+            best = int(cand[np.argmax(acc[cand])])
+            selected.append(best)
+            remaining[best] = False
+        return selected, relevance
+    finally:
+        engine.close()
+
+
+def cmim_select_matrix(
+    spark: SparkSession,
+    X: np.ndarray,
+    y: np.ndarray,
+    n_select: int,
+    unit: str = "bit",
+) -> tuple[list[int], np.ndarray]:
+    """CMIM greedy selection in the wide-matrix regime.
+
+    Criterion and tie-breaks match
+    :func:`fastselect_spark.selection.cmim.cmim_select`
+    (J(f) = min_{s∈S} I(X_f; Y | X_s) with the chain-rule identity
+    I(f;Y|s) = I((f,s);Y) − I(s;Y)); the running min needs exactly one new
+    joint-MI column per step. Returns (selected_indices, relevance)."""
+    p = X.shape[1]
+    if not (0 < n_select <= p):
+        raise ValueError("n_select out of range")
+    Xc, yc, _ = encode_shared(X, y)
+    engine = BroadcastMIEngine(spark, Xc, yc, unit=unit)
+    try:
+        relevance = engine.relevance()
+        selected = [int(np.argmax(relevance))]
+        remaining = np.ones(p, dtype=bool)
+        remaining[selected[0]] = False
+        score = np.full(p, np.inf, dtype=np.float64)
+        while len(selected) < n_select:
+            s = selected[-1]
+            cand = np.where(remaining)[0]
+            col = engine.joint_mi_column(s, cand) - relevance[s]
+            score[cand] = np.minimum(score[cand], col)
+            best = int(cand[np.argmax(score[cand])])
+            selected.append(best)
+            remaining[best] = False
+        return selected, relevance
+    finally:
+        engine.close()

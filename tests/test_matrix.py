@@ -134,3 +134,87 @@ def test_stage_extra_cols_preserved(spark):
     mid, X, y, extras = load_staged(path, ["f0"])
     by_val = dict(zip(X[:, 0], extras["fold"]))
     assert by_val == {1.0: 2, 2.0: 0, 3.0: 1}
+
+
+# ---------- step-wise broadcast greedy engine ----------
+
+def test_joint_mi_block_matches_contingency_oracle(coded):
+    """_joint_mi_block's fused-triple-code MI must equal mi_from_contingency
+    over the explicit (pair-state × label) count table, pair by pair."""
+    from fastselect_spark.selection._stats import mi_from_contingency
+    from fastselect_spark.selection.matrix import _joint_mi_block
+
+    X, y, _ = coded
+    Xc, yc, _ = encode_shared(X, y)
+    k = int(max(Xc.max(), yc.max())) + 1
+    Xt = np.ascontiguousarray(Xc.T)
+    pairs = np.array([[0, 3], [1, 2], [5, 11], [7, 0]], dtype=np.int64)
+    got = _joint_mi_block(Xt, yc, pairs, k, np.log(2.0))
+    for m, (i, j) in enumerate(pairs):
+        fused = Xc[:, i] * k + Xc[:, j]
+        table = np.zeros((k * k, k), dtype=np.int64)
+        np.add.at(table, (fused, yc), 1)
+        want = mi_from_contingency(table, unit="bit")
+        np.testing.assert_allclose(got[m], want, rtol=1e-10, atol=1e-12)
+
+
+def test_mrmr_stepwise_matches_full(spark, coded):
+    """strategy='stepwise' must pick the identical features (same kernel,
+    same tie-breaks) and its partial redundancy columns must equal the full
+    matrix's on every computed (candidate, selected) entry."""
+    X, y, _ = coded
+    full_pick, full_rel, full_red = mrmr_select_matrix(
+        spark, X, y, n_select=5, strategy="full"
+    )
+    step_pick, step_rel, step_red = mrmr_select_matrix(
+        spark, X, y, n_select=5, strategy="stepwise"
+    )
+    np.testing.assert_array_equal(step_pick, full_pick)
+    np.testing.assert_allclose(step_rel, full_rel, rtol=0, atol=0)
+    filled = step_red != 0
+    np.testing.assert_allclose(step_red[filled], full_red[filled], rtol=0, atol=0)
+
+
+def test_jmi_matrix_matches_dataframe_path(spark, coded):
+    """Step-wise joint-MI columns reproduce the DataFrame cube path's
+    greedy JMI selection (separate-vocab cube vs shared-space kernel —
+    equal in exact arithmetic; selection must agree)."""
+    import pandas as pd
+
+    from fastselect_spark.selection import jmi_select
+    from fastselect_spark.selection.matrix import jmi_select_matrix
+
+    X, y, _ = coded
+    cols = [f"f{i}" for i in range(X.shape[1])]
+    pdf = pd.DataFrame(X, columns=cols)
+    pdf["label"] = y
+    ndf = spark.createDataFrame(pdf)
+    want = jmi_select(ndf, cols, "label", n_select=5)
+    got, rel = jmi_select_matrix(spark, X, y, n_select=5)
+    assert got == want
+    rel_o, _ = mi_matrices_oracle(X.astype(np.int64), y.astype(np.int64))
+    np.testing.assert_allclose(rel, rel_o, rtol=1e-10, atol=1e-12)
+
+
+def test_cmim_matrix_matches_dataframe_path(spark, coded):
+    import pandas as pd
+
+    from fastselect_spark.selection import cmim_select
+    from fastselect_spark.selection.matrix import cmim_select_matrix
+
+    X, y, _ = coded
+    cols = [f"f{i}" for i in range(X.shape[1])]
+    pdf = pd.DataFrame(X, columns=cols)
+    pdf["label"] = y
+    ndf = spark.createDataFrame(pdf)
+    want = cmim_select(ndf, cols, "label", n_select=5)
+    got, _ = cmim_select_matrix(spark, X, y, n_select=5)
+    assert got == want
+
+
+def test_stepwise_engine_rejects_bad_n_select(spark, coded):
+    from fastselect_spark.selection.matrix import jmi_select_matrix
+
+    X, y, _ = coded
+    with pytest.raises(ValueError, match="n_select"):
+        jmi_select_matrix(spark, X, y, n_select=0)
