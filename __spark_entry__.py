@@ -1007,6 +1007,17 @@ def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_tfidf_terms(spark.table("documents"), k=3)
 
 
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-50 terms with Zipf rank and
+    cumulative corpus coverage — one (term, doc_id) aggregation + one
+    term roll-up (no countDistinct Expand), TakeOrdered top-k, k-row
+    coverage window (text/vocab.py)."""
+    from fastselect_spark.text import vocab_topk
+
+    _register(spark, sf_dir, "documents")
+    return vocab_topk(spark.table("documents"), k=50)
+
+
 def _q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end embedding dedup: exact near-dup pairs (cosine >= 0.42)
     -> connected components -> (component, keep_id, n_members) per
@@ -2006,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _q_pq_topk,  # oracle = codebook-literal ADC rank
         "pack_sequences": _q_pack_sequences,  # concat-and-chunk packing manifest
         "tfidf_keywords": _q_tfidf_keywords,  # top-3 tf-idf terms per doc
+        "vocab_topk": _q_vocab_topk,  # Zipf rank + cumulative corpus coverage
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,  # pairs -> CC -> clusters
         "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
         "decontaminate": _q_decontaminate,  # broadcast n-gram overlap vs planted benchmark
@@ -4482,6 +4494,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
                ROUND(score, 6) AS score, CAST(rn AS INT) AS rank
         FROM r WHERE rn <= 3
+        """,
+        "vocab_topk": """
+        -- share/cum_share are IEEE quotients of the same integer pair on
+        -- both engines (exact bigint counts / exact bigint total), so the
+        -- ROUND(.,6) inputs are bit-identical doubles
+        WITH norm AS (
+            SELECT doc_id,
+                   LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')) AS nrm
+            FROM documents
+        ),
+        tk AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(nrm, ' ')) AS term FROM norm
+        ),
+        tk2 AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+        per_doc AS (
+            SELECT term, doc_id, COUNT(*) AS tf FROM tk2 GROUP BY 1, 2
+        ),
+        counts AS (
+            SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt,
+                   COUNT(*) AS doc_freq
+            FROM per_doc GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM counts),
+        r AS (
+            SELECT term, cnt, doc_freq,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rank,
+                   SUM(cnt) OVER (ORDER BY cnt DESC, term ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+            FROM counts
+        )
+        SELECT term, CAST(cnt AS BIGINT) AS "count",
+               CAST(doc_freq AS BIGINT) AS doc_freq,
+               CAST(rank AS INT) AS rank,
+               ROUND(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+               ROUND(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cum_share
+        FROM r, tot WHERE rank <= 50
         """,
         "embedding_dedup_clusters": f"""
         WITH RECURSIVE

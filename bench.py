@@ -527,6 +527,26 @@ def scorers_mode() -> None:
             reps=1 if pp >= 5000 else 3,
         )
 
+    # --- JMI / CMIM at the same wide config: step-wise broadcast engine ----
+    # Joint-MI greedy selection needs k³-cell contingencies per pair; the
+    # full p×p grid at p=5000 would be 12.5M of them. The step-wise engine
+    # computes only the O(p·K) candidate-vs-selected columns per greedy
+    # step (picks bit-identical to the DataFrame cube path — same kernels).
+    from fastselect_spark.selection import cmim_select_matrix, jmi_select_matrix
+
+    X = rng.integers(0, 5, (1000, 5000)).astype(np.float64)
+    y = rng.integers(0, 10, 1000).astype(np.float64)
+    timed(
+        "jmi_n1000_p5000_K10",
+        lambda: jmi_select_matrix(spark, X, y, 10),
+        reps=1,
+    )
+    timed(
+        "cmim_n1000_p5000_K10",
+        lambda: cmim_select_matrix(spark, X, y, 10),
+        reps=1,
+    )
+
     # --- CFS @ n=1000 ------------------------------------------------------
     from fastselect_spark.selection import CFSSelector
 

@@ -386,3 +386,54 @@ def test_quality_classifier_numpy_replica_parity(dsir_corpus, tmp_path):
         pq_path, label_mod=7, n_buckets=256, iterations=10
     )
     np.testing.assert_allclose(w_spark, w_np, atol=1e-10)
+
+
+def test_vocab_topk_oracle(spark):
+    """Vocabulary/Zipf statistics against a pure-Python oracle on a
+    planted mini-corpus: exact counts/doc-freqs, (count desc, term asc)
+    rank, and a cumulative coverage curve ending at exactly 1.0 when
+    k >= vocabulary size."""
+    from collections import Counter
+
+    from fastselect_spark.text import vocab_topk
+
+    rows = [
+        (1, "the  cat sat on THE mat"),
+        (2, "the dog ate the cat food"),
+        (3, "  a mat a plan a canal  "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (
+            r["term"],
+            r["count"],
+            r["doc_freq"],
+            r["rank"],
+            r["share"],
+            r["cum_share"],
+        )
+        for r in vocab_topk(docs, k=50).orderBy("rank").collect()
+    ]
+    toks = {d: t.lower().split() for d, t in rows}
+    counts = Counter(t for ts in toks.values() for t in ts)
+    dfreq = Counter(t for ts in toks.values() for t in set(ts))
+    total = sum(counts.values())
+    expect, cum = [], 0
+    order = sorted(counts, key=lambda t: (-counts[t], t))
+    for rank, term in enumerate(order, 1):
+        cum += counts[term]
+        expect.append(
+            (
+                term,
+                counts[term],
+                dfreq[term],
+                rank,
+                round(counts[term] / total, 6),
+                round(cum / total, 6),
+            )
+        )
+    assert got == expect
+    assert got[-1][-1] == 1.0
+    # top-k truncation keeps the same prefix
+    top3 = [r["term"] for r in vocab_topk(docs, k=3).orderBy("rank").collect()]
+    assert top3 == [t for t, *_ in expect[:3]]
