@@ -113,6 +113,7 @@ def run_once(
     transcripts_parquet: str | None = None,
     warm_in_jvm: bool = False,
     pin_jvm_cores: bool = False,
+    timed_runs: int = 1,
 ) -> dict:
     from fastselect_spark.runtime.session import get_spark
 
@@ -142,7 +143,18 @@ def run_once(
             if transcripts_parquet:
                 spark.read.parquet(transcripts_parquet).count()
             spark.sparkContext._jvm.System.gc()
-        n_turns, timings = _pipeline(spark, sf_dir, transcripts_parquet)
+        # timed_runs > 1: median-of-runs on the TOTAL (the repo's benching
+        # rule — Spark timings on this VM swing 2-3x within a session; a
+        # single timed run reports that noise as the engine's number). The
+        # per-stage splits come from the median run so they remain a
+        # consistent decomposition. Scaling mode keeps timed_runs=1 — its
+        # median is across fresh-JVM subprocesses instead.
+        runs = [
+            _pipeline(spark, sf_dir, transcripts_parquet)
+            for _ in range(max(1, timed_runs))
+        ]
+        runs.sort(key=lambda r: r[1]["total"])
+        n_turns, timings = runs[len(runs) // 2]
         return {"n_turns": n_turns, "timings": timings}
     finally:
         spark.stop()
@@ -191,7 +203,7 @@ def default_mode() -> None:
     # warm_in_jvm: compile the pipeline's codegen stages on a 2.5% sample
     # before the clock starts (same warm-up discipline as scaling mode and
     # the reference's JIT-exclusion, BASELINE.md §2 step 5)
-    res = run_once(f"local[{CPUS}]", SF_DIR, warm_in_jvm=True)
+    res = run_once(f"local[{CPUS}]", SF_DIR, warm_in_jvm=True, timed_runs=3)
     total = res["timings"]["total"]
     out = {
         "metric": "asof+featurize+MI/mRMR pipeline end-to-end wall-time",

@@ -454,12 +454,13 @@ class BroadcastMIEngine:
         self._bc_X = sc.broadcast(np.ascontiguousarray(X_codes.T))
         self._bc_y = sc.broadcast(y_codes)
 
-    def _run(self, pairs: np.ndarray, joint: bool) -> np.ndarray:
-        """One pair-parallel job over an explicit (m, 2) pair list."""
+    def job_frame(self, pairs: np.ndarray, joint: bool):
+        """Build (without executing) one pair-parallel step job. Returns
+        (DataFrame, pair_broadcast) — exposed separately from :meth:`_run`
+        so tools/explain_audit.py can assert the physical plan stays
+        Exchange-free (the per-step cost claim rests on that)."""
         pairs = np.ascontiguousarray(np.asarray(pairs, dtype=np.int64))
         m = len(pairs)
-        if m == 0:
-            return np.zeros(0, dtype=np.float64)
         sc = self.spark.sparkContext
         bc_P = sc.broadcast(pairs)
         k, n, log_base = self.k, self.n, self.log_base
@@ -489,11 +490,18 @@ class BroadcastMIEngine:
         n_chunks = min(
             m, max(sc.defaultParallelism * self.chunks_per_core, 2)
         )
-        res = (
-            self.spark.range(0, m, 1, n_chunks)
-            .mapInPandas(kernel, schema="id long, mi double")
-            .toPandas()
+        frame = self.spark.range(0, m, 1, n_chunks).mapInPandas(
+            kernel, schema="id long, mi double"
         )
+        return frame, bc_P
+
+    def _run(self, pairs: np.ndarray, joint: bool) -> np.ndarray:
+        """One pair-parallel job over an explicit (m, 2) pair list."""
+        m = len(pairs)
+        if m == 0:
+            return np.zeros(0, dtype=np.float64)
+        frame, bc_P = self.job_frame(pairs, joint)
+        res = frame.toPandas()
         out = np.zeros(m, dtype=np.float64)
         out[res["id"].to_numpy(dtype=np.int64)] = res["mi"].to_numpy(
             dtype=np.float64
