@@ -1486,6 +1486,49 @@ def _q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide role Markov transition matrix: (from_role, to_role,
+    n, p) over within-conversation turn successions (featurize/convagg.py
+    role_transition_matrix — one lead() window on the shared conv_id
+    exchange, one pair agg, role-alphabet-bounded normalization
+    window)."""
+    from fastselect_spark.featurize import role_transition_matrix
+
+    out = role_transition_matrix(_transcripts(spark, sf_dir))
+    return out.select(
+        "from_role", "to_role", "n", F.round("p", 6).alias("p")
+    )
+
+
+def _q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time quantile monitor: exact interpolated p50/p90 of
+    document length per 2-minute event-time window
+    (streaming/drift.py streaming_window_quantiles — ONE windowed agg;
+    Spark exact percentile == DuckDB quantile_cont, the cross-engine
+    family the batch winsorize ops established). Complete-mode
+    availableNow == the batch per-window quantile SQL."""
+    from fastselect_spark.streaming import streaming_window_quantiles
+
+    _register(spark, sf_dir, "documents")
+    path = _staged_documents_stream_path(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("ts", F.length("text").cast("double").alias("v"))
+    )
+    out = streaming_window_quantiles(
+        stream, "v", probs=(0.5, 0.9), window="2 minutes"
+    )
+    res = _run_available_now(spark, out, "fs_stream_quant", mode="complete")
+    return res.select(
+        "window_start",
+        "n",
+        F.round("q50", 6).alias("q50"),
+        F.round("q90", 6).alias("q90"),
+    )
+
+
 def _q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming point-in-time enrichment: each turn, as it arrives, is
     matched against the latest already-emitted session-stats row of its
@@ -2030,6 +2073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_streaming_sessions,
         "streaming_asof_enrich": _q_streaming_asof_enrich,  # oracle = batch ASOF JOIN
         "streaming_psi_drift": _q_streaming_psi_drift,  # oracle = batch window PSI
+        "streaming_quantiles": _q_streaming_quantiles,  # oracle = batch quantile_cont
+        "role_transitions": _q_role_transitions,  # corpus role Markov matrix
         "streaming_token_rates": _q_streaming_token_rates,
         "streaming_sliding_rates": _q_streaming_sliding_rates,
         "streaming_dedup": _q_streaming_dedup,
@@ -4384,6 +4429,23 @@ def oracle_sql() -> dict[str, str]:
         WINDOW w5 AS (PARTITION BY conv_id ORDER BY turn_idx
                       ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
         """,
+        "role_transitions": f"""
+        WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+        pairs AS (
+            SELECT role AS from_role,
+                   LEAD(role) OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS to_role
+            FROM transcripts
+        ),
+        cnt AS (
+            SELECT from_role, to_role, COUNT(*) AS n
+            FROM pairs WHERE to_role IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_role, to_role, CAST(n AS BIGINT) AS n,
+               ROUND(CAST(n AS DOUBLE)
+                     / SUM(n) OVER (PARTITION BY from_role), 6) AS p
+        FROM cnt
+        """,
         "backfill_last_tool": f"""
         WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
         SELECT conv_id, turn_idx,
@@ -5121,6 +5183,24 @@ FROM ra
            ROUND(SUM((wp.p - q.q) * LN(wp.p / q.q)), 6) AS psi
     FROM wp JOIN q ON q.b = wp.b
     GROUP BY 1
+    """
+    # streaming quantiles == batch per-window quantile_cont (complete
+    # mode; Spark exact percentile == DuckDB quantile_cont, proven by the
+    # batch winsorize/RobustScaler family)
+    out["streaming_quantiles"] = r"""
+    WITH base AS (
+        SELECT doc_id,
+               TIMESTAMP '2026-01-01 00:00:00'
+                   + doc_id * INTERVAL '1 second' AS ts,
+               CAST(LENGTH(text) AS DOUBLE) AS v
+        FROM documents
+    )
+    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 120) * 120) AS TIMESTAMP)
+               AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(QUANTILE_CONT(v, 0.5), 6) AS q50,
+           ROUND(QUANTILE_CONT(v, 0.9), 6) AS q90
+    FROM base GROUP BY 1
     """
     # in-order arrival + TTL > run ⇒ streaming as-of == batch as-of join
     # (streaming/asof.py exactness conditions); same DuckDB ASOF LEFT JOIN

@@ -17,4 +17,7 @@ from fastselect_spark.featurize.encoding import (  # noqa: F401
 )
 from fastselect_spark.featurize.drift import psi_scores  # noqa: F401
 from fastselect_spark.featurize.resample import resample_grid  # noqa: F401
-from fastselect_spark.featurize.convagg import conversation_features  # noqa: F401
+from fastselect_spark.featurize.convagg import (  # noqa: F401
+    conversation_features,
+    role_transition_matrix,
+)

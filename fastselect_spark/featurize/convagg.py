@@ -68,3 +68,40 @@ def conversation_features(
         "tokens_avg",
         _entropy_from_counts(counts, n).alias("role_entropy"),
     )
+
+
+def role_transition_matrix(
+    tr: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """(from_role, to_role, n, p) — the corpus-wide Markov transition
+    matrix of turn roles: how often each role is followed by each other
+    role within a conversation, with the row-conditional probability
+    p = n / Σ_to n.
+
+    Shape: one lead() window on the conv_id exchange every featurize op
+    already shuffles by, one (from, to) hash aggregation (map-side
+    partials absorb the corpus before the pair shuffle), and the
+    probability normalization is a window over the ≤|roles|² aggregated
+    rows — bounded by the role alphabet, never by the corpus."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    pairs = (
+        tr.select(
+            F.col(role_col).alias("from_role"),
+            F.lead(role_col).over(w).alias("to_role"),
+        )
+        .where(F.col("to_role").isNotNull())
+        .groupBy("from_role", "to_role")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = Window.partitionBy("from_role")
+    return pairs.select(
+        "from_role",
+        "to_role",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.sum("n").over(wf)).alias("p"),
+    )

@@ -16,4 +16,7 @@ from fastselect_spark.streaming.minhash import (  # noqa: F401
 from fastselect_spark.streaming.asof import (  # noqa: F401
     streaming_asof_enrich,
 )
-from fastselect_spark.streaming.drift import streaming_psi  # noqa: F401
+from fastselect_spark.streaming.drift import (  # noqa: F401
+    streaming_psi,
+    streaming_window_quantiles,
+)

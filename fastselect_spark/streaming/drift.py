@@ -63,3 +63,50 @@ def streaming_psi(
         total.cast("long").alias("n"),
         psi.alias("psi"),
     )
+
+
+def streaming_window_quantiles(
+    stream: DataFrame,
+    col: str,
+    probs: tuple[float, ...] = (0.5, 0.9),
+    window: str = "10 minutes",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """(window_start, n, q<pct>...) per tumbling event-time window — the
+    latency/size quantile monitor that complements :func:`streaming_psi`
+    (PSI says *whether* the distribution moved; the quantile track says
+    *where*).
+
+    ``exact=True`` uses Spark's exact interpolated ``percentile`` — equal
+    to DuckDB ``quantile_cont`` and NumPy linear interpolation (the
+    cross-engine family the batch winsorize/RobustScaler ops established)
+    — whose per-window state buffers that window's values: the
+    monitoring-window configuration, and the oracle-checkable one.
+    ``exact=False`` switches to ``percentile_approx`` (bounded sketch
+    state per window): the 100 TB ingest path, same output schema.
+
+    With a ``watermark`` the sink can run append (windows finalize when
+    the watermark passes); without one, run complete/update.
+    """
+    if watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
+    if exact:
+        qcol = F.percentile(F.col(col), F.lit(list(probs)))
+    else:
+        qcol = F.percentile_approx(
+            F.col(col), F.lit(list(probs)), F.lit(accuracy)
+        )
+    agg = stream.groupBy(F.window(ts_col, window)).agg(
+        F.count(F.lit(1)).alias("n"), qcol.alias("__q")
+    )
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("n").cast("long").alias("n"),
+        *[
+            F.col("__q")[i].alias(f"q{int(round(p * 100))}")
+            for i, p in enumerate(probs)
+        ],
+    )

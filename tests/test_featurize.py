@@ -124,3 +124,32 @@ def test_no_lookahead_in_features(spark, transcripts_pdf):
     assert len(m) == len(past)
     for c in cols:
         assert (m[f"{c}_f"].values == m[f"{c}_p"].values).all(), c
+
+
+def test_role_transition_matrix(spark):
+    """Transition counts and row-conditional probabilities against a
+    hand-computed oracle on a planted two-conversation transcript."""
+    from fastselect_spark.featurize import role_transition_matrix
+
+    rows = [
+        ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "tool"),
+        ("c1", 3, "assistant"), ("c1", 4, "user"),
+        ("c2", 0, "user"), ("c2", 1, "assistant"), ("c2", 2, "user"),
+    ]
+    tr = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    got = {
+        (r["from_role"], r["to_role"]): (r["n"], r["p"])
+        for r in role_transition_matrix(tr).collect()
+    }
+    # transitions: c1 u->a, a->t, t->a, a->u ; c2 u->a, a->u
+    assert got[("user", "assistant")] == (2, 1.0)
+    assert got[("assistant", "tool")] == (1, 1.0 / 3.0)
+    assert got[("assistant", "user")] == (2, 2.0 / 3.0)
+    assert got[("tool", "assistant")] == (1, 1.0)
+    assert len(got) == 4
+    # probabilities sum to 1 per from_role
+    from collections import defaultdict
+    sums = defaultdict(float)
+    for (f, _t), (_n, p) in got.items():
+        sums[f] += p
+    assert all(abs(s - 1.0) < 1e-12 for s in sums.values())

@@ -72,3 +72,76 @@ def test_streaming_psi_equals_batch(spark):
         n_exp, psi_exp = exp[pd.Timestamp(r["window_start"])]
         assert r["n"] == n_exp
         assert abs(r["psi"] - psi_exp) < 1e-9
+
+
+def test_streaming_window_quantiles_equals_numpy(spark):
+    """Complete-mode availableNow exact per-window percentiles equal
+    NumPy linear interpolation (the quantile_cont family), including a
+    second wave updating already-open windows; approx mode keeps the
+    schema and lands within its rank-error envelope."""
+    import pytest
+
+    from fastselect_spark.streaming import streaming_window_quantiles
+
+    rng = np.random.default_rng(29)
+    n = 240
+    rows = pd.DataFrame(
+        {
+            "ts": (
+                pd.to_datetime("2024-03-01")
+                + pd.to_timedelta(rng.choice(1200, n, replace=False), unit="s")
+            ).astype("datetime64[us]"),
+            "v": np.round(rng.normal(100, 25, n), 6),
+        }
+    )
+    root = tempfile.mkdtemp(prefix="quant_stream_")
+    for w in (0, 1):
+        rows[rows.index % 2 == w].to_parquet(f"{root}/wave{w}.parquet", index=False)
+        os.utime(f"{root}/wave{w}.parquet", (1e9 + w, 1e9 + w))
+
+    def run(exact: bool, name: str):
+        stream = (
+            spark.readStream.schema("ts timestamp, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(root)
+        )
+        out = streaming_window_quantiles(
+            stream, "v", probs=(0.5, 0.9), window="5 minutes", exact=exact
+        )
+        ckpt = tempfile.mkdtemp(prefix="quant_ckpt_")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return spark.table(name).toPandas()
+
+    got = run(True, "quant_stream_exact")
+    win = (rows["ts"].astype("int64") // 1_000_000 // 300) * 300
+    grouped = rows.groupby(win)["v"]
+    exp = {
+        pd.Timestamp(w, unit="s"): (
+            len(g),
+            float(np.percentile(g, 50)),
+            float(np.percentile(g, 90)),
+        )
+        for w, g in grouped
+    }
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        n_exp, q50, q90 = exp[pd.Timestamp(r["window_start"])]
+        assert r["n"] == n_exp
+        assert r["q50"] == pytest.approx(q50, abs=1e-9)
+        assert r["q90"] == pytest.approx(q90, abs=1e-9)
+
+    approx = run(False, "quant_stream_approx")
+    assert list(approx.columns) == ["window_start", "n", "q50", "q90"]
+    for _, r in approx.iterrows():
+        n_exp, q50, q90 = exp[pd.Timestamp(r["window_start"])]
+        assert r["n"] == n_exp
+        lo_v, hi_v = rows["v"].min(), rows["v"].max()
+        assert lo_v <= r["q50"] <= r["q90"] <= hi_v
