@@ -159,6 +159,24 @@ def _q_mi_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gain_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4.5 gain ratio (selection/mi.py gain_ratio): IG = the MI relevance
+    column, split info = H(X_f), ratio = IG/H — all marginalizations of
+    ONE groupBy-all-code-columns cube."""
+    from fastselect_spark.selection import gain_ratio
+
+    _register(spark, sf_dir, "lineitem")
+    m = spark.sql(_LINEITEM_CODES_SQL)
+    ig, si, ratio = gain_ratio(m, _MI_FEATURES, "y", unit="bit")
+    return spark.createDataFrame(
+        [
+            (f, round(float(a), 6), round(float(b), 6), round(float(c), 6))
+            for f, a, b, c in zip(_MI_FEATURES, ig, si, ratio)
+        ],
+        schema="feature string, ig_bits double, split_info double, gain_ratio double",
+    )
+
+
 def _q_mrmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, "lineitem")
     m = spark.sql(_LINEITEM_CODES_SQL)
@@ -2005,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_pandas": _q_asof_pandas,
         "chi2_scores": _q_chi2_scores,
         "mi_relevance": _q_mi_relevance,
+        "gain_ratio_scores": _q_gain_ratio,  # C4.5 IG / split-info off one cube
         "mrmr_selection": _q_mrmr_selection,  # greedy loop unrolled in SQL CTEs
         "fisher_scores": _q_fisher_scores,
         "jmi_selection": _q_jmi_selection,  # greedy loop unrolled in SQL CTEs
@@ -2149,6 +2168,37 @@ JOIN tot USING (feature)
 JOIN px USING (feature, v)
 JOIN py USING (feature, y)
 GROUP BY j.feature
+"""
+
+_GAIN_RATIO_ORACLE = f"""
+WITH m AS ({_LINEITEM_CODES_SQL}),
+long AS (
+    SELECT 'f_line' AS feature, f_line AS v, y FROM m UNION ALL
+    SELECT 'f_qty', f_qty, y FROM m UNION ALL
+    SELECT 'f_disc', f_disc, y FROM m UNION ALL
+    SELECT 'f_tax', f_tax, y FROM m
+),
+joint AS (SELECT feature, v, y, CAST(COUNT(*) AS DOUBLE) AS c FROM long GROUP BY 1, 2, 3),
+tot AS (SELECT feature, SUM(c) AS n FROM joint GROUP BY 1),
+px AS (SELECT feature, v, SUM(c) AS cx FROM joint GROUP BY 1, 2),
+py AS (SELECT feature, y, SUM(c) AS cy FROM joint GROUP BY 1, 2),
+mi AS (
+    SELECT j.feature,
+           SUM((c / n) * LOG2((c / n) / ((cx / n) * (cy / n) + 1e-12))) AS ig
+    FROM joint j
+    JOIN tot USING (feature)
+    JOIN px USING (feature, v)
+    JOIN py USING (feature, y)
+    GROUP BY j.feature
+),
+si AS (
+    SELECT feature, -SUM((cx / n) * LOG2(cx / n)) AS h
+    FROM px JOIN tot USING (feature)
+    GROUP BY feature
+)
+SELECT mi.feature, ROUND(mi.ig, 6) AS ig_bits, ROUND(si.h, 6) AS split_info,
+       ROUND(CASE WHEN si.h > 0 THEN mi.ig / si.h ELSE 0 END, 6) AS gain_ratio
+FROM mi JOIN si USING (feature)
 """
 
 _CHI2_ORACLE = f"""
@@ -4764,6 +4814,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stateful_progress": _STREAM_STATEFUL_ORACLE,
         "chi2_scores": _CHI2_ORACLE,
         "mi_relevance": _MI_ORACLE,
+        "gain_ratio_scores": _GAIN_RATIO_ORACLE,
         "mrmr_selection": _MRMR_ORACLE,
         "jmi_selection": _JMI_ORACLE,
         "cmim_selection": _CMIM_ORACLE,

@@ -1,5 +1,9 @@
 from fastselect_spark.selection.chi2 import chi2  # noqa: F401
-from fastselect_spark.selection.mi import mi_matrices, mi_pair  # noqa: F401
+from fastselect_spark.selection.mi import (  # noqa: F401
+    gain_ratio,
+    mi_matrices,
+    mi_pair,
+)
 from fastselect_spark.selection.mrmr import MRMRSelector, mrmr_select  # noqa: F401
 from fastselect_spark.selection.relief import (  # noqa: F401
     MultiSURFSelector,

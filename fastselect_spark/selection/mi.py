@@ -301,3 +301,50 @@ def mi_pair(
     for r in rows:
         table[ai[r["__a"]], bi[r["__b"]]] = r["count"]
     return mi_from_contingency(table, unit=unit)
+
+
+def gain_ratio(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    unit: str = "bit",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ig[p], split_info[p], ratio[p]) — Quinlan's C4.5 gain ratio.
+
+    IG(f) = I(X_f; Y) (identical semantics to the :func:`mi_matrices`
+    relevance column); split information = H(X_f) over the feature's
+    value marginal; ratio = IG / H(X_f), with Quinlan's guard ratio = 0
+    for constant features (H == 0). ONE ``groupBy(all code columns)
+    .count()`` cube marginalized driver-side — the scores_from_cube
+    shape: the aggregation is bounded by the code-space product, never
+    the row count, so no extra cluster work beyond the cube every other
+    information scorer already shares."""
+    cols = list(feature_cols) + [label_col]
+    p = len(feature_cols)
+    pdf = (
+        df.groupBy(*[F.col(c).cast("double").alias(c) for c in cols])
+        .count()
+        .toPandas()
+    )
+    raw = pdf[cols].to_numpy(dtype=np.float64)
+    counts = pdf["count"].to_numpy(dtype=np.int64)
+    n = float(counts.sum())
+    vocab = np.unique(raw)
+    k = len(vocab)
+    codes = np.searchsorted(vocab, raw)
+    y = codes[:, p]
+    kk = k * k
+    log_base = np.log(2.0) if unit == "bit" else 1.0
+    ig = np.empty(p, dtype=np.float64)
+    si = np.empty(p, dtype=np.float64)
+    for f in range(p):
+        table = (
+            np.bincount(codes[:, f] * k + y, weights=counts, minlength=kk)
+            .reshape(k, k)
+        )
+        ig[f] = mi_from_contingency(table, unit=unit)
+        marg = table.sum(axis=1)
+        px = marg[marg > 0] / n
+        si[f] = float(-(px * np.log(px)).sum() / log_base)
+    ratio = np.where(si > 0, ig / np.where(si > 0, si, 1.0), 0.0)
+    return ig, si, ratio

@@ -248,3 +248,30 @@ def test_transform_contract_validation_all_estimators(spark):
             rf"4 features as input\.",
         ):
             est.transform(wrong)
+
+
+def test_gain_ratio_matches_numpy(spark):
+    """C4.5 gain ratio: IG equals the mi_matrices relevance column
+    (identical cube semantics), split info equals the NumPy feature-
+    marginal entropy, ratio = IG/H with the constant-feature guard."""
+    from fastselect_spark.selection import gain_ratio
+
+    rng = np.random.default_rng(11)
+    X = rng.integers(0, 4, size=(300, 5))
+    X[:, 4] = 2  # constant feature -> H = 0 -> ratio 0
+    y = (X[:, 0] + X[:, 1]) % 3
+    cols = [f"f{i}" for i in range(5)]
+    pdf = pd.DataFrame(X, columns=cols)
+    pdf["label"] = y
+    df = spark.createDataFrame(pdf)
+    ig, si, ratio = gain_ratio(df, cols, "label")
+    rel, _ = mi_matrices(df, cols, "label", compute_redundancy=False)
+    np.testing.assert_allclose(ig, rel, rtol=0, atol=1e-12)
+    for f in range(5):
+        _, cnt = np.unique(X[:, f], return_counts=True)
+        p = cnt / cnt.sum()
+        h = float(-(p * np.log2(p)).sum())
+        assert abs(si[f] - h) < 1e-12
+        want = ig[f] / h if h > 0 else 0.0
+        assert abs(ratio[f] - want) < 1e-12
+    assert si[4] == 0.0 and ratio[4] == 0.0
