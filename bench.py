@@ -352,6 +352,23 @@ def default_mode() -> None:
             7,
         ).count()
         ops["encoding_sec"] = round(time.perf_counter() - t0, 3)
+        # round-4 additions: vocabulary statistics + role transition matrix
+        from fastselect_spark.featurize import role_transition_matrix
+        from fastselect_spark.text import vocab_topk
+
+        t0 = time.perf_counter()
+        ops["vocab_topk_rows"] = vocab_topk(docs, k=50).count()
+        ops["vocab_topk_sec"] = round(time.perf_counter() - t0, 3)
+        tr_rt = spark.read.parquet(
+            os.path.join(SF_DIR, "events.parquet")
+        ).selectExpr(
+            "CAST(user_id AS STRING) AS conv_id",
+            "CAST(event_id AS INT) AS turn_idx",
+            "event_type AS role",
+        )
+        t0 = time.perf_counter()
+        ops["role_transitions_rows"] = role_transition_matrix(tr_rt).count()
+        ops["role_transitions_sec"] = round(time.perf_counter() - t0, 3)
         docs.unpersist()
         out["corpus_ops"] = ops
     except Exception as exc:  # surface the regression in the bench output

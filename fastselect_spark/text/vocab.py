@@ -52,18 +52,18 @@ def vocab_topk(
     """(term, count, doc_freq, rank, share, cum_share) — the top-``k``
     vocabulary entries with the Zipf coverage curve, deterministically
     ordered by (count desc, term asc)."""
-    counts = token_counts(df, text_col=text_col, id_col=id_col)
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    total = (
-        df.select(F.explode(F.split(norm, " ")).alias("term"))
-        .where(F.col("term") != "")
-        .count()
-    )
+    counts = token_counts(df, text_col=text_col, id_col=id_col).persist()
+    # total tokens = Σ term counts — derived from the (tiny) vocabulary
+    # table, NOT a second corpus tokenization scan; the persist covers the
+    # total agg + the TakeOrdered and is released before returning
+    total = int(counts.agg(F.sum("count")).collect()[0][0] or 0)
     order = [F.desc("count"), F.asc("term")]
     # orderBy().limit() here is a distributed TakeOrdered over the TERM
     # table (already one row per vocabulary entry); the k surviving rows
-    # are then safe under a single-partition cumulative window
-    top = counts.orderBy(*order).limit(k)
+    # are materialized (localCheckpoint) so the persist can be released
+    # eagerly, and are then safe under a single-partition cumulative window
+    top = counts.orderBy(*order).limit(k).localCheckpoint()
+    counts.unpersist()
     w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     return (
         top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
