@@ -45,6 +45,8 @@ from fastselect_spark.selection._stats import (
 from fastselect_spark.selection.mrmr import mrmr_greedy
 
 MAX_STATES = 512
+# broadcast budget for the step-wise engine's executor-resident coded matrix
+MAX_BROADCAST_BYTES = 4 << 30
 
 
 def matrix_table(
@@ -445,6 +447,19 @@ class BroadcastMIEngine:
         if self.k > MAX_STATES:
             raise ValueError(
                 f"shared code space has {self.k} states (> {MAX_STATES})"
+            )
+        # wide-matrix regime contract: the coded matrix is broadcast once
+        # to every executor. Refuse clearly past the budget instead of
+        # letting the JVM OOM mid-broadcast — at that size the row-parallel
+        # path (mi_relevance_matrix) or the DataFrame cube selectors are
+        # the right tool, not a driver-resident matrix.
+        if X_codes.nbytes > MAX_BROADCAST_BYTES:
+            raise ValueError(
+                f"coded matrix is {X_codes.nbytes / (1 << 30):.1f} GiB "
+                f"(> {MAX_BROADCAST_BYTES / (1 << 30):.0f} GiB); the "
+                "broadcast step-wise engine is for the wide-matrix "
+                "regime (n bounded). Use mi_relevance_matrix / the "
+                "DataFrame selectors for row-scale inputs."
             )
         self.spark = spark
         self.unit = unit

@@ -218,3 +218,15 @@ def test_stepwise_engine_rejects_bad_n_select(spark, coded):
     X, y, _ = coded
     with pytest.raises(ValueError, match="n_select"):
         jmi_select_matrix(spark, X, y, n_select=0)
+
+
+def test_stepwise_engine_rejects_oversize_broadcast(spark, monkeypatch):
+    """The engine must refuse (clear contract error, not a JVM OOM) when
+    the coded matrix exceeds the broadcast budget."""
+    from fastselect_spark.selection import matrix as matrix_mod
+
+    monkeypatch.setattr(matrix_mod, "MAX_BROADCAST_BYTES", 64)
+    with pytest.raises(ValueError, match="wide-matrix"):
+        matrix_mod.BroadcastMIEngine(
+            spark, np.zeros((8, 4), dtype=np.int64), np.zeros(8, dtype=np.int64)
+        )
