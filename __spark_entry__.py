@@ -84,6 +84,43 @@ def _q_featurize_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multi_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store multi-horizon point-in-time aggregates (60 s / 600 s
+    trailing windows) — one conv_id exchange + one sort for every horizon
+    (featurize/windows.py add_multi_horizon_stats)."""
+    from fastselect_spark.featurize import add_multi_horizon_stats
+
+    feat = add_multi_horizon_stats(
+        _transcripts(spark, sf_dir), horizons_s=(60, 600)
+    )
+    return feat.select(
+        "conv_id",
+        "turn_idx",
+        F.col("n_tokens_cnt_60s").cast("long").alias("n_tokens_cnt_60s"),
+        F.round("n_tokens_sum_60s", 6).alias("n_tokens_sum_60s"),
+        F.round("n_tokens_avg_60s", 6).alias("n_tokens_avg_60s"),
+        F.round("n_tokens_per_min_60s", 6).alias("n_tokens_per_min_60s"),
+        F.col("n_tokens_cnt_600s").cast("long").alias("n_tokens_cnt_600s"),
+        F.round("n_tokens_sum_600s", 6).alias("n_tokens_sum_600s"),
+        F.round("n_tokens_avg_600s", 6).alias("n_tokens_avg_600s"),
+    )
+
+
+def _q_walkforward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged walk-forward CV split (4 folds, 120 s embargo): one exact
+    time-percentile agg + a shuffle-free literal projection
+    (featurize/splits.py)."""
+    from fastselect_spark.featurize import purged_walkforward_folds
+
+    tr = _transcripts(spark, sf_dir)
+    return purged_walkforward_folds(tr, n_folds=4, embargo_s=120.0).select(
+        "conv_id",
+        "turn_idx",
+        F.col("val_fold").cast("int").alias("val_fold"),
+        F.col("first_train_fold").cast("int").alias("first_train_fold"),
+    )
+
+
 def _q_backfill_last_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastselect_spark.featurize import add_backfill
 
@@ -2016,6 +2053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_derive": _q_transcripts_derive,
         "featurize_sessions": _q_featurize_sessions,
         "featurize_rolling": _q_featurize_rolling,
+        "multi_horizon_features": _q_multi_horizon,
+        "walkforward_folds": _q_walkforward_folds,
         "backfill_last_tool": _q_backfill_last_tool,
         "lag_lead": _q_lag_lead,
         "asof_session_stats": _q_asof_session_stats,
@@ -4478,6 +4517,50 @@ def oracle_sql() -> dict[str, str]:
         FROM feat
         WINDOW w5 AS (PARTITION BY conv_id ORDER BY turn_idx
                       ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        """,
+        # boundaries: quantile_cont == Spark exact percentile (linear
+        # interpolation, established bit-equal by the quantile_prep oracle);
+        # fold columns are the same strict-> counting logic on both engines
+        "walkforward_folds": f"""
+        WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+        t AS (
+            SELECT conv_id, turn_idx,
+                   CAST(FLOOR(EPOCH(ts)) AS DOUBLE) AS ep
+            FROM transcripts
+        ),
+        b AS (
+            SELECT quantile_cont(ep, [0.2, 0.4, 0.6, 0.8]) AS q FROM t
+        )
+        SELECT conv_id, turn_idx,
+               CAST(CAST(ep > q[1] AS INT) + CAST(ep > q[2] AS INT)
+                    + CAST(ep > q[3] AS INT) + CAST(ep > q[4] AS INT)
+                    AS INT) AS val_fold,
+               CASE WHEN 1 + CAST(ep > q[1] - 120.0 AS INT)
+                         + CAST(ep > q[2] - 120.0 AS INT)
+                         + CAST(ep > q[3] - 120.0 AS INT)
+                         + CAST(ep > q[4] - 120.0 AS INT) <= 4
+                    THEN CAST(1 + CAST(ep > q[1] - 120.0 AS INT)
+                         + CAST(ep > q[2] - 120.0 AS INT)
+                         + CAST(ep > q[3] - 120.0 AS INT)
+                         + CAST(ep > q[4] - 120.0 AS INT) AS INT)
+               END AS first_train_fold
+        FROM t, b
+        """,
+        "multi_horizon_features": _FEATURIZE_BASE
+        + """
+        SELECT conv_id, turn_idx,
+               CAST(COUNT(n_tokens) OVER h60 AS BIGINT)  AS n_tokens_cnt_60s,
+               ROUND(SUM(n_tokens) OVER h60, 6)          AS n_tokens_sum_60s,
+               ROUND(AVG(n_tokens) OVER h60, 6)          AS n_tokens_avg_60s,
+               ROUND(COUNT(n_tokens) OVER h60 / 1.0, 6)  AS n_tokens_per_min_60s,
+               CAST(COUNT(n_tokens) OVER h600 AS BIGINT) AS n_tokens_cnt_600s,
+               ROUND(SUM(n_tokens) OVER h600, 6)         AS n_tokens_sum_600s,
+               ROUND(AVG(n_tokens) OVER h600, 6)         AS n_tokens_avg_600s
+        FROM feat
+        WINDOW h60 AS (PARTITION BY conv_id ORDER BY FLOOR(EPOCH(ts))
+                       RANGE BETWEEN 60 PRECEDING AND CURRENT ROW),
+               h600 AS (PARTITION BY conv_id ORDER BY FLOOR(EPOCH(ts))
+                        RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
         """,
         "role_transitions": f"""
         WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),

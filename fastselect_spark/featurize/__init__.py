@@ -1,6 +1,7 @@
 from fastselect_spark.featurize.windows import (  # noqa: F401
     add_backfill,
     add_lag_lead,
+    add_multi_horizon_stats,
     add_role_runs,
     add_rolling_token_stats,
     add_sessions,
@@ -16,6 +17,10 @@ from fastselect_spark.featurize.encoding import (  # noqa: F401
     target_encode_expanding,
 )
 from fastselect_spark.featurize.drift import psi_scores  # noqa: F401
+from fastselect_spark.featurize.splits import (  # noqa: F401
+    purged_walkforward_folds,
+    walkforward_boundaries,
+)
 from fastselect_spark.featurize.resample import resample_grid  # noqa: F401
 from fastselect_spark.featurize.convagg import (  # noqa: F401
     conversation_features,

@@ -125,6 +125,47 @@ def add_rolling_token_stats(df: DataFrame, k: int = 5) -> DataFrame:
     return df.withColumn("tokens_sum_10m", F.sum("n_tokens").over(range_w))
 
 
+def add_multi_horizon_stats(
+    df: DataFrame,
+    value_col: str = "n_tokens",
+    horizons_s: tuple[int, ...] = (60, 600, 3600),
+    include_rates: bool = True,
+) -> DataFrame:
+    """Feature-store-style multi-horizon point-in-time aggregates: for each
+    trailing time horizon h, the count / sum / mean of ``value_col`` over
+    the window ``(ts - h, ts]`` within the conversation, plus (optionally)
+    an events-per-minute rate.
+
+    All horizons share the SAME partition key (conv_id) and ordering
+    (epoch seconds), so Catalyst plans ONE hash exchange and ONE sort for
+    the entire stack — adding a horizon costs one extra Window operator on
+    already-sorted partitions, never another shuffle. Frames end at the
+    current row (leakage-safe, like every frame in this module); rows with
+    equal timestamps see each other, matching SQL RANGE semantics exactly.
+
+    At 10^12 turns this is the cheap way to get k horizons: the naive
+    per-horizon self-join (`events e JOIN events w ON w.ts BETWEEN e.ts-h
+    AND e.ts`) shuffles the table k times and inflates it by the mean
+    window size; this is one shuffle total and zero inflation.
+    """
+    if value_col == "n_tokens" and "n_tokens" not in df.columns:
+        df = df.withColumn("n_tokens", token_count("text").cast("double"))
+    order = F.unix_timestamp("ts")
+    for h in horizons_s:
+        w = Window.partitionBy("conv_id").orderBy(order).rangeBetween(-int(h), 0)
+        df = (
+            df.withColumn(f"{value_col}_cnt_{h}s", F.count(value_col).over(w))
+            .withColumn(f"{value_col}_sum_{h}s", F.sum(value_col).over(w))
+            .withColumn(f"{value_col}_avg_{h}s", F.avg(value_col).over(w))
+        )
+        if include_rates:
+            df = df.withColumn(
+                f"{value_col}_per_min_{h}s",
+                F.col(f"{value_col}_cnt_{h}s") / F.lit(h / 60.0),
+            )
+    return df
+
+
 def add_backfill(df: DataFrame, cols: list[str]) -> DataFrame:
     """Forward-fill: latest non-null value at or before the current turn
     (``last(..., ignorenulls=True)`` over an unbounded-preceding frame)."""

@@ -153,3 +153,46 @@ def test_role_transition_matrix(spark):
     for (f, _t), (_n, p) in got.items():
         sums[f] += p
     assert all(abs(s - 1.0) < 1e-12 for s in sums.values())
+
+
+def test_multi_horizon_stats(spark, transcripts_pdf):
+    """Pandas replica: for each row, the trailing-h window (ts-h, ts]
+    (peer rows at the same second included, SQL RANGE semantics) must
+    reproduce the count/sum/avg/rate columns exactly."""
+    from fastselect_spark.featurize import add_multi_horizon_stats
+
+    df = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPT_SCHEMA)
+    out = (
+        add_multi_horizon_stats(df, horizons_s=(60, 600))
+        .select(
+            "conv_id", "turn_idx", "n_tokens",
+            "n_tokens_cnt_60s", "n_tokens_sum_60s", "n_tokens_avg_60s",
+            "n_tokens_per_min_60s", "n_tokens_cnt_600s",
+        )
+        .toPandas()
+    )
+    src = transcripts_pdf.copy()
+    src["epoch"] = (
+        src["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    ).astype("int64")
+    src["n_tok"] = src["text"].str.split().str.len().astype(float)
+    merged = out.merge(
+        src[["conv_id", "turn_idx", "epoch", "n_tok"]],
+        on=["conv_id", "turn_idx"],
+    )
+    assert len(merged) == len(out) == len(src)
+    assert (merged["n_tokens"].values == merged["n_tok"].values).all()
+    by_conv = {
+        cid: grp[["epoch", "n_tok"]].to_numpy()
+        for cid, grp in src.groupby("conv_id")
+    }
+    for row in merged.itertuples():
+        win = by_conv[row.conv_id]
+        mask = (win[:, 0] >= row.epoch - 60) & (win[:, 0] <= row.epoch)
+        cnt, s = int(mask.sum()), float(win[mask, 1].sum())
+        assert row.n_tokens_cnt_60s == cnt
+        assert abs(row.n_tokens_sum_60s - s) < 1e-9
+        assert abs(row.n_tokens_avg_60s - s / cnt) < 1e-9
+        assert abs(row.n_tokens_per_min_60s - cnt / 1.0) < 1e-9
+        mask6 = (win[:, 0] >= row.epoch - 600) & (win[:, 0] <= row.epoch)
+        assert row.n_tokens_cnt_600s == int(mask6.sum())

@@ -385,6 +385,32 @@ def main() -> int:
     bc_P.destroy()
     eng.close()
 
+    # 20. multi-horizon stats: every horizon rides the SAME conv_id
+    # exchange + sort — adding horizons must not add exchanges
+    from fastselect_spark.featurize import add_multi_horizon_stats
+
+    tr = transcripts_from_events(spark, sf_dir)
+    mh = add_multi_horizon_stats(tr, horizons_s=(60, 600, 3600))
+    p = plan_of(mh, execute=True)
+    n_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    failures += not check(
+        "multi-horizon stack shares one conv_id exchange",
+        n_ex <= 2,  # one for events->transcripts row_number, one conv_id
+        f"(exchanges={n_ex}, horizons=3)",
+    )
+
+    # 21. walk-forward fold assignment is a shuffle-free literal projection
+    from fastselect_spark.featurize import purged_walkforward_folds
+
+    wf = purged_walkforward_folds(tr, n_folds=4, embargo_s=120.0)
+    n_base = len(re.findall(r"Exchange", plan_of(tr)))
+    n_wf = len(re.findall(r"Exchange", plan_of(wf)))
+    failures += not check(
+        "walkforward fold columns add zero exchanges over the input",
+        n_wf == n_base,
+        f"(input={n_base}, with folds={n_wf})",
+    )
+
     print(f"\n{'ALL CHECKS PASS' if not failures else f'{failures} CHECK(S) FAILED'}")
     return 1 if failures else 0
 
