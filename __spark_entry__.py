@@ -106,6 +106,29 @@ def _q_multi_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORR_FEATURES = [
+    "n_tokens", "turn_gap_s", "role_run_len", "tool_calls_so_far", "label",
+]
+
+
+def _q_feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the featurize columns — one
+    sufficient-stats aggregation (selection/correlation.py), integer-valued
+    features so the closure is bit-identical cross-engine; rounding happens
+    ENGINE-side (Spark round == DuckDB ROUND, both half-away)."""
+    from fastselect_spark.selection.correlation import (
+        correlation_matrix,
+        correlation_table,
+    )
+
+    feat = featurize_transcripts(_transcripts(spark, sf_dir))
+    corr = correlation_matrix(feat, _CORR_FEATURES, impl="agg")
+    tbl = correlation_table(spark, corr, _CORR_FEATURES, round_to=None)
+    return tbl.select(
+        "feature_a", "feature_b", F.round("corr", 6).alias("corr")
+    )
+
+
 def _q_walkforward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purged walk-forward CV split (4 folds, 120 s embargo): one exact
     time-percentile agg + a shuffle-free literal projection
@@ -2055,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "featurize_rolling": _q_featurize_rolling,
         "multi_horizon_features": _q_multi_horizon,
         "walkforward_folds": _q_walkforward_folds,
+        "feature_correlations": _q_feature_correlations,
         "backfill_last_tool": _q_backfill_last_tool,
         "lag_lead": _q_lag_lead,
         "asof_session_stats": _q_asof_session_stats,
@@ -4178,8 +4202,54 @@ FROM z GROUP BY 1, 2
 """
 
 
+def _corr_oracle_sql() -> str:
+    """Mirror of _q_feature_correlations: sums from one agg, closure
+    (n*Sij - Si*Sj) / (sqrt(n*Sii - Si*Si) * sqrt(n*Sjj - Sj*Sj)) term for
+    term — sums are exact integers in float64, so the quotient is
+    IEEE-identical cross-engine before the shared half-away ROUND."""
+    cols = _CORR_FEATURES
+    sums = ",\n           ".join(
+        [f"SUM(x{i}) AS s{i}" for i in range(len(cols))]
+        + [
+            f"SUM(x{i} * x{j}) AS x{i}_{j}"
+            for i in range(len(cols))
+            for j in range(i, len(cols))
+        ]
+    )
+    pair_rows = "\n        UNION ALL\n".join(
+        f"""        SELECT '{cols[i]}' AS feature_a, '{cols[j]}' AS feature_b,
+               ROUND((n * x{i}_{j} - s{i} * s{j})
+                     / (SQRT(n * x{i}_{i} - s{i} * s{i})
+                        * SQRT(n * x{j}_{j} - s{j} * s{j})), 6) AS corr
+        FROM s"""
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    )
+    return (
+        _FEATURIZE_BASE
+        + f""",
+    featc AS (
+        SELECT CAST(n_tokens AS DOUBLE) AS x0,
+               CAST(turn_gap_s AS DOUBLE) AS x1,
+               CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, role_run_id
+                    ORDER BY turn_idx) AS DOUBLE) AS x2,
+               CAST(tool_calls_so_far AS DOUBLE) AS x3,
+               CAST(label AS DOUBLE) AS x4
+        FROM feat
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           {sums}
+        FROM featc
+    )
+{pair_rows}
+    """
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     out = {
+        "feature_correlations": _corr_oracle_sql(),
         "fisher_scores": _FISHER_ORACLE,
         "text_stats": f"""
         SELECT doc_id,

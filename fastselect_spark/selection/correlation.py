@@ -1,0 +1,144 @@
+"""Pearson correlation matrix + correlation-based redundancy pruning.
+
+The reference scores feature redundancy with discrete MI/SU over coded
+columns (mRMR.py, CFS.py); for CONTINUOUS features the standard cheap
+redundancy screen is |Pearson r| — this module provides it as one
+sufficient-statistics pass, never a p² set of per-pair jobs.
+
+Two implementations share the same closure math:
+
+- ``impl='agg'`` (p <= AGG_P): ONE JVM aggregation with p sums, p
+  sums-of-squares, and p(p-1)/2 cross sums — all inside whole-stage
+  codegen, one scan, no Python. The expression count grows O(p²), so
+  past AGG_P the codegen cost dominates (the CLAUDE.md p-branch lesson)
+  and we switch to:
+- ``impl='arrow'``: the tree-reduced X^T X pass shared with PCA training
+  (similarity/pca.py) — per-partition (p, p) partials, driver ingress
+  bounded by the fan-in, one scan at any p.
+
+Closure (driver-side, documented op order — the DuckDB gate mirrors it
+term for term): r_ij = (n·S_ij − S_i·S_j) / (√(n·S_ii − S_i²)·√(n·S_jj
+− S_j²)). For integer-valued features every sum is exact in float64
+(< 2^53), so partition order cannot perturb the result and the closure
+is bit-identical across Spark, NumPy and DuckDB. Zero-variance features
+yield r = NaN (both engines), surfaced as NULL in the table form.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastselect_spark.selection._agg import tree_reduce_ndarrays
+
+AGG_P = 64
+
+
+def _corr_from_stats(
+    n: float, s: np.ndarray, xtx: np.ndarray
+) -> np.ndarray:
+    num = n * xtx - np.outer(s, s)
+    d = n * np.diag(xtx) - s * s
+    with np.errstate(invalid="ignore", divide="ignore"):
+        denom = np.sqrt(d)[:, None] * np.sqrt(d)[None, :]
+        r = num / denom
+    np.fill_diagonal(r, 1.0)
+    return r
+
+
+def correlation_matrix(
+    df: DataFrame, feature_cols: list[str], impl: str = "auto"
+) -> np.ndarray:
+    """(p, p) Pearson correlation matrix from one pass over ``df``."""
+    p = len(feature_cols)
+    if impl == "auto":
+        impl = "agg" if p <= AGG_P else "arrow"
+    if impl == "agg":
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        cols = [F.col(c).cast("double") for c in feature_cols]
+        for i, c in enumerate(feature_cols):
+            aggs.append(F.sum(cols[i]).alias(f"__s_{i}"))
+        for i in range(p):
+            for j in range(i, p):
+                aggs.append(F.sum(cols[i] * cols[j]).alias(f"__x_{i}_{j}"))
+        r = df.agg(*aggs).collect()[0]
+        n = float(r["__n"])
+        s = np.array([float(r[f"__s_{i}"]) for i in range(p)])
+        xtx = np.zeros((p, p))
+        for i in range(p):
+            for j in range(i, p):
+                xtx[i, j] = xtx[j, i] = float(r[f"__x_{i}_{j}"])
+    elif impl == "arrow":
+
+        def partial(batches: Iterator[pd.DataFrame]) -> dict[str, np.ndarray]:
+            cnt, s, xtx = 0, None, None
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                M = pdf[feature_cols].to_numpy(dtype=np.float64)
+                cnt += len(M)
+                if s is None:
+                    s = M.sum(axis=0)
+                    xtx = M.T @ M
+                else:
+                    s += M.sum(axis=0)
+                    xtx += M.T @ M
+            if s is None:
+                return {}
+            return {"cnt": np.array([cnt], dtype=np.int64), "s": s, "xtx": xtx}
+
+        merged = tree_reduce_ndarrays(df.select(*feature_cols), partial)
+        if "cnt" not in merged:
+            raise ValueError("correlation_matrix: input DataFrame is empty")
+        n, s, xtx = float(merged["cnt"][0]), merged["s"], merged["xtx"]
+    else:
+        raise ValueError(f"impl must be 'auto', 'agg' or 'arrow', got {impl!r}")
+    return _corr_from_stats(n, s, xtx)
+
+
+def correlation_table(
+    spark: SparkSession,
+    corr: np.ndarray,
+    feature_cols: list[str],
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Long-form (feature_a, feature_b, corr) for a < b — the contract/
+    report shape. NaN (zero-variance feature) surfaces as NULL."""
+    rows = []
+    for i in range(len(feature_cols)):
+        for j in range(i + 1, len(feature_cols)):
+            v = corr[i, j]
+            if np.isnan(v):
+                v = None
+            elif round_to is not None:
+                v = round(float(v), round_to)
+            else:
+                v = float(v)
+            rows.append((feature_cols[i], feature_cols[j], v))
+    return spark.createDataFrame(
+        rows, schema="feature_a string, feature_b string, corr double"
+    )
+
+
+def correlation_prune(
+    corr: np.ndarray, feature_cols: list[str], threshold: float = 0.9
+) -> tuple[list[str], dict[str, str]]:
+    """Greedy redundancy prune in column order: drop a feature whose
+    |r| with an earlier KEPT feature exceeds ``threshold`` (caret's
+    findCorrelation 'exact=FALSE' shape, deterministic by input order).
+    Returns (kept, dropped -> blamed kept feature)."""
+    kept: list[int] = []
+    dropped: dict[str, str] = {}
+    for j in range(len(feature_cols)):
+        hit = next(
+            (i for i in kept if abs(corr[i, j]) > threshold), None
+        )
+        if hit is None:
+            kept.append(j)
+        else:
+            dropped[feature_cols[j]] = feature_cols[hit]
+    return [feature_cols[i] for i in kept], dropped
