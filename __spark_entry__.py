@@ -1156,6 +1156,29 @@ def _q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the documents table — one melt,
+    one (column, value) exchange for nulls/distincts/min/max/mode
+    (corpus/profile.py). String-canonical values; bigint/varchar columns
+    only so the canonical form is cross-engine identical."""
+    from fastselect_spark.corpus.profile import table_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return table_profile(docs, _PROFILE_COLS).select(
+        "column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+        "top_value",
+        F.col("top_count").cast("long").alias("top_count"),
+    )
+
+
 def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic key-hash Bernoulli sample (reproducible and
     repartition-stable, unlike rand()-based df.sample): keep iff
@@ -2148,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,  # broadcast n-gram overlap vs planted benchmark
         "train_val_test_split": _q_train_val_test_split,  # deterministic 80/10/10
         "corpus_sample": _q_corpus_sample,
+        "table_profile": _q_table_profile,
         "corpus_mix_by_source": _q_corpus_mix_by_source,
         "source_quota_cap": _q_source_quota_cap,
         "multimodal_features": _q_multimodal_features,  # md5-chain synth: oracle
@@ -4247,9 +4271,46 @@ def _corr_oracle_sql() -> str:
     )
 
 
+def _profile_oracle_sql() -> str:
+    """Mirror of corpus/profile.py table_profile over _PROFILE_COLS:
+    same string canonicalization, same (nulls-last, count DESC, value ASC)
+    modal tie-break — binary string collation on both engines."""
+    melt = "\n        UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS STRING) AS value FROM documents"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+    WITH m AS (
+        {melt}
+    ),
+    pv AS (SELECT col, value, COUNT(*) AS cnt FROM m GROUP BY 1, 2),
+    rk AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY col
+            ORDER BY (value IS NULL) ASC, cnt DESC, value ASC
+        ) AS rk
+        FROM pv
+    )
+    SELECT col AS "column",
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN value IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(COUNT(CASE WHEN value IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_distinct,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           MAX(CASE WHEN rk = 1 AND value IS NOT NULL THEN value END)
+               AS top_value,
+           CAST(MAX(CASE WHEN rk = 1 AND value IS NOT NULL THEN cnt END)
+               AS BIGINT) AS top_count
+    FROM rk GROUP BY col
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     out = {
         "feature_correlations": _corr_oracle_sql(),
+        "table_profile": _profile_oracle_sql(),
         "fisher_scores": _FISHER_ORACLE,
         "text_stats": f"""
         SELECT doc_id,

@@ -1,0 +1,73 @@
+"""One-shuffle table profiling: per-column row/null/distinct counts,
+min/max, and the modal value — the data-quality report every training
+pipeline runs before featurizing a new corpus drop.
+
+Scale shape: the naive plan is p `countDistinct` + p `groupBy(col)`
+top-value jobs — p scans and p exchanges, plus the p-branch Expand
+codegen blowup the CLAUDE.md `countDistinct` lesson measured. Instead
+the table is melted ONCE to ``(column, value)`` long form (a row-local
+stack/explode, values canonicalized to strings), and everything —
+null count, exact distinct count, min/max, modal value — comes out of
+ONE exchange on ``(column, value)`` plus a rollup exchange over the
+already-reduced (column, value, count) rows (size p·distinct, tiny next
+to the data). Cost at any width: one scan + one shuffle of the melted
+table.
+
+Value canonicalization: every column is CAST to string before the melt
+(one shared value domain), so min/max/top are over the STRING form —
+documented contract, deterministic, and exactly reproducible in SQL.
+Modal-value ties break to the smallest string (count DESC, value ASC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One row per column: ``(column, n_rows, n_null, n_distinct,
+    min_value, max_value, top_value, top_count)``. Distinct/min/max/top
+    are over non-null values in their canonical string form."""
+    cols = cols or df.columns
+    melted = df.select(
+        F.stack(
+            F.lit(len(cols)),
+            *[x for c in cols for x in (F.lit(c), F.col(c).cast("string"))],
+        ).alias("column", "value")
+    )
+    per_value = melted.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("column").orderBy(
+        F.col("value").isNull().asc(),  # nulls last: top/min/max want values
+        F.col("cnt").desc(),
+        F.col("value").asc(),
+    )
+    return (
+        per_value.withColumn("rk", F.row_number().over(w))
+        .groupBy("column")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.sum(F.when(F.col("value").isNull(), F.col("cnt")).otherwise(0)).alias(
+                "n_null"
+            ),
+            F.count(F.when(F.col("value").isNotNull(), F.lit(1))).alias(
+                "n_distinct"
+            ),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.max(
+                F.when(
+                    (F.col("rk") == 1) & F.col("value").isNotNull(),
+                    F.col("value"),
+                )
+            ).alias("top_value"),
+            F.max(
+                F.when(
+                    (F.col("rk") == 1) & F.col("value").isNotNull(),
+                    F.col("cnt"),
+                )
+            ).alias("top_count"),
+        )
+    )

@@ -399,6 +399,20 @@ def main() -> int:
         f"(exchanges={n_ex}, horizons=3)",
     )
 
+    # 20b. table_profile: ONE scan + the melted (column,value) exchange +
+    # the tiny rollup exchange — never p countDistinct/groupBy jobs
+    from fastselect_spark.corpus.profile import table_profile
+
+    prof = table_profile(docs.select("doc_id", "lang", "source"))
+    p = plan_of(prof, execute=True)
+    n_ex = len(re.findall(r"Exchange", p))
+    n_scan = len(re.findall(r"FileScan", p))
+    failures += not check(
+        "table_profile is one scan + melt exchange + rollup exchange",
+        n_scan == 1 and n_ex <= 2,
+        f"(scans={n_scan}, exchanges={n_ex})",
+    )
+
     # 21. walk-forward fold assignment is a shuffle-free literal projection
     from fastselect_spark.featurize import purged_walkforward_folds
 
