@@ -129,6 +129,24 @@ def _q_feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_spearman_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation over the featurize columns — distributed
+    two-pass average ranking (selection/rank.py, no single-partition
+    window) + the shared Pearson closure on the half-integer ranks;
+    rounding engine-side (Spark round == DuckDB ROUND)."""
+    from fastselect_spark.selection.correlation import (
+        correlation_table,
+        spearman_matrix,
+    )
+
+    feat = featurize_transcripts(_transcripts(spark, sf_dir))
+    rho = spearman_matrix(feat, _CORR_FEATURES, ["conv_id", "turn_idx"])
+    tbl = correlation_table(spark, rho, _CORR_FEATURES, round_to=None)
+    return tbl.select(
+        "feature_a", "feature_b", F.round("corr", 6).alias("corr")
+    )
+
+
 def _q_walkforward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purged walk-forward CV split (4 folds, 120 s embargo): one exact
     time-percentile agg + a shuffle-free literal projection
@@ -2102,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_horizon_features": _q_multi_horizon,
         "walkforward_folds": _q_walkforward_folds,
         "feature_correlations": _q_feature_correlations,
+        "spearman_correlations": _q_spearman_correlations,
         "backfill_last_tool": _q_backfill_last_tool,
         "lag_lead": _q_lag_lead,
         "asof_session_stats": _q_asof_session_stats,
@@ -4226,12 +4245,13 @@ FROM z GROUP BY 1, 2
 """
 
 
-def _corr_oracle_sql() -> str:
-    """Mirror of _q_feature_correlations: sums from one agg, closure
-    (n*Sij - Si*Sj) / (sqrt(n*Sii - Si*Si) * sqrt(n*Sjj - Sj*Sj)) term for
-    term — sums are exact integers in float64, so the quotient is
-    IEEE-identical cross-engine before the shared half-away ROUND."""
-    cols = _CORR_FEATURES
+def _pearson_closure_sql(cols: list[str]) -> tuple[str, str]:
+    """(sums select-list, UNION ALL pair rows) for the Pearson closure
+    (n*Sij - Si*Sj) / (sqrt(n*Sii - Si*Si) * sqrt(n*Sjj - Sj*Sj)) over a
+    CTE ``featc`` with columns x0..x{p-1} — shared by the Pearson and
+    Spearman oracles; sums are exact (integer / half-integer features),
+    so the quotient is IEEE-identical cross-engine before the shared
+    half-away ROUND."""
     sums = ",\n           ".join(
         [f"SUM(x{i}) AS s{i}" for i in range(len(cols))]
         + [
@@ -4249,6 +4269,12 @@ def _corr_oracle_sql() -> str:
         for i in range(len(cols))
         for j in range(i + 1, len(cols))
     )
+    return sums, pair_rows
+
+
+def _corr_oracle_sql() -> str:
+    """Mirror of _q_feature_correlations (see _pearson_closure_sql)."""
+    sums, pair_rows = _pearson_closure_sql(_CORR_FEATURES)
     return (
         _FEATURIZE_BASE
         + f""",
@@ -4260,6 +4286,55 @@ def _corr_oracle_sql() -> str:
                CAST(tool_calls_so_far AS DOUBLE) AS x3,
                CAST(label AS DOUBLE) AS x4
         FROM feat
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           {sums}
+        FROM featc
+    )
+{pair_rows}
+    """
+    )
+
+
+def _spearman_oracle_sql() -> str:
+    """Mirror of _q_spearman_correlations: average ranks = RANK() +
+    (cnt_eq - 1)/2 per feature (== the distributed kernel's first_rn +
+    (cnt - 1)/2, selection/rank.py), then the shared Pearson closure over
+    the ranks (integer/half-integer, sums exact)."""
+    cols = _CORR_FEATURES
+    run_len = (
+        "(ROW_NUMBER() OVER (PARTITION BY conv_id, role_run_id"
+        " ORDER BY turn_idx))"
+    )
+    melt = "\n            UNION ALL ".join(
+        f"SELECT conv_id || ':' || turn_idx AS id, '{c}' AS feature, "
+        f"CAST({run_len if c == 'role_run_len' else c} AS DOUBLE)"
+        f" AS value FROM feat"
+        for c in cols
+    )
+    pivots = ",\n               ".join(
+        f"MAX(CASE WHEN feature = '{cols[i]}' THEN rank END) AS x{i}"
+        for i in range(len(cols))
+    )
+    sums, pair_rows = _pearson_closure_sql(cols)
+    return (
+        _FEATURIZE_BASE
+        + f""",
+    melted AS (
+            {melt}
+    ),
+    ranked AS (
+        SELECT id, feature,
+               RANK() OVER (PARTITION BY feature ORDER BY value)
+               + (COUNT(*) OVER (PARTITION BY feature, value) - 1) / 2.0
+                   AS rank
+        FROM melted
+    ),
+    featc AS (
+        SELECT id,
+               {pivots}
+        FROM ranked GROUP BY id
     ),
     s AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n,
@@ -4310,6 +4385,7 @@ def _profile_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     out = {
         "feature_correlations": _corr_oracle_sql(),
+        "spearman_correlations": _spearman_oracle_sql(),
         "table_profile": _profile_oracle_sql(),
         "fisher_scores": _FISHER_ORACLE,
         "text_stats": f"""

@@ -142,3 +142,41 @@ def correlation_prune(
         else:
             dropped[feature_cols[j]] = feature_cols[hit]
     return [feature_cols[i] for i in kept], dropped
+
+
+def spearman_matrix(
+    df: DataFrame,
+    feature_cols: list[str],
+    id_cols: list[str],
+    impl: str = "auto",
+) -> np.ndarray:
+    """(p, p) Spearman rank correlation: distributed average ranks
+    (selection/rank.py — range-partitioned two-pass, no single-partition
+    window), reassembled wide by the row id, then the SAME Pearson
+    sufficient-statistics closure over the ranks. Ranks are integers or
+    half-integers, so the closure stays bit-identical cross-engine.
+
+    Cost: one melt scan + one range exchange (x2 passes) + one id
+    exchange (pivot) + the correlation pass — independent of p beyond
+    the melted row count n·p."""
+    from fastselect_spark.selection.rank import average_ranks_long
+
+    rid = F.concat_ws(":", *[F.col(c).cast("string") for c in id_cols])
+    melted = df.select(
+        rid.alias("id"),
+        F.stack(
+            F.lit(len(feature_cols)),
+            *[
+                x
+                for c in feature_cols
+                for x in (F.lit(c), F.col(c).cast("double"))
+            ],
+        ).alias("feature", "value"),
+    )
+    ranks = average_ranks_long(melted, "feature", "value", "id")
+    wide = (
+        ranks.groupBy("id")
+        .pivot("feature", feature_cols)
+        .agg(F.first("rank"))
+    )
+    return correlation_matrix(wide, feature_cols, impl)

@@ -1,0 +1,165 @@
+"""Distributed average ranking — the building block for rank statistics
+(Spearman correlation, rank-normalization) that Spark has no scalable
+primitive for: a global ``Window.orderBy`` puts the ENTIRE column in one
+partition (Spark even warns "No Partition Defined for Window operation"),
+which is a single-task funnel at any real scale.
+
+Two-pass range-partition ranking instead (the classic distributed sort
+prefix scheme, same family as asof.py's parallel-prefix carry):
+
+1. ``repartitionByRange(key, value)`` + ``sortWithinPartitions`` — equal
+   (key, value) rows land in ONE partition, partitions are globally
+   ordered. The frame is persisted: both passes read it.
+2. Pass A: each task reports its per-key row count — a (P × distinct
+   keys) table, tiny, collected to the driver, turned into per-(partition,
+   key) rank offsets (exclusive prefix sums per key).
+3. Pass B: each task assigns global row numbers (offset + local position)
+   and tie-averages them per (key, value) group — tie groups are
+   contiguous within the sorted partition (and never span partitions,
+   because range partitioning keys on the value), so the average rank
+   ``first_rn + (cnt - 1) / 2`` needs NO further shuffle.
+
+Total cost at any n: one range exchange + two scans of the sorted frame.
+Ranks are 1-based; ties share the arithmetic mean of their positions
+(SQL: RANK() + (cnt_eq - 1)/2 — the oracle form). Ranks are integers or
+half-integers, exactly representable in float64, so downstream
+sufficient-statistics closures stay bit-identical cross-engine."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def average_ranks_long(
+    melted: DataFrame,
+    key_col: str = "feature",
+    value_col: str = "value",
+    id_col: str = "id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(key, id, rank) for every non-null value row of the long-form
+    input; rank is the 1-based average rank of the value within its key."""
+    spark = melted.sparkSession
+    base = melted.select(key_col, value_col, id_col).where(
+        F.col(value_col).isNotNull()
+    )
+    if num_partitions:
+        base = base.repartitionByRange(num_partitions, key_col, value_col)
+    else:
+        base = base.repartitionByRange(key_col, value_col)
+    srt = base.sortWithinPartitions(key_col, value_col).persist()
+
+    def count_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for k, c in pdf[key_col].value_counts().items():
+                counts[k] = counts.get(k, 0) + int(c)
+        yield pd.DataFrame(
+            {"pid": pid, "key": list(counts), "cnt": list(counts.values())}
+        ) if counts else pd.DataFrame({"pid": [], "key": [], "cnt": []}).astype(
+            {"pid": "int64", "key": "string", "cnt": "int64"}
+        )
+
+    rows = srt.mapInPandas(
+        count_pass, schema="pid int, key string, cnt long"
+    ).collect()
+    # exclusive prefix sum per key across partition ids
+    by_key: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append((r["pid"], r["cnt"]))
+    offsets: dict[tuple[int, str], int] = {}
+    for k, lst in by_key.items():
+        run = 0
+        for pid, cnt in sorted(lst):
+            offsets[(pid, k)] = run
+            run += cnt
+    bc = spark.sparkContext.broadcast(offsets)
+
+    def rank_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        off = bc.value
+        pos: dict[str, int] = {}  # rows of this key emitted so far (local)
+        # tie-group carry across Arrow batches within the sorted partition
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            # hold back the final (key, value) group — it may continue in
+            # the next batch
+            last_k = pdf[key_col].iloc[-1]
+            last_v = pdf[value_col].iloc[-1]
+            tail = (pdf[key_col] == last_k) & (pdf[value_col] == last_v)
+            carry = pdf[tail].copy()
+            head = pdf[~tail]
+            if not head.empty:
+                yield _rank_block(head, key_col, value_col, id_col, pid, off, pos)
+        if carry is not None and not carry.empty:
+            yield _rank_block(carry, key_col, value_col, id_col, pid, bc.value, pos)
+
+    out = srt.mapInPandas(
+        rank_pass,
+        schema=f"{key_col} string, {id_col} string, rank double",
+    )
+    # materialize before unpersisting the sorted branch
+    out = out.localCheckpoint()
+    srt.unpersist()
+    return out
+
+
+def _rank_block(
+    pdf: pd.DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    pid: int,
+    off: dict,
+    pos: dict,
+) -> pd.DataFrame:
+    """Assign average ranks to a block of complete (key, value) groups.
+    ``pos`` tracks per-key rows already emitted by this partition."""
+    import numpy as np
+
+    keys = pdf[key_col].to_numpy()
+    n = len(pdf)
+    local = np.empty(n, dtype=np.int64)
+    # local position within key, continuing from pos[]
+    start = 0
+    while start < n:
+        end = start
+        k = keys[start]
+        while end < n and keys[end] == k:
+            end += 1
+        base = pos.get(k, 0)
+        local[start:end] = base + np.arange(end - start)
+        pos[k] = base + (end - start)
+        start = end
+    rn = np.array(
+        [off.get((pid, k), 0) for k in keys], dtype=np.int64
+    ) + local + 1  # 1-based global row number
+    # tie-average per contiguous (key, value) group
+    vals = pdf[value_col].to_numpy()
+    rank = rn.astype(np.float64)
+    start = 0
+    while start < n:
+        end = start
+        while (
+            end < n and keys[end] == keys[start] and vals[end] == vals[start]
+        ):
+            end += 1
+        rank[start:end] = rn[start] + (end - start - 1) / 2.0
+        start = end
+    return pd.DataFrame(
+        {key_col: pdf[key_col], id_col: pdf[id_col], "rank": rank}
+    )

@@ -413,6 +413,29 @@ def main() -> int:
         f"(scans={n_scan}, exchanges={n_ex})",
     )
 
+    # 20c. distributed ranking: range-partitioned two-pass, NEVER a
+    # single-partition global Window (Spark's only built-in for this)
+    from fastselect_spark.selection.rank import average_ranks_long
+
+    melted = docs.select(
+        F.lit("n_chars").alias("feature"),
+        F.col("n_chars").cast("double").alias("value"),
+        F.col("doc_id").cast("string").alias("id"),
+    )
+    rk = average_ranks_long(melted, num_partitions=8)
+    p = plan_of(rk)
+    # the returned frame is checkpointed; audit the sorted sub-plan instead
+    sorted_plan = plan_of(
+        melted.repartitionByRange(8, "feature", "value").sortWithinPartitions(
+            "feature", "value"
+        )
+    )
+    failures += not check(
+        "average ranks use range partitioning (no global-window funnel)",
+        "rangepartitioning" in sorted_plan and "SinglePartition" not in sorted_plan
+        and "Window" not in sorted_plan,
+    )
+
     # 21. walk-forward fold assignment is a shuffle-free literal projection
     from fastselect_spark.featurize import purged_walkforward_folds
 
