@@ -1197,6 +1197,18 @@ def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class rebalance on the documents table (label =
+    lang): per-class floor-threshold hash-Bernoulli keep rule — row-local,
+    no exchange (corpus/sampling.py rebalance_classes)."""
+    from fastselect_spark.corpus import rebalance_classes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rebalance_classes(
+        docs, label_col="lang", key_col="doc_id", target_ratio=1.0, seed=42
+    ).select("doc_id", "lang", "source")
+
+
 def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic key-hash Bernoulli sample (reproducible and
     repartition-stable, unlike rand()-based df.sample): keep iff
@@ -2191,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_test_split": _q_train_val_test_split,  # deterministic 80/10/10
         "corpus_sample": _q_corpus_sample,
         "table_profile": _q_table_profile,
+        "class_rebalance": _q_class_rebalance,
         "corpus_mix_by_source": _q_corpus_mix_by_source,
         "source_quota_cap": _q_source_quota_cap,
         "multimodal_features": _q_multimodal_features,  # md5-chain synth: oracle
@@ -4387,6 +4400,25 @@ def oracle_sql() -> dict[str, str]:
         "feature_correlations": _corr_oracle_sql(),
         "spearman_correlations": _spearman_oracle_sql(),
         "table_profile": _profile_oracle_sql(),
+        # thresholds: plain FLOOR truncation of (ratio*min/cnt)*1e6 — the
+        # Spark side uses int() truncation on the same IEEE double, so no
+        # rounding-mode divergence; hash = the shared 60-bit md5 family
+        "class_rebalance": """
+        WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+        t AS (
+            SELECT lang,
+                   CASE WHEN (1.0 * (SELECT MIN(cnt) FROM c)) / cnt >= 1.0
+                        THEN 1000000
+                        ELSE CAST(FLOOR(((1.0 * (SELECT MIN(cnt) FROM c)) / cnt)
+                                        * 1000000) AS BIGINT)
+                   END AS thr
+            FROM c
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN t USING (lang)
+        WHERE CAST('0x' || substr(md5('42:' || CAST(d.doc_id AS STRING)), 1, 15)
+                   AS BIGINT) % 1000000 < t.thr
+        """,
         "fisher_scores": _FISHER_ORACLE,
         "text_stats": f"""
         SELECT doc_id,

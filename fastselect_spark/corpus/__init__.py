@@ -15,9 +15,11 @@ from fastselect_spark.corpus.dsir import (
 from fastselect_spark.corpus.filtering import quality_filter
 from fastselect_spark.corpus.lm import lm_perplexity, perplexity_tertiles
 from fastselect_spark.corpus.packing import pack_sequences
+from fastselect_spark.corpus.profile import table_profile
 from fastselect_spark.corpus.sampling import (
     cap_per_source,
     deterministic_sample,
+    rebalance_classes,
     sample_by_source,
     train_val_test_split,
 )
@@ -32,7 +34,9 @@ __all__ = [
     "hashed_ngram_distribution",
     "pack_sequences",
     "quality_filter",
+    "rebalance_classes",
     "quality_scores",
+    "table_profile",
     "sample_by_source",
     "train_quality_classifier",
     "train_quality_classifier_numpy",

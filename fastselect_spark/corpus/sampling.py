@@ -139,3 +139,42 @@ def train_val_test_split(
         .when(b < t2, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def rebalance_classes(
+    df: DataFrame,
+    label_col: str = "label",
+    key_col: str = "doc_id",
+    target_ratio: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministically downsample majority classes so each class's
+    EXPECTED count is at most ``target_ratio`` x the minority class count
+    — the standard class-rebalance step before training on skewed labels.
+
+    One tiny groupBy(label) count (driver-closed), then the same
+    shuffle-free hash-Bernoulli keep rule as :func:`deterministic_sample`
+    with a per-class threshold — a row-local filter: no exchange, no
+    per-class jobs, stable under repartitioning, and nested across
+    ``target_ratio`` values at a fixed seed. Thresholds use plain
+    truncation (``int(f * _BUCKETS)``, == FLOOR for positive f) so the
+    DuckDB mirror is CAST(FLOOR(...) AS BIGINT) with identical IEEE
+    arithmetic — no half-even/half-away rounding divergence.
+
+    NULL labels propagate NULL thresholds and are dropped, matching
+    `_hash_bucket`'s NULL-key rule."""
+    if target_ratio <= 0:
+        raise ValueError("target_ratio must be > 0")
+    counts = sorted(
+        (r[0], r[1])
+        for r in df.groupBy(label_col).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    if not counts:
+        raise ValueError("rebalance_classes: input DataFrame is empty")
+    floor_cnt = min(c for _, c in counts)
+    thresh = F.lit(None).cast("long")
+    for lbl, cnt in counts:
+        f = target_ratio * floor_cnt / cnt
+        t = _BUCKETS if f >= 1.0 else int(f * _BUCKETS)
+        thresh = F.when(F.col(label_col) == F.lit(lbl), F.lit(t)).otherwise(thresh)
+    return df.where(_hash_bucket(F.col(key_col), seed) < thresh)

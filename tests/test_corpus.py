@@ -437,3 +437,34 @@ def test_vocab_topk_oracle(spark):
     # top-k truncation keeps the same prefix
     top3 = [r["term"] for r in vocab_topk(docs, k=3).orderBy("rank").collect()]
     assert top3 == [t for t, *_ in expect[:3]]
+
+
+def test_rebalance_classes(spark):
+    """Skewed 300/80/20 labels: the majority classes downsample to ~the
+    minority count via the documented floor-threshold hash rule (exact
+    hashlib replica), the minority class is kept whole, and the result is
+    repartition-stable."""
+    from fastselect_spark.corpus import rebalance_classes
+
+    rows = [
+        {"doc_id": i, "label": "a" if i < 300 else ("b" if i < 380 else "c")}
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = rebalance_classes(df, "label", "doc_id", seed=11).toPandas()
+    counts = out["label"].value_counts().to_dict()
+    assert counts.get("c") == 20  # minority kept whole
+    # exact replica of the keep rule
+    expect = set()
+    for r in rows:
+        cnt = {"a": 300, "b": 80, "c": 20}[r["label"]]
+        f = 1.0 * 20 / cnt
+        t = 1_000_000 if f >= 1.0 else int(f * 1_000_000)
+        if _h(11, r["doc_id"]) < t:
+            expect.add(r["doc_id"])
+    assert set(out["doc_id"]) == expect
+    # repartition stability
+    out2 = rebalance_classes(df.repartition(7), "label", "doc_id", seed=11)
+    assert set(out2.toPandas()["doc_id"]) == expect
+    with pytest.raises(ValueError, match="target_ratio"):
+        rebalance_classes(df, "label", "doc_id", target_ratio=0.0)
