@@ -678,6 +678,41 @@ def scorers_mode() -> None:
     )
     df.unpersist()
 
+    # --- Spearman at n=200k, p=8: distributed two-pass ranking -------------
+    # Exercises the range-partitioned rank kernel (selection/rank.py): the
+    # melted table is n*p rows through one range exchange + two passes +
+    # the id pivot. A global-Window plan would funnel all 1.6M rows
+    # through one task.
+    from fastselect_spark.selection.correlation import spearman_matrix
+
+    nn, pp = 200_000, 8
+    cols = [f"f{i}" for i in range(pp)]
+
+    def gen_sp(batches):
+        for pdf_ in batches:
+            ids = pdf_["id"].to_numpy()
+            rng_ = np.random.default_rng(int(ids[0]) + 1)
+            out = pd.DataFrame(
+                rng_.integers(0, 1000, (len(ids), pp)).astype(float),
+                columns=cols,
+            )
+            out["id"] = ids
+            yield out
+
+    sdf = (
+        spark.range(nn)
+        .repartition(int(CPUS))
+        .mapInPandas(gen_sp, ", ".join(f"{c} double" for c in cols) + ", id long")
+        .persist()
+    )
+    sdf.count()
+    timed(
+        f"spearman_n{nn}_p{pp}",
+        lambda: spearman_matrix(sdf, cols, ["id"]),
+        reps=1,
+    )
+    sdf.unpersist()
+
     # --- Relief at 10x n: staged-matrix path, no driver-side collect -------
     # The fit stages the matrix to scratch and workers read it directly; the
     # driver only receives p-sized partials, so its CURRENT RSS should not
