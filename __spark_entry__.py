@@ -362,6 +362,79 @@ def _q_frequency_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value table for the role feature
+    against tool-usage labels (featurize/encoding.py woe_iv_encode): ONE
+    vocab agg + window totals over the category-bounded table; the row
+    transform (broadcast join) is exercised in tests."""
+    from fastselect_spark.featurize import woe_iv_encode
+
+    tr = _transcripts(spark, sf_dir).withColumn(
+        "label", F.col("tool").isNotNull().cast("int")
+    )
+    _, vocab = woe_iv_encode(tr, "role", "label", eps=0.5)
+    return vocab.select(
+        "role",
+        "pos",
+        "neg",
+        F.round("woe", 9).alias("woe"),
+        F.round("iv_term", 9).alias("iv_term"),
+    )
+
+
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier flags on document text features
+    (selection/univariate.py mad_stats + mad_outliers): two exact-
+    percentile aggs fit (median, MAD); the flagging scan is a literal
+    projection — shuffle-free at any scale. Flags are exact ints; the
+    threshold 3.5·1.4826·MAD multiplies in the same left-assoc order
+    cross-engine."""
+    from fastselect_spark.selection import mad_outliers, mad_stats
+
+    _register(spark, sf_dir, "documents")
+    cols = ["n_chars", "n_toks"]
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.length("text").cast("double").alias("n_chars"),
+        F.size(F.split("text", r"\s+")).cast("double").alias("n_toks"),
+    )
+    med, mad = mad_stats(docs, cols)
+    out = mad_outliers(docs, cols, med, mad, k=3.5)
+    return out.select("doc_id", "n_chars_out", "n_toks_out")
+
+
+def _q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS drift statistic between the even/odd doc_id
+    halves (featurize/drift.py ks_statistics): groupBy(feature, value)
+    reduction + the two-pass range-partition prefix scheme — no global
+    Window funnel. CDF gaps are quotients of exact integer counts."""
+    from fastselect_spark.featurize import ks_statistics
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.length("text").cast("double").alias("n_chars"),
+        F.size(F.split("text", r"\s+")).cast("double").alias("n_toks"),
+    )
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    cur = docs.where(F.col("doc_id") % 2 == 1)
+    out = ks_statistics(ref, cur, ["n_chars", "n_toks"])
+    return out.select("feature", F.round("ks", 9).alias("ks"))
+
+
+def _q_tool_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool co-occurrence PMI within conversations (featurize/convagg.py
+    tool_cooccurrence_pmi): distinct (conv, tool) agg, conv-key self-join
+    bounded by tools-per-conversation², broadcast marginals."""
+    from fastselect_spark.featurize import tool_cooccurrence_pmi
+
+    tr = _transcripts(spark, sf_dir)
+    out = tool_cooccurrence_pmi(tr)
+    return out.select(
+        "item_a", "item_b", "n_ab", F.round("pmi", 9).alias("pmi")
+    )
+
+
 def _q_conversation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation summary matrix (featurize/convagg.py): ONE
     groupBy(conv_id) agg on the featurized frame — length, duration,
@@ -2146,6 +2219,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jmi_selection": _q_jmi_selection,  # greedy loop unrolled in SQL CTEs
         "leakage_safe_encoding": _q_leakage_safe_encoding,  # expanding TE/CE + hash
         "frequency_encoding": _q_frequency_encoding,  # ordinal freq-rank encoder
+        "woe_encoding": _q_woe_encoding,  # weight-of-evidence / IV table
+        "mad_outliers": _q_mad_outliers,  # robust modified-z outlier flags
+        "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
+        "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
         "quantile_prep": _q_quantile_prep,  # winsorize + robust scale
         "resample_grid": _q_resample_grid,  # time-grid resample via as-of
@@ -5166,6 +5243,114 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fcbf_selection": _FCBF_ORACLE,
         "anova_f_scores": _ANOVA_ORACLE,
+        # WoE/IV: shares p, q defined once so iv_term reuses the same LN
+        "woe_encoding": f"""
+        WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+        lab AS (
+            SELECT role, CAST(tool IS NOT NULL AS INT) AS label
+            FROM transcripts
+        ),
+        v AS (
+            SELECT role, CAST(SUM(label) AS BIGINT) AS pos,
+                   CAST(SUM(1 - label) AS BIGINT) AS neg
+            FROM lab GROUP BY 1
+        ),
+        t AS (SELECT SUM(pos) AS pt, SUM(neg) AS nt FROM v),
+        pq AS (
+            SELECT role, pos, neg,
+                   (CAST(pos AS DOUBLE) + 0.5) / CAST(pt AS DOUBLE) AS p,
+                   (CAST(neg AS DOUBLE) + 0.5) / CAST(nt AS DOUBLE) AS q
+            FROM v, t
+        )
+        SELECT role, pos, neg,
+               ROUND(LN(p / q), 9) AS woe,
+               ROUND((p - q) * LN(p / q), 9) AS iv_term
+        FROM pq
+        """,
+        # MAD flags: medians via quantile_cont (== Spark percentile);
+        # threshold multiplies left-assoc exactly as the Python literal
+        "mad_outliers": r"""
+        WITH d AS (
+            SELECT doc_id, CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                   CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS DOUBLE) AS n_toks
+            FROM documents
+        ),
+        m AS (
+            SELECT QUANTILE_CONT(n_chars, 0.5) AS mc,
+                   QUANTILE_CONT(n_toks, 0.5) AS mt
+            FROM d
+        ),
+        md AS (
+            SELECT QUANTILE_CONT(ABS(n_chars - mc), 0.5) AS dc,
+                   QUANTILE_CONT(ABS(n_toks - mt), 0.5) AS dt
+            FROM d, m
+        )
+        SELECT doc_id,
+               CAST(ABS(n_chars - mc) > 3.5 * 1.4826 * dc AS INT) AS n_chars_out,
+               CAST(ABS(n_toks - mt) > 3.5 * 1.4826 * dt AS INT) AS n_toks_out
+        FROM d, m, md
+        """,
+        # exact KS: cumulative integer counts over pooled distinct values;
+        # CDF division int/double mirrors the NumPy kernel exactly
+        "ks_drift": r"""
+        WITH d AS (
+            SELECT doc_id, CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                   CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS DOUBLE) AS n_toks
+            FROM documents
+        ),
+        long AS (
+            SELECT doc_id % 2 AS g, 'n_chars' AS feature, n_chars AS v FROM d
+            UNION ALL SELECT doc_id % 2, 'n_toks', n_toks FROM d
+        ),
+        counts AS (
+            SELECT feature, v,
+                   SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS c0,
+                   SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c1
+            FROM long GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT feature, GREATEST(SUM(c0), 1) AS n0,
+                   GREATEST(SUM(c1), 1) AS n1
+            FROM counts GROUP BY 1
+        ),
+        cdf AS (
+            SELECT feature,
+                   SUM(c0) OVER (PARTITION BY feature ORDER BY v) AS cum0,
+                   SUM(c1) OVER (PARTITION BY feature ORDER BY v) AS cum1
+            FROM counts
+        )
+        SELECT c.feature,
+               ROUND(MAX(ABS(CAST(c.cum0 AS DOUBLE) / CAST(t.n0 AS DOUBLE)
+                             - CAST(c.cum1 AS DOUBLE) / CAST(t.n1 AS DOUBLE))),
+                     9) AS ks
+        FROM cdf c JOIN tot t USING (feature) GROUP BY 1
+        """,
+        # PMI over distinct per-conversation tool sets
+        "tool_pmi": f"""
+        WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+        items AS (
+            SELECT DISTINCT conv_id, tool AS item
+            FROM transcripts WHERE tool IS NOT NULL
+        ),
+        nc AS (SELECT CAST(COUNT(DISTINCT conv_id) AS DOUBLE) AS n FROM items),
+        marg AS (
+            SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.item AS item_a, b.item AS item_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM items a JOIN items b
+              ON a.conv_id = b.conv_id AND a.item < b.item
+            GROUP BY 1, 2
+        )
+        SELECT p.item_a, p.item_b, p.n_ab,
+               ROUND(LN(CAST(p.n_ab AS DOUBLE) * nc.n
+                        / (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE))),
+                     9) AS pmi
+        FROM pairs p
+        JOIN marg ma ON ma.item = p.item_a
+        JOIN marg mb ON mb.item = p.item_b, nc
+        """,
         # vocab counts + deterministic (count desc, value) rank
         "frequency_encoding": r"""
         WITH vs AS (

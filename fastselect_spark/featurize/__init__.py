@@ -15,8 +15,12 @@ from fastselect_spark.featurize.encoding import (  # noqa: F401
     frequency_encode,
     hash_encode,
     target_encode_expanding,
+    woe_iv_encode,
 )
-from fastselect_spark.featurize.drift import psi_scores  # noqa: F401
+from fastselect_spark.featurize.drift import (  # noqa: F401
+    ks_statistics,
+    psi_scores,
+)
 from fastselect_spark.featurize.splits import (  # noqa: F401
     purged_walkforward_folds,
     walkforward_boundaries,
@@ -25,4 +29,5 @@ from fastselect_spark.featurize.resample import resample_grid  # noqa: F401
 from fastselect_spark.featurize.convagg import (  # noqa: F401
     conversation_features,
     role_transition_matrix,
+    tool_cooccurrence_pmi,
 )

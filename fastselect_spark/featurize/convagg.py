@@ -105,3 +105,55 @@ def role_transition_matrix(
         F.col("n").cast("long").alias("n"),
         (F.col("n").cast("double") / F.sum("n").over(wf)).alias("p"),
     )
+
+
+def tool_cooccurrence_pmi(
+    tr: DataFrame,
+    conv_col: str = "conv_id",
+    item_col: str = "tool",
+    min_count: int = 1,
+) -> DataFrame:
+    """(item_a, item_b, n_ab, pmi) — pointwise mutual information of tool
+    co-usage within a conversation: pmi = ln(N · n_ab / (n_a · n_b)) over
+    distinct per-conversation item sets (presence, not multiplicity — the
+    standard word-cooccurrence convention). Unordered pairs are emitted
+    once with item_a < item_b.
+
+    Shape: ONE distinct (conv, item) aggregation, a self-join on conv_col
+    (the pair fan-out is bounded by items-per-conversation², and the
+    alphabet is the tool set — never corpus-sized), a pair agg, and a
+    BROADCAST join of the ≤|tools| marginal table. All counts are exact
+    integers; pmi is a quotient of exact-integer products under one ln —
+    IEEE-identical cross-engine."""
+    items = (
+        tr.where(F.col(item_col).isNotNull())
+        .select(F.col(conv_col).alias("__c"), F.col(item_col).alias("item"))
+        .distinct()
+    )
+    n_convs = items.select("__c").distinct().count()
+    marg = items.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = items.select("__c", F.col("item").alias("item_a"))
+    b = items.select("__c", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "__c")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= int(min_count))
+    )
+    ma = F.broadcast(marg.select(F.col("item").alias("item_a"), F.col("n").alias("n_a")))
+    mb = F.broadcast(marg.select(F.col("item").alias("item_b"), F.col("n").alias("n_b")))
+    return (
+        pairs.join(ma, "item_a")
+        .join(mb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.log(
+                F.col("n_ab").cast("double")
+                * F.lit(float(n_convs))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("pmi"),
+        )
+    )

@@ -21,7 +21,11 @@ the reference and one over the current frame.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
+import pandas as pd
+from pyspark import TaskContext
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -87,6 +91,134 @@ def reference_histogram(
     ).collect()[0]
     counts = np.array([row[f"c{k}"] or 0 for k in range(bins)], dtype=np.float64)
     return lo, width, counts / max(counts.sum(), 1.0)
+
+
+def _melt_tagged(df: DataFrame, cols: list[str], g: int) -> DataFrame:
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("feature"), F.col(c).cast("double").alias("v")
+            )
+            for c in cols
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.feature", "p.v")
+        .where(F.col("v").isNotNull())
+        .withColumn("__g", F.lit(g))
+    )
+
+
+def ks_statistics(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic per feature —
+    ``max_v |F_ref(v) - F_cur(v)|`` over the pooled distinct values. The
+    binning-free complement to :func:`psi_scores`: PSI answers "how much
+    did the histogram move", KS answers "what is the worst-case CDF gap"
+    with no bin-edge convention to tune.
+
+    Distributed shape (the same two-pass range-partition prefix scheme as
+    selection/rank.py — a global ``Window.orderBy(v)`` would funnel every
+    row through ONE task):
+
+    1. melt + ONE ``groupBy(feature, v)`` count agg (map-side partials;
+       output is the DISTINCT-value table, orders smaller than the input).
+    2. ``repartitionByRange(feature, v)`` + sort, persisted; pass A sums
+       per-(partition, feature) counts — a (P × p) table collected to the
+       driver for exclusive prefix offsets; pass B turns local cumsums +
+       offsets into CDF gaps and emits one per-batch max per feature.
+
+    CDF values are quotients of exact integer counts, so the gap and its
+    max are IEEE-identical cross-engine. Returns (feature, ks) — one row
+    per feature."""
+    spark = ref.sparkSession
+    u = _melt_tagged(ref, cols, 0).unionByName(_melt_tagged(cur, cols, 1))
+    counts = u.groupBy("feature", "v").agg(
+        F.sum((F.col("__g") == 0).cast("long")).alias("c0"),
+        F.sum((F.col("__g") == 1).cast("long")).alias("c1"),
+    )
+    totals = {
+        r["feature"]: (max(int(r["n0"]), 1), max(int(r["n1"]), 1))
+        for r in counts.groupBy("feature")
+        .agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
+        .collect()
+    }
+    if num_partitions:
+        rng = counts.repartitionByRange(num_partitions, "feature", "v")
+    else:
+        rng = counts.repartitionByRange("feature", "v")
+    srt = rng.sortWithinPartitions("feature", "v").persist()
+
+    def sums_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        acc: dict[str, list[int]] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for k, grp in pdf.groupby("feature", sort=False):
+                s = acc.setdefault(str(k), [0, 0])
+                s[0] += int(grp["c0"].sum())
+                s[1] += int(grp["c1"].sum())
+        yield pd.DataFrame(
+            {
+                "pid": pid,
+                "feature": list(acc),
+                "s0": [v[0] for v in acc.values()],
+                "s1": [v[1] for v in acc.values()],
+            }
+        ) if acc else pd.DataFrame(
+            {"pid": [], "feature": [], "s0": [], "s1": []}
+        ).astype({"pid": "int64", "feature": "string", "s0": "int64", "s1": "int64"})
+
+    rows = srt.mapInPandas(
+        sums_pass, schema="pid int, feature string, s0 long, s1 long"
+    ).collect()
+    by_feat: dict[str, list[tuple[int, int, int]]] = {}
+    for r in rows:
+        by_feat.setdefault(r["feature"], []).append((r["pid"], r["s0"], r["s1"]))
+    offsets: dict[tuple[int, str], tuple[int, int]] = {}
+    for k, lst in by_feat.items():
+        run0 = run1 = 0
+        for pid, s0, s1 in sorted(lst):
+            offsets[(pid, k)] = (run0, run1)
+            run0 += s0
+            run1 += s1
+    bc = spark.sparkContext.broadcast((offsets, totals))
+
+    def cdf_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        offs, tots = bc.value
+        run: dict[str, list[int]] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats, ds = [], []
+            for k, grp in pdf.groupby("feature", sort=False):
+                k = str(k)
+                st = run.setdefault(k, list(offs.get((pid, k), (0, 0))))
+                cum0 = grp["c0"].to_numpy().cumsum() + st[0]
+                cum1 = grp["c1"].to_numpy().cumsum() + st[1]
+                st[0] = int(cum0[-1])
+                st[1] = int(cum1[-1])
+                n0, n1 = tots[k]
+                d = np.abs(cum0 / float(n0) - cum1 / float(n1))
+                feats.append(k)
+                ds.append(float(d.max()))
+            yield pd.DataFrame({"feature": feats, "d": ds})
+
+    per_part = srt.mapInPandas(cdf_pass, schema="feature string, d double")
+    out = per_part.groupBy("feature").agg(F.max("d").alias("ks"))
+    # p-row result: materialize before unpersisting the sorted branch
+    out = out.localCheckpoint()
+    srt.unpersist()
+    return out
 
 
 def psi_scores(

@@ -106,6 +106,58 @@ def frequency_encode(
     return df.join(F.broadcast(vocab), col, "left")
 
 
+def woe_iv_encode(
+    df: DataFrame,
+    col: str,
+    label_col: str = "label",
+    eps: float = 0.5,
+    out_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Weight-of-evidence encoding + per-feature information value.
+
+    Per category ``c`` with event/non-event counts ``pos_c``/``neg_c`` and
+    corpus totals ``pos_tot``/``neg_tot``::
+
+        woe_c = ln(((pos_c + eps) / pos_tot) / ((neg_c + eps) / neg_tot))
+        iv    = sum_c ((pos_c + eps)/pos_tot - (neg_c + eps)/neg_tot) * woe_c
+
+    ``eps`` is the standard adjusted-WoE additive smoothing so single-class
+    categories stay finite (Siddiqi, *Credit Risk Scorecards*, eq. 6.1-6.2).
+    All shares are quotients of exact integers, so the LN/product pipeline
+    is IEEE-identical cross-engine (same argument as text/vocab.py).
+
+    Scale shape: ONE ``groupBy(col)`` agg (partial-aggregation friendly,
+    output bounded by category cardinality, not rows); totals are a window
+    over that tiny vocab table; the row transform is a BROADCAST join back
+    — the input row table is never shuffled. Whole-corpus statistics (like
+    ``frequency_encode``): for point-in-time label safety use
+    ``target_encode_expanding`` instead, or fit WoE on a training split.
+
+    Returns ``(encoded_rows, vocab)`` where vocab has one row per category
+    with ``(col, pos, neg, woe, iv_term)`` — ``sum(iv_term)`` is the IV.
+    """
+    out_col = out_col or f"{col}_woe"
+    lab = F.col(label_col).cast("int")
+    vocab = df.groupBy(col).agg(
+        F.sum(lab).cast("long").alias("pos"),
+        F.sum(F.lit(1) - lab).cast("long").alias("neg"),
+    )
+    tot = Window.partitionBy()
+    p = (F.col("pos").cast("double") + F.lit(float(eps))) / F.sum("pos").over(
+        tot
+    ).cast("double")
+    q = (F.col("neg").cast("double") + F.lit(float(eps))) / F.sum("neg").over(
+        tot
+    ).cast("double")
+    vocab = vocab.withColumn("woe", F.log(p / q)).withColumn(
+        "iv_term", (p - q) * F.col("woe")
+    )
+    enc = df.join(
+        F.broadcast(vocab.select(col, F.col("woe").alias(out_col))), col, "left"
+    )
+    return enc, vocab
+
+
 def hash_bucket(col: str | Column, n_buckets: int, seed: int = 0) -> Column:
     """Portable 60-bit md5 bucket — bit-identical in Spark, DuckDB and
     hashlib (CLAUDE.md round-3: the cross-engine hash family). NULL values

@@ -20,6 +20,8 @@ from fastselect_spark.selection.fcbf import FCBFSelector, fcbf_select  # noqa: F
 from fastselect_spark.selection.univariate import (  # noqa: F401
     anova_f_score,
     feature_variances,
+    mad_outliers,
+    mad_stats,
     quantile_clip,
     quantile_stats,
     robust_scale,

@@ -184,6 +184,51 @@ def robust_scale(
     return df
 
 
+def mad_stats(
+    df: DataFrame, feature_cols: list[str]
+) -> tuple[np.ndarray, np.ndarray]:
+    """(median, MAD) per feature. Two exact-percentile aggregations — pass
+    1 medians, pass 2 medians of |x - median| with pass-1 medians inlined
+    as literals (so the deviation column never materializes). Both passes
+    use the cross-engine-exact ``percentile`` == ``quantile_cont`` ==
+    ``np.percentile(linear)`` family (see quantile_stats)."""
+    st = quantile_stats(df, feature_cols, [0.5])
+    med = np.array([st[c][0] for c in feature_cols])
+    dev = df.select(
+        *[
+            F.abs(F.col(c).cast("double") - F.lit(float(med[i]))).alias(c)
+            for i, c in enumerate(feature_cols)
+        ]
+    )
+    st2 = quantile_stats(dev, feature_cols, [0.5])
+    mad = np.array([st2[c][0] for c in feature_cols])
+    return med, mad
+
+
+def mad_outliers(
+    df: DataFrame,
+    feature_cols: list[str],
+    median: np.ndarray,
+    mad: np.ndarray,
+    k: float = 3.5,
+    consistency: float = 1.4826,
+    suffix: str = "_out",
+) -> DataFrame:
+    """Robust outlier flags: ``|x - median| > k * consistency * MAD`` per
+    feature (Iglewicz-Hoban modified z-score at the classic k=3.5;
+    1.4826 ≈ 1/Φ⁻¹(3/4) makes MAD a consistent σ estimator for normal
+    data). A zero-MAD (majority-constant) feature flags any deviation from
+    the median. Fit stats travel as literals — the flagging scan is
+    shuffle-free at any scale, and unlike mean/std z-scores the fit is not
+    dragged by the outliers it is meant to find."""
+    for i, c in enumerate(feature_cols):
+        thr = float(k) * float(consistency) * float(mad[i])
+        dev = F.abs(F.col(c).cast("double") - F.lit(float(median[i])))
+        flag = dev > F.lit(thr) if thr > 0.0 else dev > F.lit(0.0)
+        df = df.withColumn(f"{c}{suffix}", flag.cast("int"))
+    return df
+
+
 def variance_threshold(
     df: DataFrame, feature_cols: list[str], threshold: float = 0.0
 ) -> list[int]:

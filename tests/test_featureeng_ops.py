@@ -1,0 +1,169 @@
+"""WoE/IV encoding, MAD outliers, exact KS drift, tool PMI — NumPy/pandas
+oracle parity + the properties each op promises (partition invariance,
+shift detection, zero-MAD convention, unseen-category behavior)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fastselect_spark.featurize import (
+    ks_statistics,
+    tool_cooccurrence_pmi,
+    woe_iv_encode,
+)
+from fastselect_spark.selection import mad_outliers, mad_stats
+
+
+def _df(spark, arr, cols):
+    return spark.createDataFrame(pd.DataFrame(arr, columns=cols)).repartition(4)
+
+
+# ---------------------------------------------------------------- KS drift
+def _ks_oracle(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact two-sample KS over pooled distinct values (ties correct)."""
+    vals = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), vals, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), vals, side="right") / len(b)
+    return float(np.abs(fa - fb).max())
+
+
+def test_ks_matches_numpy_exact(spark):
+    rng = np.random.default_rng(3)
+    ref = np.round(rng.normal(0, 1, (400, 2)), 4)
+    cur = np.round(rng.normal(0, 1, (300, 2)), 4)
+    cur[:, 1] += 1.0
+    d0 = _df(spark, ref, ["a", "b"])
+    d1 = _df(spark, cur, ["a", "b"])
+    got = {
+        r["feature"]: r["ks"]
+        for r in ks_statistics(d0, d1, ["a", "b"]).collect()
+    }
+    assert abs(got["a"] - _ks_oracle(ref[:, 0], cur[:, 0])) < 1e-12
+    assert abs(got["b"] - _ks_oracle(ref[:, 1], cur[:, 1])) < 1e-12
+    assert got["a"] < 0.15 < got["b"]  # stable vs shifted
+
+
+def test_ks_heavy_ties_and_partition_invariance(spark):
+    # integer-valued data: every value is a tie group; the pooled-distinct
+    # CDF must count BOTH frames' rows at each step
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 5, 1000).astype(float)
+    b = rng.integers(1, 6, 800).astype(float)
+    exp = _ks_oracle(a, b)
+    for parts in (1, 7):
+        d0 = _df(spark, a.reshape(-1, 1), ["x"]).repartition(parts)
+        d1 = _df(spark, b.reshape(-1, 1), ["x"]).repartition(parts)
+        got = ks_statistics(d0, d1, ["x"], num_partitions=5).collect()
+        assert abs(got[0]["ks"] - exp) < 1e-12
+
+
+def test_ks_identical_frames_is_zero(spark):
+    x = np.arange(100, dtype=float).reshape(-1, 1)
+    d = _df(spark, x, ["x"])
+    assert ks_statistics(d, d, ["x"]).collect()[0]["ks"] == 0.0
+
+
+# ------------------------------------------------------------------ WoE/IV
+def test_woe_matches_pandas_oracle(spark):
+    rng = np.random.default_rng(5)
+    cat = rng.choice(["a", "b", "c"], 600)
+    lab = (rng.random(600) < np.where(cat == "a", 0.8, 0.2)).astype(int)
+    pdf = pd.DataFrame({"k": cat, "label": lab})
+    enc, vocab = woe_iv_encode(
+        spark.createDataFrame(pdf).repartition(4), "k", "label", eps=0.5
+    )
+    g = pdf.groupby("k")["label"].agg(["sum", "count"])
+    pos_tot = int(g["sum"].sum())
+    neg_tot = int((g["count"] - g["sum"]).sum())
+    for r in vocab.collect():
+        pos = int(g.loc[r["k"], "sum"])
+        neg = int(g.loc[r["k"], "count"]) - pos
+        p = (pos + 0.5) / pos_tot
+        q = (neg + 0.5) / neg_tot
+        assert r["pos"] == pos and r["neg"] == neg
+        assert abs(r["woe"] - np.log(p / q)) < 1e-12
+        assert abs(r["iv_term"] - (p - q) * np.log(p / q)) < 1e-12
+    # discriminative category gets positive woe; transform carries it
+    woe_a = {r["k"]: r["woe"] for r in vocab.collect()}["a"]
+    assert woe_a > 0
+    row = enc.where(F.col("k") == "a").select("k_woe").first()
+    assert abs(row["k_woe"] - woe_a) < 1e-15
+
+
+def test_woe_unseen_category_gets_null(spark):
+    fit = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a", "b", "b"], "label": [1, 0, 1, 0]})
+    )
+    _, vocab = woe_iv_encode(fit, "k", "label")
+    new = spark.createDataFrame(pd.DataFrame({"k": ["zzz"], "label": [0]}))
+    enc = new.join(
+        F.broadcast(vocab.select("k", F.col("woe").alias("k_woe"))), "k", "left"
+    )
+    assert enc.first()["k_woe"] is None
+
+
+# ------------------------------------------------------------ MAD outliers
+def test_mad_matches_numpy_and_flags_planted(spark):
+    rng = np.random.default_rng(2)
+    x = np.round(rng.normal(50, 5, 500), 3)
+    x[7] = 500.0  # planted gross outlier
+    d = _df(spark, x.reshape(-1, 1), ["x"])
+    med, mad = mad_stats(d, ["x"])
+    assert abs(med[0] - np.percentile(x, 50)) < 1e-12
+    assert abs(mad[0] - np.percentile(np.abs(x - med[0]), 50)) < 1e-12
+    flags = (
+        mad_outliers(d, ["x"], med, mad, k=3.5)
+        .select("x", "x_out")
+        .toPandas()
+        .sort_values("x")
+    )
+    assert flags["x_out"].sum() >= 1
+    assert flags.iloc[-1]["x"] == 500.0 and flags.iloc[-1]["x_out"] == 1
+    # robustness: the planted point barely moves the fit
+    assert abs(med[0] - 50) < 2 and mad[0] < 10
+
+
+def test_mad_zero_mad_flags_any_deviation(spark):
+    x = np.array([1.0] * 99 + [2.0]).reshape(-1, 1)  # MAD = 0
+    d = _df(spark, x, ["x"])
+    med, mad = mad_stats(d, ["x"])
+    assert mad[0] == 0.0
+    out = mad_outliers(d, ["x"], med, mad).groupBy("x").agg(
+        F.max("x_out").alias("f")
+    )
+    got = {r["x"]: r["f"] for r in out.collect()}
+    assert got == {1.0: 0, 2.0: 1}
+
+
+# ---------------------------------------------------------------- tool PMI
+def test_tool_pmi_hand_computed(spark):
+    rows = [
+        ("c1", "grep"), ("c1", "edit"), ("c1", "grep"),  # dup turn: presence
+        ("c2", "grep"), ("c2", "edit"),
+        ("c3", "grep"),
+        ("c4", "bash"), ("c4", "edit"),
+    ]
+    tr = spark.createDataFrame(
+        [(c, i, t) for i, (c, t) in enumerate(rows)],
+        schema="conv_id string, turn_idx int, tool string",
+    )
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_ab"], r["pmi"])
+        for r in tool_cooccurrence_pmi(tr).collect()
+    }
+    # N=4 convs; n_grep=3, n_edit=3, n_bash=1; pairs: (edit,grep)=2, (bash,edit)=1
+    assert got[("edit", "grep")][0] == 2
+    assert abs(got[("edit", "grep")][1] - np.log(2 * 4 / (3 * 3))) < 1e-12
+    assert abs(got[("bash", "edit")][1] - np.log(1 * 4 / (1 * 3))) < 1e-12
+    assert ("grep", "edit") not in got  # unordered pairs emitted once
+
+
+def test_tool_pmi_null_tools_ignored(spark):
+    tr = spark.createDataFrame(
+        [("c1", 0, None), ("c1", 1, "grep"), ("c2", 0, None)],
+        schema="conv_id string, turn_idx int, tool string",
+    )
+    assert tool_cooccurrence_pmi(tr).count() == 0

@@ -448,6 +448,62 @@ def main() -> int:
         f"(input={n_base}, with folds={n_wf})",
     )
 
+    # 22. WoE transform: the row table is broadcast-joined to the vocab —
+    # no shuffle of the corpus-sized side
+    from fastselect_spark.featurize import woe_iv_encode
+
+    lab = tr.withColumn("label", F.col("tool").isNotNull().cast("int"))
+    enc, _ = woe_iv_encode(lab, "role", "label")
+    p = plan_of(enc, execute=True)
+    failures += not check(
+        "woe transform is a broadcast join (row side unshuffled)",
+        "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+    )
+
+    # 23. exact KS: the value reduction is range-partitioned for the prefix
+    # passes — never a single-partition global Window
+    from fastselect_spark.featurize import ks_statistics
+
+    ref_d = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.col("n_chars").cast("double").alias("n_chars")
+    )
+    cur_d = docs.where(F.col("doc_id") % 2 == 1).select(
+        F.col("n_chars").cast("double").alias("n_chars")
+    )
+    ks = ks_statistics(ref_d, cur_d, ["n_chars"], num_partitions=8)
+    # result is checkpointed (tiny); audit the hand-built sorted sub-plan
+    from fastselect_spark.featurize.drift import _melt_tagged
+
+    u = _melt_tagged(ref_d, ["n_chars"], 0).unionByName(
+        _melt_tagged(cur_d, ["n_chars"], 1)
+    )
+    cts = u.groupBy("feature", "v").agg(F.sum("__g").alias("c"))
+    sub = plan_of(
+        cts.repartitionByRange(8, "feature", "v").sortWithinPartitions(
+            "feature", "v"
+        )
+    )
+    failures += not check(
+        "KS prefix passes are range-partitioned (no global-window funnel)",
+        "rangepartitioning" in sub
+        and "SinglePartition" not in sub
+        and "Window" not in sub
+        and ks.count() == 1,
+    )
+
+    # 24. tool PMI: marginal joins broadcast; the only corpus-keyed
+    # exchange is the conv_id pair join
+    from fastselect_spark.featurize import tool_cooccurrence_pmi
+
+    pmi = tool_cooccurrence_pmi(tr)
+    p = plan_of(pmi, execute=True)
+    n_bhj = len(re.findall(r"BroadcastHashJoin", p))
+    failures += not check(
+        "tool PMI marginals broadcast (2 broadcast joins)",
+        n_bhj >= 2 and "CartesianProduct" not in p,
+        f"(broadcast joins={n_bhj})",
+    )
+
     print(f"\n{'ALL CHECKS PASS' if not failures else f'{failures} CHECK(S) FAILED'}")
     return 1 if failures else 0
 
