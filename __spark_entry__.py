@@ -435,6 +435,89 @@ def _q_tool_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAHA_COLS = ["n_chars", "n_toks", "n_echars"]
+_MAHA_THRESHOLD = 16.266  # ~ chi2(3).ppf(0.999), fixed literal both engines
+
+
+def _q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate Mahalanobis outlier scoring on document text features
+    (selection/multivariate.py): ONE sufficient-stats agg fits (μ, Σ⁻¹);
+    the squared-distance scan is a literal projection — shuffle-free.
+    Integer-valued features make every sum exact, so the driver's NumPy
+    closure is bit-identical to the oracle's independent replica."""
+    from fastselect_spark.selection import mahalanobis_distance, mahalanobis_stats
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.length("text").cast("double").alias("n_chars"),
+        F.size(F.split("text", r"\s+")).cast("double").alias("n_toks"),
+        (F.length("text") - F.length(F.regexp_replace("text", "e", "")))
+        .cast("double")
+        .alias("n_echars"),
+    )
+    mu, prec = mahalanobis_stats(docs, _MAHA_COLS)
+    out = mahalanobis_distance(docs, _MAHA_COLS, mu, prec)
+    return out.select(
+        "doc_id",
+        F.round("maha2", 6).alias("maha2"),
+        (F.col("maha2") > F.lit(_MAHA_THRESHOLD)).cast("int").alias("outlier"),
+    )
+
+
+def _mahalanobis_oracle_sql() -> str | None:
+    """DuckDB oracle for ``mahalanobis_outliers`` — the fit is a pure
+    function of exact-integer sufficient statistics, so an independent
+    replica (DuckDB feature extraction + the SAME NumPy closure,
+    selection/multivariate.py close_mahalanobis_stats) reproduces (μ, Σ⁻¹)
+    bit-identically; they are injected as literals and the SQL recomputes
+    the quadratic form in the same row-major term order."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        import duckdb as _duck
+        import numpy as _np
+
+        from fastselect_spark.selection import close_mahalanobis_stats
+
+        con = _duck.connect()
+        M = con.sql(
+            rf"""
+            SELECT CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                   CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS DOUBLE) AS n_toks,
+                   CAST(LENGTH(text) - LENGTH(REPLACE(text, 'e', ''))
+                        AS DOUBLE) AS n_echars
+            FROM read_parquet('{sf_dir}/documents.parquet')
+            """
+        ).df()[_MAHA_COLS].to_numpy()
+        con.close()
+        mu, prec = close_mahalanobis_stats(
+            float(len(M)), M.sum(axis=0), M.T @ M
+        )
+    except Exception:
+        return None
+    dev = [f"(d.{c} - {float(mu[i])!r})" for i, c in enumerate(_MAHA_COLS)]
+    terms = " + ".join(
+        f"{float(prec[i, j])!r} * {dev[i]} * {dev[j]}"
+        for i in range(len(_MAHA_COLS))
+        for j in range(len(_MAHA_COLS))
+    )
+    return rf"""
+WITH d AS (
+    SELECT doc_id, CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+           CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS DOUBLE) AS n_toks,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, 'e', '')) AS DOUBLE)
+               AS n_echars
+    FROM documents
+),
+m AS (SELECT doc_id, {terms} AS maha2 FROM d)
+SELECT doc_id, ROUND(maha2, 6) AS maha2,
+       CAST(maha2 > {_MAHA_THRESHOLD!r} AS INT) AS outlier
+FROM m
+"""
+
+
 def _q_conversation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation summary matrix (featurize/convagg.py): ONE
     groupBy(conv_id) agg on the featurized frame — length, duration,
@@ -2221,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequency_encoding": _q_frequency_encoding,  # ordinal freq-rank encoder
         "woe_encoding": _q_woe_encoding,  # weight-of-evidence / IV table
         "mad_outliers": _q_mad_outliers,  # robust modified-z outlier flags
+        "mahalanobis_outliers": _q_mahalanobis_outliers,  # multivariate distance
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -5664,6 +5748,9 @@ FROM ra
     ivf = _ivf_topk_oracle_sql()
     if ivf is not None:
         out["ann_ivf_topk"] = ivf
+    maha = _mahalanobis_oracle_sql()
+    if maha is not None:
+        out["mahalanobis_outliers"] = maha
     pca = _pca_projection_oracle_sql()
     if pca is not None:
         out["pca_projection"] = pca

@@ -30,6 +30,11 @@ from fastselect_spark.selection.univariate import (  # noqa: F401
     standard_scaler_stats,
     variance_threshold,
 )
+from fastselect_spark.selection.multivariate import (  # noqa: F401
+    close_mahalanobis_stats,
+    mahalanobis_distance,
+    mahalanobis_stats,
+)
 from fastselect_spark.selection.pipeline import scores_from_cube  # noqa: F401
 from fastselect_spark.selection.matrix import (  # noqa: F401
     BroadcastMIEngine,

@@ -167,3 +167,64 @@ def test_tool_pmi_null_tools_ignored(spark):
         schema="conv_id string, turn_idx int, tool string",
     )
     assert tool_cooccurrence_pmi(tr).count() == 0
+
+
+# ------------------------------------------------------------- Mahalanobis
+def test_mahalanobis_matches_numpy(spark):
+    rng = np.random.default_rng(4)
+    # integer-valued correlated features (the exact-sums regime)
+    a = rng.integers(10, 50, 400).astype(float)
+    b = (a * 2 + rng.integers(-5, 6, 400)).astype(float)
+    c = rng.integers(0, 30, 400).astype(float)
+    X = np.column_stack([a, b, c])
+    from fastselect_spark.selection import (
+        close_mahalanobis_stats,
+        mahalanobis_distance,
+        mahalanobis_stats,
+    )
+
+    d = _df(spark, X, ["a", "b", "c"])
+    mu, prec = mahalanobis_stats(d, ["a", "b", "c"])
+    mu_np, prec_np = close_mahalanobis_stats(
+        float(len(X)), X.sum(axis=0), X.T @ X
+    )
+    assert np.array_equal(mu, mu_np) and np.array_equal(prec, prec_np)
+    got = (
+        mahalanobis_distance(d, ["a", "b", "c"], mu, prec)
+        .select("a", "b", "c", "maha2")
+        .toPandas()
+    )
+    dev = got[["a", "b", "c"]].to_numpy() - mu
+    exp = np.einsum("ni,ij,nj->n", dev, prec, dev)
+    assert np.allclose(got["maha2"].to_numpy(), exp, rtol=1e-9, atol=1e-9)
+    # every distance is non-negative and the mean d^2 is ~p for MVN-ish data
+    assert (got["maha2"].to_numpy() > -1e-9).all()
+
+
+def test_mahalanobis_flags_planted_multivariate_outlier(spark):
+    rng = np.random.default_rng(8)
+    a = rng.integers(10, 50, 500).astype(float)
+    b = a + rng.integers(-2, 3, 500)  # tightly coupled
+    # planted point: both features in-range marginally, but the COUPLING is
+    # broken — invisible to univariate z/MAD, caught by Mahalanobis
+    a[0], b[0] = 15.0, 45.0
+    X = np.column_stack([a, b])
+    from fastselect_spark.selection import mahalanobis_distance, mahalanobis_stats
+
+    d = _df(spark, X, ["a", "b"])
+    mu, prec = mahalanobis_stats(d, ["a", "b"])
+    got = (
+        mahalanobis_distance(d, ["a", "b"], mu, prec)
+        .orderBy(F.desc("maha2"))
+        .first()
+    )
+    assert got["a"] == 15.0 and got["b"] == 45.0
+
+
+def test_mahalanobis_singular_raises_contract_error(spark):
+    X = np.column_stack([np.arange(50.0), np.ones(50)])  # constant col
+    d = _df(spark, X, ["a", "b"])
+    from fastselect_spark.selection import mahalanobis_stats
+
+    with pytest.raises(ValueError, match="singular covariance"):
+        mahalanobis_stats(d, ["a", "b"])
