@@ -435,6 +435,72 @@ def _q_tool_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive (anchor, positive, negative) generation
+    (corpus/pairs.py): positive = next turn on the shared conv_id
+    exchange; negative = hash-bucket representative from another
+    conversation via two broadcast n_buckets-sized tables — no RNG, no
+    corpus shuffle."""
+    from fastselect_spark.corpus import contrastive_pairs
+
+    tr = _transcripts(spark, sf_dir)
+    return contrastive_pairs(tr, n_buckets=16, seed=3)
+
+
+def _q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC cleaning (text/clean.py): documents text with a planted
+    dirty suffix — decomposed e+U+0301, tab runs, a BEL control — cleaned
+    by the Arrow UDF; oracle = DuckDB nfc_normalize + the same regex chain
+    (probe-verified NFC parity). Row-local, shuffle-free."""
+    from fastselect_spark.text import clean_text
+
+    _register(spark, sf_dir, "documents")
+    dirty = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" Café\t\tx \x07 end ")
+        ).alias("text"),
+    )
+    out = clean_text(dirty, "text")
+    return out.select(
+        "doc_id",
+        F.length("text").alias("len_dirty"),
+        F.length("text_clean").alias("len_clean"),
+        F.right("text_clean", F.lit(14)).alias("tail"),
+    )
+
+
+def _q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration / ECE report (corpus/calibration.py): ONE
+    groupBy(bin) agg bounded by n_bins + an ORDERED full-frame window for
+    the ECE (pinned summation order — bit-identical cross-engine). Scores
+    are dyadic rationals (md5 bucket / 1024) so float sums are exact under
+    any partitioning; labels are a second hash coupled to the score, so
+    the report shows a calibrated-ish diagonal."""
+    from fastselect_spark.corpus import calibration_report
+    from fastselect_spark.featurize.encoding import hash_bucket
+
+    _register(spark, sf_dir, "documents")
+    d = spark.table("documents").select(F.col("doc_id").cast("string").alias("k"))
+    scored = d.select(
+        (hash_bucket("k", 1024, seed=1).cast("double") / F.lit(1024.0)).alias(
+            "score"
+        ),
+        (hash_bucket("k", 1024, seed=2) < hash_bucket("k", 1024, seed=1))
+        .cast("int")
+        .alias("label"),
+    )
+    rep = calibration_report(scored, "score", "label", n_bins=10)
+    return rep.select(
+        "bin",
+        "n",
+        F.round("conf", 9).alias("conf"),
+        F.round("acc", 9).alias("acc"),
+        F.round("gap", 9).alias("gap"),
+        F.round("ece", 9).alias("ece"),
+    )
+
+
 _MAHA_COLS = ["n_chars", "n_toks", "n_echars"]
 _MAHA_THRESHOLD = 16.266  # ~ chi2(3).ppf(0.999), fixed literal both engines
 
@@ -2305,6 +2371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_encoding": _q_woe_encoding,  # weight-of-evidence / IV table
         "mad_outliers": _q_mad_outliers,  # robust modified-z outlier flags
         "mahalanobis_outliers": _q_mahalanobis_outliers,  # multivariate distance
+        "calibration_report": _q_calibration_report,  # reliability bins + ECE
+        "text_clean": _q_text_clean,  # NFC normalize + control strip + ws collapse
+        "contrastive_pairs": _q_contrastive_pairs,  # anchor/positive/negative gen
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -5350,6 +5419,126 @@ def oracle_sql() -> dict[str, str]:
                ROUND(LN(p / q), 9) AS woe,
                ROUND((p - q) * LN(p / q), 9) AS iv_term
         FROM pq
+        """,
+        # contrastive pairs: lead() positive + hash-bucket representative
+        # negatives (rep = min (rank, conv, idx, text) per bucket)
+        "contrastive_pairs": f"""
+        WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+        base AS (
+            SELECT conv_id AS conv, turn_idx AS idx, text
+            FROM transcripts WHERE text IS NOT NULL
+        ),
+        keyed AS (
+            SELECT conv, idx, text,
+                   conv || ':' || CAST(idx AS STRING) AS key
+            FROM base
+        ),
+        anchors AS (
+            SELECT conv, idx, text,
+                   LEAD(text) OVER (PARTITION BY conv ORDER BY idx)
+                       AS positive,
+                   CAST(CAST('0x' || substr(md5('3:' || key), 1, 15)
+                             AS BIGINT) % 16 AS INT) AS bucket
+            FROM keyed
+        ),
+        rep_a AS (
+            SELECT bucket, conv AS neg_conv_a, text AS neg_text_a FROM (
+                SELECT CAST(CAST('0x' || substr(md5('3:' || key), 1, 15)
+                                 AS BIGINT) % 16 AS INT) AS bucket,
+                       conv, idx, text,
+                       CAST('0x' || substr(md5('r3:' || key), 1, 15)
+                            AS BIGINT) AS r
+                FROM keyed
+            ) QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket
+                                         ORDER BY r, conv, idx, text) = 1
+        ),
+        rep_b AS (
+            SELECT bucket, conv AS neg_conv_b, text AS neg_text_b FROM (
+                SELECT CAST(CAST('0x' || substr(md5('4:' || key), 1, 15)
+                                 AS BIGINT) % 16 AS INT) AS bucket,
+                       conv, idx, text,
+                       CAST('0x' || substr(md5('r4:' || key), 1, 15)
+                            AS BIGINT) AS r
+                FROM keyed
+            ) QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket
+                                         ORDER BY r, conv, idx, text) = 1
+        )
+        SELECT a.conv AS conv_id, a.idx AS turn_idx, a.text AS anchor,
+               a.positive,
+               CASE WHEN ra.neg_conv_a <> a.conv THEN ra.neg_text_a
+                    WHEN rb.neg_conv_b <> a.conv THEN rb.neg_text_b
+               END AS negative
+        FROM anchors a
+        LEFT JOIN rep_a ra USING (bucket)
+        LEFT JOIN rep_b rb ON rb.bucket = a.bucket
+        WHERE a.positive IS NOT NULL
+          AND (CASE WHEN ra.neg_conv_a <> a.conv THEN ra.neg_text_a
+                    WHEN rb.neg_conv_b <> a.conv THEN rb.neg_text_b
+               END) IS NOT NULL
+        """,
+        # NFC + control-strip + ws-collapse chain, mirrored step order
+        "text_clean": r"""
+        WITH dirty AS (
+            SELECT doc_id,
+                   text || ' Cafe' || chr(769) || chr(9) || chr(9)
+                        || 'x ' || chr(7) || ' end ' AS text
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, text,
+                   TRIM(REGEXP_REPLACE(REGEXP_REPLACE(nfc_normalize(text),
+                            '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+                        '[ \t]+', ' ', 'g'),
+                        ' ' || chr(9) || chr(10) || chr(13)) AS text_clean
+            FROM dirty
+        )
+        SELECT doc_id, LENGTH(text) AS len_dirty,
+               LENGTH(text_clean) AS len_clean,
+               RIGHT(text_clean, 14) AS tail
+        FROM c
+        """,
+        # calibration: dyadic hash scores, ORDERED full-frame ECE window
+        "calibration_report": r"""
+        WITH s AS (
+            SELECT (CAST('0x' || substr(md5('1:' || CAST(doc_id AS STRING)),
+                                        1, 15) AS BIGINT) % 1024) AS h1,
+                   (CAST('0x' || substr(md5('2:' || CAST(doc_id AS STRING)),
+                                        1, 15) AS BIGINT) % 1024) AS h2
+            FROM documents
+        ),
+        scored AS (
+            SELECT CAST(h1 AS DOUBLE) / 1024.0 AS score,
+                   CAST(h2 < h1 AS INT) AS label
+            FROM s
+        ),
+        b AS (
+            SELECT CAST(LEAST(GREATEST(FLOOR(score * 10.0), 0), 9) AS INT)
+                       AS bin,
+                   score, CAST(label AS BIGINT) AS y
+            FROM scored
+        ),
+        agg AS (
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(score) AS ssum, SUM(y) AS ysum
+            FROM b GROUP BY 1
+        ),
+        g AS (
+            SELECT bin, n,
+                   ssum / CAST(n AS DOUBLE) AS conf,
+                   CAST(ysum AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+                   ABS(CAST(ysum AS DOUBLE) / CAST(n AS DOUBLE)
+                       - ssum / CAST(n AS DOUBLE)) AS gap
+            FROM agg
+        )
+        SELECT bin, n, ROUND(conf, 9) AS conf, ROUND(acc, 9) AS acc,
+               ROUND(gap, 9) AS gap,
+               ROUND(SUM(CAST(n AS DOUBLE) * gap)
+                         OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+                     / CAST(SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE),
+                     9) AS ece
+        FROM g
         """,
         # MAD flags: medians via quantile_cont (== Spark percentile);
         # threshold multiplies left-assoc exactly as the Python literal

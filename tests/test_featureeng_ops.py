@@ -228,3 +228,122 @@ def test_mahalanobis_singular_raises_contract_error(spark):
 
     with pytest.raises(ValueError, match="singular covariance"):
         mahalanobis_stats(d, ["a", "b"])
+
+
+# -------------------------------------------------------------- calibration
+def test_calibration_report_matches_numpy(spark):
+    rng = np.random.default_rng(6)
+    score = rng.integers(0, 1025, 800) / 1024.0  # includes exact 1.0
+    label = (rng.random(800) < score).astype(int)
+    pdf = pd.DataFrame({"score": score, "label": label})
+    from fastselect_spark.corpus import calibration_report
+
+    got = (
+        calibration_report(
+            spark.createDataFrame(pdf).repartition(4), "score", "label", 10
+        )
+        .toPandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    bins = np.clip(np.floor(score * 10), 0, 9).astype(int)
+    ece_num = ece_den = 0.0
+    for i, b in enumerate(sorted(set(bins))):
+        m = bins == b
+        n = int(m.sum())
+        conf, acc = score[m].sum() / n, label[m].sum() / n
+        row = got.iloc[i]
+        assert row["bin"] == b and row["n"] == n
+        assert abs(row["conf"] - conf) < 1e-12
+        assert abs(row["acc"] - acc) < 1e-12
+        ece_num += n * abs(acc - conf)
+        ece_den += n
+    assert abs(got["ece"].iloc[0] - ece_num / ece_den) < 1e-12
+    # score 1.0 folded into the top bin, not an 11th bin
+    assert got["bin"].max() == 9 and len(got) <= 10
+    # labels drawn ~Bernoulli(score): near-calibrated, ECE small
+    assert got["ece"].iloc[0] < 0.1
+
+
+def test_calibration_miscalibrated_classifier_has_large_ece(spark):
+    # constant score 0.9 on balanced labels: |0.5 - 0.9| = 0.4
+    pdf = pd.DataFrame({"score": [0.9] * 100, "label": [0, 1] * 50})
+    from fastselect_spark.corpus import calibration_report
+
+    got = calibration_report(
+        spark.createDataFrame(pdf), "score", "label", 10
+    ).collect()
+    assert len(got) == 1
+    assert abs(got[0]["ece"] - 0.4) < 1e-12
+
+
+# --------------------------------------------------------------- text clean
+def test_clean_text_kernel_cases():
+    from fastselect_spark.text import clean_text_kernel as k
+
+    assert k("Café") == "Café"  # NFC composes
+    assert k("a\t\t b") == "a b"  # tab/space runs collapse
+    assert k("a\x07b\x00c") == "abc"  # controls stripped
+    assert k("keep\nnewline") == "keep\nnewline"  # \n survives
+    assert k("  pad\t") == "pad"
+    assert k(None) is None
+    assert k("") == ""
+
+
+def test_clean_text_spark_matches_kernel(spark):
+    from fastselect_spark.text import clean_text, clean_text_kernel
+
+    rows = [
+        (0, "Café  du\tmonde "),
+        (1, "\x01ctrl\x7f and Å angstrom"),  # U+212B -> NFC U+00C5
+        (2, None),
+        (3, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r["id"]: r["text_clean"] for r in clean_text(df, "text").collect()}
+    for i, s in rows:
+        assert got[i] == clean_text_kernel(s)
+    assert got[1] == "ctrl and Å angstrom"
+
+
+# --------------------------------------------------------- contrastive pairs
+def test_contrastive_pairs_invariants(spark):
+    rows = []
+    for c in range(20):
+        for i in range(5):
+            rows.append((f"c{c:02d}", i, f"text-{c}-{i}"))
+    tr = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    from fastselect_spark.corpus import contrastive_pairs
+
+    got = contrastive_pairs(tr, n_buckets=8, seed=1).toPandas()
+    # positive = next turn of the same conversation
+    for _, r in got.iterrows():
+        c, i = r["conv_id"], r["turn_idx"]
+        assert r["anchor"] == f"text-{c[1:].lstrip('0') or '0'}-{i}".replace(
+            "text-", "text-"
+        ) or r["anchor"].startswith("text-")
+        assert r["positive"] == f"text-{int(c[1:])}-{i + 1}"
+        # negative never from the anchor's own conversation
+        assert not r["negative"].startswith(f"text-{int(c[1:])}-")
+    # last turn of each conversation has no positive: 4 anchors per conv max
+    assert got.groupby("conv_id").size().max() <= 4
+    # deterministic under repartitioning
+    got2 = (
+        contrastive_pairs(tr.repartition(7), n_buckets=8, seed=1)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, got2)
+
+
+def test_contrastive_pairs_single_conversation_drops_all(spark):
+    # only one conversation: every representative shares it -> no negatives
+    tr = spark.createDataFrame(
+        [("c0", i, f"t{i}") for i in range(10)],
+        "conv_id string, turn_idx int, text string",
+    )
+    from fastselect_spark.corpus import contrastive_pairs
+
+    assert contrastive_pairs(tr, n_buckets=4, seed=0).count() == 0

@@ -504,6 +504,46 @@ def main() -> int:
         f"(broadcast joins={n_bhj})",
     )
 
+    # 25. contrastive pairs: both representative tables broadcast; the
+    # corpus is never shuffled by bucket (reps come from partial aggs)
+    from fastselect_spark.corpus import contrastive_pairs
+
+    cp = contrastive_pairs(tr, n_buckets=16, seed=3)
+    p = plan_of(cp, execute=True)
+    n_bhj = len(re.findall(r"BroadcastHashJoin", p))
+    failures += not check(
+        "contrastive pairs: reps broadcast, no corpus bucket shuffle",
+        n_bhj >= 2 and "SortMergeJoin" not in p,
+        f"(broadcast joins={n_bhj})",
+    )
+
+    # 26. text cleaning is a row-local Arrow projection — no exchange
+    from fastselect_spark.text import clean_text
+
+    ct = clean_text(docs.select("doc_id", "text"), "text")
+    p = plan_of(ct)
+    failures += not check(
+        "clean_text plans zero exchanges (Arrow-batched projection)",
+        "Exchange" not in p and "ArrowEvalPython" in p,
+    )
+
+    # 27. calibration report: one bin agg; window runs over the
+    # n_bins-bounded table, never the corpus
+    from fastselect_spark.corpus import calibration_report
+
+    scored = docs.select(
+        (F.col("n_chars") % 100 / 100.0).alias("s"),
+        (F.col("n_chars") % 2).alias("y"),
+    )
+    cal = calibration_report(scored, "s", "y", n_bins=10)
+    p = plan_of(cal, execute=True)
+    n_ex = len(re.findall(r"Exchange", p))
+    failures += not check(
+        "calibration report is one bin agg + bounded window",
+        n_ex <= 3 and "Window" in p,
+        f"(exchanges={n_ex})",
+    )
+
     print(f"\n{'ALL CHECKS PASS' if not failures else f'{failures} CHECK(S) FAILED'}")
     return 1 if failures else 0
 
