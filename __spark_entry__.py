@@ -435,6 +435,46 @@ def _q_tool_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-planning report (corpus/sampling.py source_mixture_report):
+    ONE groupBy(source) agg bounded by the source alphabet; shares are
+    exact-integer quotients."""
+    from fastselect_spark.corpus import source_mixture_report
+
+    _register(spark, sf_dir, "documents")
+    rep = source_mixture_report(spark.table("documents"))
+    return rep.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("doc_share", 9).alias("doc_share"),
+        F.round("token_share", 9).alias("token_share"),
+    )
+
+
+def _q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization (selection/rank.py
+    quantile_normalize): average ranks via the range-partition two-pass
+    kernel scaled by rank/(n+1) — quotients of exact (half-)integers, no
+    global Window at any scale."""
+    from fastselect_spark.selection import quantile_normalize
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.length("text").cast("double").alias("n_chars"),
+        F.size(F.split("text", r"\s+")).cast("double").alias("n_toks"),
+    )
+    out = quantile_normalize(
+        docs, ["n_chars", "n_toks"], ["doc_id"], num_partitions=8
+    )
+    return out.select(
+        "doc_id",
+        F.round("n_chars_qn", 9).alias("n_chars_qn"),
+        F.round("n_toks_qn", 9).alias("n_toks_qn"),
+    )
+
+
 def _q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive (anchor, positive, negative) generation
     (corpus/pairs.py): positive = next turn on the shared conv_id
@@ -2374,6 +2414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_report": _q_calibration_report,  # reliability bins + ECE
         "text_clean": _q_text_clean,  # NFC normalize + control strip + ws collapse
         "contrastive_pairs": _q_contrastive_pairs,  # anchor/positive/negative gen
+        "quantile_normalize": _q_quantile_normalize,  # rank/(n+1) transform
+        "source_mixture": _q_source_mixture,  # mixture-planning shares
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -5419,6 +5461,50 @@ def oracle_sql() -> dict[str, str]:
                ROUND(LN(p / q), 9) AS woe,
                ROUND((p - q) * LN(p / q), 9) AS iv_term
         FROM pq
+        """,
+        # integer counts -> exact share quotients
+        "source_mixture": r"""
+        WITH a AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(LEN(STRING_SPLIT_REGEX(text, '\s+')))
+                        AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1
+        ),
+        t AS (SELECT SUM(n_docs) AS td, SUM(n_tokens) AS tt FROM a)
+        SELECT source, n_docs, n_tokens,
+               ROUND(CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE), 9)
+                   AS doc_share,
+               ROUND(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 9)
+                   AS token_share
+        FROM a, t
+        """,
+        # average ranks (RANK + (cnt-1)/2) scaled by 1/(n+1), pivoted wide
+        "quantile_normalize": r"""
+        WITH d AS (
+            SELECT doc_id, CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                   CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS DOUBLE) AS n_toks
+            FROM documents
+        ),
+        long AS (
+            SELECT doc_id, 'n_chars' AS feature, n_chars AS v FROM d
+            UNION ALL SELECT doc_id, 'n_toks', n_toks FROM d
+        ),
+        ranked AS (
+            SELECT doc_id, feature,
+                   RANK() OVER (PARTITION BY feature ORDER BY v)
+                   + (COUNT(*) OVER (PARTITION BY feature, v) - 1) / 2.0
+                       AS rank,
+                   COUNT(*) OVER (PARTITION BY feature) AS n
+            FROM long WHERE v IS NOT NULL
+        )
+        SELECT doc_id,
+               ROUND(MAX(CASE WHEN feature = 'n_chars'
+                              THEN rank / CAST(n + 1 AS DOUBLE) END), 9)
+                   AS n_chars_qn,
+               ROUND(MAX(CASE WHEN feature = 'n_toks'
+                              THEN rank / CAST(n + 1 AS DOUBLE) END), 9)
+                   AS n_toks_qn
+        FROM ranked GROUP BY doc_id
         """,
         # contrastive pairs: lead() positive + hash-bucket representative
         # negatives (rep = min (rank, conv, idx, text) per bucket)

@@ -23,11 +23,14 @@ from fastselect_spark.corpus.sampling import (
     deterministic_sample,
     rebalance_classes,
     sample_by_source,
+    source_mixture_report,
     train_val_test_split,
 )
 
 __all__ = [
+    "calibration_report",
     "cap_per_source",
+    "contrastive_pairs",
     "contamination_hits",
     "decontaminate",
     "deterministic_sample",
@@ -40,6 +43,7 @@ __all__ = [
     "quality_scores",
     "table_profile",
     "sample_by_source",
+    "source_mixture_report",
     "train_quality_classifier",
     "train_quality_classifier_numpy",
     "train_val_test_split",

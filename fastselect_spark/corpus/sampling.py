@@ -178,3 +178,39 @@ def rebalance_classes(
         t = _BUCKETS if f >= 1.0 else int(f * _BUCKETS)
         thresh = F.when(F.col(label_col) == F.lit(lbl), F.lit(t)).otherwise(thresh)
     return df.where(_hash_bucket(F.col(key_col), seed) < thresh)
+
+
+def source_mixture_report(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, n_docs, n_tokens, doc_share, token_share) — the mixture
+    planning table: how much of the corpus (by documents and by
+    whitespace tokens) each source contributes. ONE groupBy(source) agg
+    (map-side partials, output bounded by the source alphabet); shares
+    divide by ordered-window totals over that tiny table (pinned
+    summation order — integer counts make the quotients IEEE-identical
+    cross-engine)."""
+    from pyspark.sql import Window
+
+    agg = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), r"\s+")).cast("long"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = Window.orderBy(source_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return agg.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double"))
+        .alias("doc_share"),
+        (
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(w).cast("double")
+        ).alias("token_share"),
+    )

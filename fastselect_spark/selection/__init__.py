@@ -30,6 +30,10 @@ from fastselect_spark.selection.univariate import (  # noqa: F401
     standard_scaler_stats,
     variance_threshold,
 )
+from fastselect_spark.selection.rank import (  # noqa: F401
+    average_ranks_long,
+    quantile_normalize,
+)
 from fastselect_spark.selection.multivariate import (  # noqa: F401
     close_mahalanobis_stats,
     mahalanobis_distance,

@@ -163,3 +163,66 @@ def _rank_block(
     return pd.DataFrame(
         {key_col: pdf[key_col], id_col: pdf[id_col], "rank": rank}
     )
+
+
+def quantile_normalize(
+    df,
+    feature_cols: list[str],
+    id_cols: list[str],
+    suffix: str = "_qn",
+    num_partitions: int | None = None,
+):
+    """Rank-based quantile normalization: each value maps to its average
+    rank scaled into (0, 1) by ``rank / (n_nonnull + 1)`` per feature —
+    the classic monotone transform that makes downstream models immune to
+    feature scale and outliers (ties share one quantile via the average
+    rank). NULLs stay NULL.
+
+    Built entirely on :func:`average_ranks_long` (one melt scan + the
+    range-partition two-pass) plus one id-keyed pivot back to wide — the
+    same shape as spearman_matrix's rank stage; no global Window at any
+    scale. Quantiles are quotients of exact (half-)integers, so they are
+    IEEE-identical cross-engine."""
+    from pyspark.sql import functions as F
+
+    rid = F.concat_ws(":", *[F.col(c).cast("string") for c in id_cols])
+    melted = df.select(
+        rid.alias("__rid"),
+        F.stack(
+            F.lit(len(feature_cols)),
+            *[
+                x
+                for c in feature_cols
+                for x in (F.lit(c), F.col(c).cast("double"))
+            ],
+        ).alias("feature", "value"),
+    )
+    ranks = average_ranks_long(
+        melted, "feature", "value", "__rid", num_partitions=num_partitions
+    )
+    counts = {
+        r["feature"]: int(r["n"])
+        for r in ranks.groupBy("feature")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # per-feature divisor as a CASE chain (p-bounded, not row-bounded)
+    div = None
+    for c in feature_cols:
+        branch = F.when(
+            F.col("feature") == F.lit(c), F.lit(float(counts.get(c, 0) + 1))
+        )
+        div = branch if div is None else div.when(
+            F.col("feature") == F.lit(c), F.lit(float(counts.get(c, 0) + 1))
+        )
+    wide = (
+        ranks.select("__rid", "feature", (F.col("rank") / div).alias("q"))
+        .groupBy("__rid")
+        .pivot("feature", feature_cols)
+        .agg(F.first("q"))
+    )
+    renamed = wide.select(
+        "__rid", *[F.col(c).alias(f"{c}{suffix}") for c in feature_cols]
+    )
+    out = df.withColumn("__rid", rid).join(renamed, "__rid", "left")
+    return out.drop("__rid")

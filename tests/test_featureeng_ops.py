@@ -347,3 +347,53 @@ def test_contrastive_pairs_single_conversation_drops_all(spark):
     from fastselect_spark.corpus import contrastive_pairs
 
     assert contrastive_pairs(tr, n_buckets=4, seed=0).count() == 0
+
+
+# ------------------------------------------------------ quantile normalize
+def test_quantile_normalize_matches_pandas(spark):
+    rng = np.random.default_rng(12)
+    x = rng.integers(0, 50, 300).astype(float)  # heavy ties
+    y = rng.normal(0, 1, 300).round(3)
+    pdf = pd.DataFrame({"id": np.arange(300), "x": x, "y": y})
+    from fastselect_spark.selection import quantile_normalize
+
+    got = (
+        quantile_normalize(
+            spark.createDataFrame(pdf).repartition(5), ["x", "y"], ["id"],
+            num_partitions=4,
+        )
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp_x = pdf["x"].rank(method="average") / (len(pdf) + 1)
+    exp_y = pdf["y"].rank(method="average") / (len(pdf) + 1)
+    assert np.allclose(got["x_qn"], exp_x, atol=0, rtol=0)
+    assert np.allclose(got["y_qn"], exp_y, atol=0, rtol=0)
+    # strictly inside (0, 1); monotone in the original value
+    assert got["x_qn"].between(0, 1, inclusive="neither").all()
+    srt = got.sort_values("x")
+    assert (srt["x_qn"].diff().dropna() >= 0).all()
+
+
+# ----------------------------------------------------------- mixture report
+def test_source_mixture_report(spark):
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"] * 6 + ["b"] * 4,
+            "text": ["one two three"] * 6 + ["x y"] * 4,
+        }
+    )
+    from fastselect_spark.corpus import source_mixture_report
+
+    got = {
+        r["source"]: r
+        for r in source_mixture_report(
+            spark.createDataFrame(pdf).repartition(3)
+        ).collect()
+    }
+    assert got["a"]["n_docs"] == 6 and got["b"]["n_docs"] == 4
+    assert got["a"]["n_tokens"] == 18 and got["b"]["n_tokens"] == 8
+    assert abs(got["a"]["doc_share"] - 0.6) < 1e-15
+    assert abs(got["a"]["token_share"] - 18 / 26) < 1e-15
+    assert abs(got["a"]["token_share"] + got["b"]["token_share"] - 1.0) < 1e-15
