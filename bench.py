@@ -369,6 +369,48 @@ def default_mode() -> None:
         t0 = time.perf_counter()
         ops["role_transitions_rows"] = role_transition_matrix(tr_rt).count()
         ops["role_transitions_sec"] = round(time.perf_counter() - t0, 3)
+        # round-4 additions: KS drift, MAD outliers, NFC clean, pairs, QN
+        from fastselect_spark.corpus import contrastive_pairs
+        from fastselect_spark.featurize import ks_statistics
+        from fastselect_spark.selection import (
+            mad_outliers,
+            mad_stats,
+            quantile_normalize,
+        )
+        from fastselect_spark.text import clean_text
+
+        t0 = time.perf_counter()
+        ks_statistics(
+            dd.where(F.col("doc_id") % 2 == 0),
+            dd.where(F.col("doc_id") % 2 == 1),
+            ["n_chars", "n_toks"],
+            num_partitions=int(CPUS),
+        ).count()
+        ops["ks_drift_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        med, mad = mad_stats(dd, ["n_chars", "n_toks"])
+        ops["mad_outlier_rows"] = mad_outliers(
+            dd, ["n_chars", "n_toks"], med, mad
+        ).count()
+        ops["mad_outliers_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        ops["clean_text_rows"] = clean_text(
+            docs.select("doc_id", "text"), "text"
+        ).count()
+        ops["clean_text_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        ops["contrastive_rows"] = contrastive_pairs(
+            docs.selectExpr(
+                "source AS conv_id", "CAST(doc_id AS INT) AS turn_idx", "text"
+            ),
+            n_buckets=64,
+        ).count()
+        ops["contrastive_pairs_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        ops["quantile_normalize_rows"] = quantile_normalize(
+            dd, ["n_chars", "n_toks"], ["doc_id"], num_partitions=int(CPUS)
+        ).count()
+        ops["quantile_normalize_sec"] = round(time.perf_counter() - t0, 3)
         docs.unpersist()
         out["corpus_ops"] = ops
     except Exception as exc:  # surface the regression in the bench output
