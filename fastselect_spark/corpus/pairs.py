@@ -10,11 +10,12 @@ corpus/sampling.py's hash-Bernoulli).
 Negative selection: each anchor hashes to a bucket
 (``md5(seed:conv:idx) % n_buckets``); each bucket has a deterministic
 representative turn — the corpus-wide MINIMUM of
-``(rank_hash, conv, idx)`` within the bucket, computed by ONE
-``groupBy(bucket).agg(min(struct(...)))`` (map-side partial aggregation:
-the corpus is never shuffled by bucket). A second representative table
-with an independent seed provides the fallback when the primary
-representative lands in the anchor's own conversation; if both collide
+``(rank_hash, conv, idx)`` within the bucket. A second representative
+table with an independent seed provides the fallback when the primary
+representative lands in the anchor's own conversation; BOTH tables come
+from ONE corpus scan (each row explodes into two tagged candidates, one
+``groupBy(tag, bucket).agg(min(struct))`` partial-agg reduction — the
+corpus is never shuffled by bucket). If both representatives collide
 (needs the same conversation to own both buckets' minima) the negative
 is null and the row is dropped — deterministic, counted by the caller.
 
@@ -31,30 +32,45 @@ from pyspark.sql import functions as F
 from fastselect_spark.featurize.encoding import hash_bucket
 
 
-def _rep_table(
-    base: DataFrame, n_buckets: int, seed: int, suffix: str
-) -> DataFrame:
-    """(bucket, conv, text) — deterministic per-bucket representative:
-    min (rank_hash, conv, idx, text) struct, one partial-agg reduction."""
+def _rep_tables(
+    base: DataFrame, n_buckets: int, seed: int
+) -> tuple[DataFrame, DataFrame]:
+    """Two (bucket, conv, text) representative tables (independent seeds
+    ``seed`` and ``seed+1``) from ONE corpus scan: each row emits both
+    tagged (tag, bucket, struct) candidates via explode, one
+    ``groupBy(tag, bucket).agg(min(struct))`` partial-agg reduction, and
+    the tiny result splits by tag — bit-identical to two separate
+    reductions, half the scans."""
     key = F.concat_ws(":", F.col("__conv"), F.col("__idx").cast("string"))
-    rank = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"r{seed}:"), key)), 1, 15), 16, 10
-    ).cast("long")
+
+    def entry(s: int):
+        rank = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"r{s}:"), key)), 1, 15), 16, 10
+        ).cast("long")
+        return F.struct(
+            F.lit(s).alias("tag"),
+            hash_bucket(key, n_buckets, seed=s).alias("bucket"),
+            F.struct(
+                rank.alias("r"),
+                F.col("__conv").alias("conv"),
+                F.col("__idx").alias("idx"),
+                F.col("__text").alias("text"),
+            ).alias("s"),
+        )
+
     tagged = base.select(
-        hash_bucket(key, n_buckets, seed=seed).alias("bucket"),
-        F.struct(
-            rank.alias("r"),
-            F.col("__conv").alias("conv"),
-            F.col("__idx").alias("idx"),
-            F.col("__text").alias("text"),
-        ).alias("s"),
-    )
-    rep = tagged.groupBy("bucket").agg(F.min("s").alias("s"))
-    return rep.select(
-        "bucket",
-        F.col("s.conv").alias(f"neg_conv{suffix}"),
-        F.col("s.text").alias(f"neg_text{suffix}"),
-    )
+        F.explode(F.array(entry(seed), entry(seed + 1))).alias("e")
+    ).select("e.tag", "e.bucket", "e.s")
+    reps = tagged.groupBy("tag", "bucket").agg(F.min("s").alias("s"))
+
+    def split(tag: int, suffix: str) -> DataFrame:
+        return reps.where(F.col("tag") == tag).select(
+            "bucket",
+            F.col("s.conv").alias(f"neg_conv{suffix}"),
+            F.col("s.text").alias(f"neg_text{suffix}"),
+        )
+
+    return split(seed, "_a"), split(seed + 1, "_b")
 
 
 def contrastive_pairs(
@@ -82,8 +98,7 @@ def contrastive_pairs(
         "bucket", hash_bucket(key, n_buckets, seed=seed)
     )
 
-    rep_a = _rep_table(base, n_buckets, seed=seed, suffix="_a")
-    rep_b = _rep_table(base, n_buckets, seed=seed + 1, suffix="_b")
+    rep_a, rep_b = _rep_tables(base, n_buckets, seed=seed)
     joined = anchors.join(F.broadcast(rep_a), "bucket", "left").join(
         F.broadcast(rep_b), "bucket", "left"
     )

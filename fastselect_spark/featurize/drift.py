@@ -142,12 +142,6 @@ def ks_statistics(
         F.sum((F.col("__g") == 0).cast("long")).alias("c0"),
         F.sum((F.col("__g") == 1).cast("long")).alias("c1"),
     )
-    totals = {
-        r["feature"]: (max(int(r["n0"]), 1), max(int(r["n1"]), 1))
-        for r in counts.groupBy("feature")
-        .agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
-        .collect()
-    }
     if num_partitions:
         rng = counts.repartitionByRange(num_partitions, "feature", "v")
     else:
@@ -182,13 +176,18 @@ def ks_statistics(
     by_feat: dict[str, list[tuple[int, int, int]]] = {}
     for r in rows:
         by_feat.setdefault(r["feature"], []).append((r["pid"], r["s0"], r["s1"]))
+    # pass A's per-partition sums double as the per-feature TOTALS — no
+    # separate totals job (which would re-run the whole melt + reduction
+    # upstream of the persist point)
     offsets: dict[tuple[int, str], tuple[int, int]] = {}
+    totals: dict[str, tuple[int, int]] = {}
     for k, lst in by_feat.items():
         run0 = run1 = 0
         for pid, s0, s1 in sorted(lst):
             offsets[(pid, k)] = (run0, run1)
             run0 += s0
             run1 += s1
+        totals[k] = (max(run0, 1), max(run1, 1))
     bc = spark.sparkContext.broadcast((offsets, totals))
 
     def cdf_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
