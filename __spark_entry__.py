@@ -435,6 +435,24 @@ def _q_tool_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware k-fold (featurize/splits.py group_kfold): every turn of
+    a conversation lands in the same fold via the portable md5 bucket —
+    row-local, shuffle-free; summarized per fold (the per-row table is
+    10k rows of pure hash, the summary proves group integrity)."""
+    from fastselect_spark.featurize import group_kfold
+
+    tr = _transcripts(spark, sf_dir)
+    f = group_kfold(tr, "conv_id", n_folds=5, seed=11)
+    return (
+        f.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        )
+    )
+
+
 def _q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-planning report (corpus/sampling.py source_mixture_report):
     ONE groupBy(source) agg bounded by the source alphabet; shares are
@@ -2416,6 +2434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs": _q_contrastive_pairs,  # anchor/positive/negative gen
         "quantile_normalize": _q_quantile_normalize,  # rank/(n+1) transform
         "source_mixture": _q_source_mixture,  # mixture-planning shares
+        "group_kfold": _q_group_kfold,  # group-leakage-safe fold assignment
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -5461,6 +5480,19 @@ def oracle_sql() -> dict[str, str]:
                ROUND(LN(p / q), 9) AS woe,
                ROUND((p - q) * LN(p / q), 9) AS iv_term
         FROM pq
+        """,
+        # shared md5 bucket family; group integrity via per-fold summary
+        "group_kfold": f"""
+        WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+        f AS (
+            SELECT conv_id,
+                   CAST(CAST('0x' || substr(md5('11:' || conv_id), 1, 15)
+                             AS BIGINT) % 5 AS INT) AS fold
+            FROM transcripts
+        )
+        SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+        FROM f GROUP BY 1
         """,
         # integer counts -> exact share quotients
         "source_mixture": r"""

@@ -22,6 +22,7 @@ from fastselect_spark.featurize.drift import (  # noqa: F401
     psi_scores,
 )
 from fastselect_spark.featurize.splits import (  # noqa: F401
+    group_kfold,
     purged_walkforward_folds,
     walkforward_boundaries,
 )

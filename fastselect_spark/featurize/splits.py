@@ -90,3 +90,25 @@ def purged_walkforward_folds(
     return df.withColumn("val_fold", val_fold.cast("int")).withColumn(
         "first_train_fold", first_train.cast("int")
     )
+
+
+def group_kfold(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    n_folds: int = 5,
+    seed: int = 0,
+    out_col: str = "fold",
+) -> DataFrame:
+    """Group-aware k-fold assignment: every row of a group lands in the
+    SAME fold (``md5(seed:group) % n_folds`` — the portable 60-bit hash
+    family), so no conversation straddles train and validation — the
+    group-leakage guard sklearn's GroupKFold provides, here as a pure
+    row-local projection: no shuffle, no group registry, reproducible
+    under any partitioning at any scale. Fold sizes are hash-balanced
+    (equal in expectation), not exactly equal — the price of statelessness,
+    same tradeoff as corpus/sampling.py's hash-Bernoulli."""
+    from fastselect_spark.featurize.encoding import hash_bucket
+
+    return df.withColumn(
+        out_col, hash_bucket(F.col(group_col).cast("string"), n_folds, seed)
+    )

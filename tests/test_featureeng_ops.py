@@ -397,3 +397,26 @@ def test_source_mixture_report(spark):
     assert abs(got["a"]["doc_share"] - 0.6) < 1e-15
     assert abs(got["a"]["token_share"] - 18 / 26) < 1e-15
     assert abs(got["a"]["token_share"] + got["b"]["token_share"] - 1.0) < 1e-15
+
+
+# ----------------------------------------------------------------- GroupKFold
+def test_group_kfold_group_integrity(spark):
+    rows = [(f"c{c}", i) for c in range(50) for i in range(4)]
+    tr = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    from fastselect_spark.featurize import group_kfold
+
+    f = group_kfold(tr, "conv_id", n_folds=5, seed=11)
+    # every conversation maps to exactly one fold
+    per_conv = f.groupBy("conv_id").agg(
+        F.countDistinct("fold").alias("k")
+    )
+    assert per_conv.where(F.col("k") != 1).count() == 0
+    # all folds in range and reproducible under repartitioning
+    folds = {r["fold"] for r in f.select("fold").distinct().collect()}
+    assert folds <= set(range(5))
+    a = {(r["conv_id"], r["fold"]) for r in f.collect()}
+    b = {
+        (r["conv_id"], r["fold"])
+        for r in group_kfold(tr.repartition(7), "conv_id", 5, 11).collect()
+    }
+    assert a == b
