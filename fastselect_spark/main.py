@@ -45,6 +45,77 @@ def build_matrix(feat_df):
     )
 
 
+def run_corpus_prep(spark, args) -> dict:
+    """--pipeline corpus: the LLM-training-data prep chain over a
+    documents table — Unicode NFC clean → PII scrub → C4-style global
+    span dedup → exact dedup → MinHash-LSH near-dup clustering (lowest
+    doc_id per cluster kept) → quality filter; writes the kept documents
+    plus a per-stage report with the post-filter source mixture. Every
+    stage is the same individually-oracled operator the driver contract
+    checks."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from fastselect_spark.corpus import quality_filter, source_mixture_report
+    from fastselect_spark.dedup import (
+        connected_components,
+        dedup_exact,
+        minhash_near_duplicates,
+        remove_duplicate_spans,
+    )
+    from fastselect_spark.text import clean_text, redact_pii
+
+    src = args.input
+    if _os.path.isdir(src) and _os.path.exists(
+        _os.path.join(src, "documents.parquet")
+    ):
+        src = _os.path.join(src, "documents.parquet")
+    docs = spark.read.parquet(src)
+    counts = {"input": docs.count()}
+
+    cleaned = clean_text(docs, "text").drop("text").withColumnRenamed(
+        "text_clean", "text"
+    )
+    red = redact_pii(cleaned).select(
+        "doc_id",
+        F.col("text_redacted").alias("text"),
+        "n_pii",
+        *[c for c in ("lang", "source") if c in cleaned.columns],
+    )
+    sd = remove_duplicate_spans(red, span_tokens=8).withColumnRenamed(
+        "text_dedup", "text_final"
+    )
+    exact = dedup_exact(sd, text_col="text_final", id_col="doc_id")
+    counts["after_exact_dedup"] = exact.count()
+
+    base = exact.select("doc_id", F.col("text_final").alias("text")).persist()
+    pairs = minhash_near_duplicates(base, threshold=0.5)
+    comp = connected_components(pairs)
+    dropped = comp.where(F.col("doc_id") != F.col("comp")).select("doc_id")
+    near = base.join(dropped, "doc_id", "left_anti")
+    counts["after_near_dedup"] = near.count()
+
+    qf = quality_filter(near)
+    counts["after_quality_filter"] = qf.count()
+    base.unpersist()
+
+    kept = qf.join(
+        red.select(
+            "doc_id",
+            *[c for c in ("lang", "source", "n_pii") if c in red.columns],
+        ),
+        "doc_id",
+    )
+    kept.write.mode("overwrite").parquet(_os.path.join(args.output, "kept"))
+    mixture = (
+        [r.asDict() for r in source_mixture_report(kept).collect()]
+        if "source" in kept.columns
+        else []
+    )
+    return {"stage_counts": counts, "source_mixture": mixture}
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description="fastselect_spark pipeline")
     parser.add_argument("--input", required=True, help="sf dir with events.parquet, or a transcripts parquet path")
@@ -53,6 +124,13 @@ def main() -> None:
     parser.add_argument("--gap-seconds", type=float, default=300.0)
     parser.add_argument("--select", type=int, default=3)
     parser.add_argument("--master", default=None)
+    parser.add_argument(
+        "--pipeline",
+        choices=["featurize", "corpus"],
+        default="featurize",
+        help="featurize = transcripts feature pipeline (default); "
+        "corpus = LLM-training-data corpus prep over documents",
+    )
     args = parser.parse_args()
 
     from fastselect_spark.data.transcripts import transcripts_from_events
@@ -64,6 +142,15 @@ def main() -> None:
     from fastselect_spark.sources import read_transcripts_table
 
     spark = get_spark(app_name="fastselect-pipeline", master=args.master)
+
+    if args.pipeline == "corpus":
+        os.makedirs(args.output, exist_ok=True)
+        report = run_corpus_prep(spark, args)
+        with open(os.path.join(args.output, "report.json"), "w") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps(report))
+        spark.stop()
+        return
 
     def source(s):
         if os.path.isdir(args.input) and os.path.exists(

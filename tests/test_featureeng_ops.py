@@ -420,3 +420,21 @@ def test_group_kfold_group_integrity(spark):
         for r in group_kfold(tr.repartition(7), "conv_id", 5, 11).collect()
     }
     assert a == b
+
+
+# ----------------------------------------------------------- corpus prep CLI
+def test_run_corpus_prep_stage_counts(spark, tmp_path):
+    from argparse import Namespace
+
+    from fastselect_spark.main import run_corpus_prep
+
+    args = Namespace(input="/root/testdata/sf0.001", output=str(tmp_path))
+    rep = run_corpus_prep(spark, args)
+    c = rep["stage_counts"]
+    # monotone funnel, nothing lost before filtering beyond dedup drops
+    assert c["input"] >= c["after_exact_dedup"] >= c["after_near_dedup"]
+    assert 0 < c["after_quality_filter"] <= c["after_near_dedup"]
+    assert rep["source_mixture"], "source column must survive the chain"
+    kept = spark.read.parquet(str(tmp_path / "kept"))
+    assert kept.count() == c["after_quality_filter"]
+    assert {"doc_id", "text", "lang", "source", "n_pii"} <= set(kept.columns)
