@@ -142,6 +142,17 @@ def woe_iv_encode(
         F.sum(lab).cast("long").alias("pos"),
         F.sum(F.lit(1) - lab).cast("long").alias("neg"),
     )
+    # category-bounded table: persist at the branch point so the class
+    # check and the transform join share ONE corpus scan
+    vocab = vocab.persist()
+    check = vocab.agg(F.sum("pos").alias("p"), F.sum("neg").alias("n")).first()
+    if not check["p"] or not check["n"]:
+        vocab.unpersist()
+        raise ValueError(
+            "WoE requires both label classes present "
+            f"(pos={check['p'] or 0}, neg={check['n'] or 0}); a one-class "
+            "frame has no odds to weight"
+        )
     tot = Window.partitionBy()
     p = (F.col("pos").cast("double") + F.lit(float(eps))) / F.sum("pos").over(
         tot

@@ -130,7 +130,11 @@ def quantile_stats(
         for q in qs:
             aggs.append(F.percentile(d, F.lit(q)).alias(f"__q_{c}_{q}"))
     row = df.agg(*aggs).collect()[0]
-    return {c: [float(row[f"__q_{c}_{q}"]) for q in qs] for c in feature_cols}
+
+    def _f(v) -> float:  # all-null column -> NaN, not a TypeError
+        return float(v) if v is not None else float("nan")
+
+    return {c: [_f(row[f"__q_{c}_{q}"]) for q in qs] for c in feature_cols}
 
 
 def quantile_clip(

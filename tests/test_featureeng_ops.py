@@ -438,3 +438,47 @@ def test_run_corpus_prep_stage_counts(spark, tmp_path):
     kept = spark.read.parquet(str(tmp_path / "kept"))
     assert kept.count() == c["after_quality_filter"]
     assert {"doc_id", "text", "lang", "source", "n_pii"} <= set(kept.columns)
+
+
+# ------------------------------------------------------------- edge inputs
+def test_ks_empty_current_side(spark):
+    a = np.arange(20, dtype=float).reshape(-1, 1)
+    d0 = _df(spark, a, ["x"])
+    d1 = d0.where(F.col("x") < -1)  # empty
+    got = ks_statistics(d0, d1, ["x"]).collect()
+    # F_cur is 0 everywhere (total clamped to 1): KS = max F_ref = 1.0
+    assert len(got) == 1 and abs(got[0]["ks"] - 1.0) < 1e-12
+
+
+def test_woe_single_class_raises_contract_error(spark):
+    pdf = pd.DataFrame({"k": ["a", "b"] * 10, "label": [1] * 20})
+    with pytest.raises(ValueError, match="both label classes"):
+        woe_iv_encode(spark.createDataFrame(pdf), "k", "label")
+
+
+def test_calibration_empty_frame(spark):
+    from fastselect_spark.corpus import calibration_report
+
+    empty = spark.createDataFrame([], "score double, label int")
+    assert calibration_report(empty, "score", "label").count() == 0
+
+
+def test_mad_all_null_column_yields_nan(spark):
+    d = spark.createDataFrame([(None,), (None,)], "x double")
+    med, mad = mad_stats(d, ["x"])
+    assert np.isnan(med[0]) and np.isnan(mad[0])
+
+
+def test_ks_property_random_integer_frames(spark):
+    # randomized-oracle sweep (fixed seeds, exact equality each time)
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 30, rng.integers(5, 400)).astype(float)
+        b = rng.integers(0, 30, rng.integers(5, 400)).astype(float)
+        got = ks_statistics(
+            _df(spark, a.reshape(-1, 1), ["x"]),
+            _df(spark, b.reshape(-1, 1), ["x"]),
+            ["x"],
+            num_partitions=3,
+        ).collect()[0]["ks"]
+        assert got == _ks_oracle(a, b)
