@@ -435,6 +435,16 @@ def _q_tool_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-k vocabulary (text/vocab.py top_terms_per_group):
+    one (group, term) agg + a group-partitioned rank window over the
+    aggregated table — never a global sort."""
+    from fastselect_spark.text import top_terms_per_group
+
+    _register(spark, sf_dir, "documents")
+    return top_terms_per_group(spark.table("documents"), "source", k=5)
+
+
 def _q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-aware k-fold (featurize/splits.py group_kfold): every turn of
     a conversation lands in the same fold via the portable md5 bucket —
@@ -2435,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": _q_quantile_normalize,  # rank/(n+1) transform
         "source_mixture": _q_source_mixture,  # mixture-planning shares
         "group_kfold": _q_group_kfold,  # group-leakage-safe fold assignment
+        "top_terms_per_source": _q_top_terms_per_source,  # per-group vocab top-k
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -5480,6 +5491,29 @@ def oracle_sql() -> dict[str, str]:
                ROUND(LN(p / q), 9) AS woe,
                ROUND((p - q) * LN(p / q), 9) AS iv_term
         FROM pq
+        """,
+        # same tokenization as vocab_topk; rank window per group
+        "top_terms_per_source": r"""
+        WITH norm AS (
+            SELECT source,
+                   LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')) AS nrm
+            FROM documents
+        ),
+        tk AS (
+            SELECT source AS "group",
+                   UNNEST(STRING_SPLIT(nrm, ' ')) AS term
+            FROM norm
+        ),
+        counts AS (
+            SELECT "group", term, CAST(COUNT(*) AS BIGINT) AS count
+            FROM tk WHERE term <> '' GROUP BY 1, 2
+        )
+        SELECT "group", term, count, CAST(rank AS INT) AS rank FROM (
+            SELECT "group", term, count,
+                   ROW_NUMBER() OVER (PARTITION BY "group"
+                                      ORDER BY count DESC, term ASC) AS rank
+            FROM counts
+        ) WHERE rank <= 5
         """,
         # shared md5 bucket family; group integrity via per-fold summary
         "group_kfold": f"""

@@ -10,7 +10,11 @@ from fastselect_spark.text.repetition import (  # noqa: F401
     repetition_filter,
 )
 from fastselect_spark.text.tfidf import top_tfidf_terms  # noqa: F401
-from fastselect_spark.text.vocab import token_counts, vocab_topk  # noqa: F401
+from fastselect_spark.text.vocab import (  # noqa: F401
+    token_counts,
+    top_terms_per_group,
+    vocab_topk,
+)
 from fastselect_spark.text.pii import detect_pii, redact_pii  # noqa: F401
 from fastselect_spark.text.bm25 import bm25_topk  # noqa: F401
 from fastselect_spark.text.clean import clean_text, clean_text_kernel  # noqa: F401

@@ -83,3 +83,33 @@ def vocab_topk(
             "cum_share",
         )
     )
+
+
+def top_terms_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(group, term, count, rank) — the top-``k`` terms within each group
+    (per-source vocabulary fingerprint: what distinguishes one corpus
+    slice's language from another's). ONE (group, term) aggregation
+    (map-side partials; output bounded by per-group vocabulary, not
+    rows), then the rank window runs per GROUP over that aggregated
+    table — partitioned, never a single-task global sort. Deterministic
+    (count desc, term asc) total order."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    toks = df.select(
+        F.col(group_col).alias("group"),
+        F.explode(F.split(norm, " ")).alias("term"),
+    ).where(F.col("term") != "")
+    counts = toks.groupBy("group", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("count")
+    )
+    w = Window.partitionBy("group").orderBy(F.desc("count"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("group", "term", "count", F.col("rank").cast("int").alias("rank"))
+    )

@@ -482,3 +482,22 @@ def test_ks_property_random_integer_frames(spark):
             num_partitions=3,
         ).collect()[0]["ks"]
         assert got == _ks_oracle(a, b)
+
+
+# -------------------------------------------------------- per-group top terms
+def test_top_terms_per_group(spark):
+    rows = [
+        ("a", 0, "x x x y"),
+        ("a", 1, "x y z"),
+        ("b", 2, "q q r"),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    from fastselect_spark.text import top_terms_per_group
+
+    got = {
+        (r["group"], r["rank"]): (r["term"], r["count"])
+        for r in top_terms_per_group(df, "source", k=2).collect()
+    }
+    assert got[("a", 1)] == ("x", 4) and got[("a", 2)] == ("y", 2)
+    assert got[("b", 1)] == ("q", 2) and got[("b", 2)] == ("r", 1)
+    assert len(got) == 4  # k=2 per group, nothing global
