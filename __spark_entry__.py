@@ -435,6 +435,35 @@ def _q_tool_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot profile drift (corpus/profile.py profile_drift): two
+    table_profile passes (even/odd doc_id halves) + a p-row full-outer
+    join — null-fraction / cardinality / modal-value movement per
+    column."""
+    from fastselect_spark.corpus import profile_drift
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "doc_id", "lang", "source", F.length("text").alias("n_chars")
+    )
+    a = docs.where(F.col("doc_id") % 2 == 0).drop("doc_id")
+    b = docs.where(F.col("doc_id") % 2 == 1).drop("doc_id")
+    d = profile_drift(a, b, ["lang", "source", "n_chars"])
+    return d.select(
+        "column",
+        "n_rows_a",
+        "n_rows_b",
+        F.round("null_frac_a", 9).alias("null_frac_a"),
+        F.round("null_frac_b", 9).alias("null_frac_b"),
+        F.round("null_frac_delta", 9).alias("null_frac_delta"),
+        "n_distinct_a",
+        "n_distinct_b",
+        "top_value_a",
+        "top_value_b",
+        "top_changed",
+    )
+
+
 def _q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source top-k vocabulary (text/vocab.py top_terms_per_group):
     one (group, term) agg + a group-partitioned rank window over the
@@ -2446,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture": _q_source_mixture,  # mixture-planning shares
         "group_kfold": _q_group_kfold,  # group-leakage-safe fold assignment
         "top_terms_per_source": _q_top_terms_per_source,  # per-group vocab top-k
+        "profile_drift": _q_profile_drift,  # snapshot data-quality drift
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -4661,6 +4691,61 @@ def _spearman_oracle_sql() -> str:
     )
 
 
+def _profile_drift_oracle_sql() -> str:
+    """Mirror of _q_profile_drift: the table_profile SQL body applied to
+    each doc_id-parity half (same melt, same modal tie-break), full-outer
+    joined; null fractions are exact-integer quotients."""
+    cols = ["lang", "source", "LENGTH(text)"]
+    names = ["lang", "source", "n_chars"]
+
+    def half(g: int, tag: str) -> str:
+        melt = "\n            UNION ALL ".join(
+            f"SELECT '{n}' AS col, CAST({c} AS STRING) AS value "
+            f"FROM documents WHERE doc_id % 2 = {g}"
+            for c, n in zip(cols, names)
+        )
+        return f"""
+    m{tag} AS (
+            {melt}
+    ),
+    pv{tag} AS (SELECT col, value, COUNT(*) AS cnt FROM m{tag} GROUP BY 1, 2),
+    p{tag} AS (
+        SELECT col,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN value IS NULL THEN cnt ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(COUNT(CASE WHEN value IS NOT NULL THEN 1 END) AS BIGINT)
+                   AS n_distinct,
+               MAX(CASE WHEN rk = 1 AND value IS NOT NULL THEN value END)
+                   AS top_value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY col
+                ORDER BY (value IS NULL) ASC, cnt DESC, value ASC
+            ) AS rk FROM pv{tag}
+        ) GROUP BY col
+    )"""
+
+    return f"""
+    WITH {half(0, 'a')},
+    {half(1, 'b')}
+    SELECT COALESCE(a.col, b.col) AS "column",
+           a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
+           ROUND(CAST(a.n_null AS DOUBLE) / CAST(a.n_rows AS DOUBLE), 9)
+               AS null_frac_a,
+           ROUND(CAST(b.n_null AS DOUBLE) / CAST(b.n_rows AS DOUBLE), 9)
+               AS null_frac_b,
+           ROUND(CAST(b.n_null AS DOUBLE) / CAST(b.n_rows AS DOUBLE)
+                 - CAST(a.n_null AS DOUBLE) / CAST(a.n_rows AS DOUBLE), 9)
+               AS null_frac_delta,
+           a.n_distinct AS n_distinct_a, b.n_distinct AS n_distinct_b,
+           a.top_value AS top_value_a, b.top_value AS top_value_b,
+           CAST(NOT (a.top_value IS NOT DISTINCT FROM b.top_value) AS INT)
+               AS top_changed
+    FROM pa a FULL OUTER JOIN pb b ON a.col = b.col
+    """
+
+
 def _profile_oracle_sql() -> str:
     """Mirror of corpus/profile.py table_profile over _PROFILE_COLS:
     same string canonicalization, same (nulls-last, count DESC, value ASC)
@@ -4702,6 +4787,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_correlations": _corr_oracle_sql(),
         "spearman_correlations": _spearman_oracle_sql(),
         "table_profile": _profile_oracle_sql(),
+        "profile_drift": _profile_drift_oracle_sql(),
         # thresholds: plain FLOOR truncation of (ratio*min/cnt)*1e6 — the
         # Spark side uses int() truncation on the same IEEE double, so no
         # rounding-mode divergence; hash = the shared 60-bit md5 family

@@ -17,7 +17,7 @@ from fastselect_spark.corpus.filtering import quality_filter
 from fastselect_spark.corpus.lm import lm_perplexity, perplexity_tertiles
 from fastselect_spark.corpus.packing import pack_sequences
 from fastselect_spark.corpus.pairs import contrastive_pairs
-from fastselect_spark.corpus.profile import table_profile
+from fastselect_spark.corpus.profile import profile_drift, table_profile
 from fastselect_spark.corpus.sampling import (
     cap_per_source,
     deterministic_sample,
@@ -40,6 +40,7 @@ __all__ = [
     "pack_sequences",
     "quality_filter",
     "rebalance_classes",
+    "profile_drift",
     "quality_scores",
     "table_profile",
     "sample_by_source",

@@ -71,3 +71,43 @@ def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             ).alias("top_count"),
         )
     )
+
+
+def profile_drift(
+    a: DataFrame, b: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Column-level drift between two table snapshots — the data-quality
+    complement to the value-distribution monitors (PSI/KS): null-fraction
+    movement, distinct-cardinality movement, and modal-value change per
+    column, plus schema drift (a column present in only one snapshot
+    surfaces with the other side NULL via the full-outer join).
+
+    Cost: two :func:`table_profile` passes (each ONE melt exchange +
+    a tiny rollup) + a join over the p-row profile tables. Null fractions
+    are exact-integer quotients — IEEE-identical cross-engine."""
+    keep = ["n_rows", "n_null", "n_distinct", "top_value"]
+
+    def side(df: DataFrame, s: str) -> DataFrame:
+        prof = table_profile(df, cols)
+        return prof.select(
+            "column", *[F.col(c).alias(f"{c}{s}") for c in keep]
+        )
+
+    j = side(a, "_a").join(side(b, "_b"), "column", "full_outer")
+    frac_a = F.col("n_null_a").cast("double") / F.col("n_rows_a").cast("double")
+    frac_b = F.col("n_null_b").cast("double") / F.col("n_rows_b").cast("double")
+    return j.select(
+        "column",
+        "n_rows_a",
+        "n_rows_b",
+        frac_a.alias("null_frac_a"),
+        frac_b.alias("null_frac_b"),
+        (frac_b - frac_a).alias("null_frac_delta"),
+        "n_distinct_a",
+        "n_distinct_b",
+        "top_value_a",
+        "top_value_b",
+        (
+            ~(F.col("top_value_a").eqNullSafe(F.col("top_value_b")))
+        ).cast("int").alias("top_changed"),
+    )

@@ -501,3 +501,28 @@ def test_top_terms_per_group(spark):
     assert got[("a", 1)] == ("x", 4) and got[("a", 2)] == ("y", 2)
     assert got[("b", 1)] == ("q", 2) and got[("b", 2)] == ("r", 1)
     assert len(got) == 4  # k=2 per group, nothing global
+
+
+# -------------------------------------------------------------- profile drift
+def test_profile_drift_detects_null_and_schema_drift(spark):
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x"), (4, "x")], "id long, k string"
+    )
+    b = spark.createDataFrame(
+        [(5, None), (6, None), (7, "y"), (8, "y")], "id long, k string"
+    )
+    from fastselect_spark.corpus import profile_drift
+
+    got = {r["column"]: r for r in profile_drift(a, b, ["k"]).collect()}
+    r = got["k"]
+    assert r["null_frac_a"] == 0.0 and r["null_frac_b"] == 0.5
+    assert abs(r["null_frac_delta"] - 0.5) < 1e-15
+    assert r["top_value_a"] == "x" and r["top_value_b"] == "y"
+    assert r["top_changed"] == 1
+    # schema drift: column only in snapshot b
+    b2 = b.withColumn("extra", F.lit(1))
+    got2 = {
+        r["column"]: r
+        for r in profile_drift(a, b2, None).collect()
+    }
+    assert "extra" in got2 and got2["extra"]["n_rows_a"] is None
