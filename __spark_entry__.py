@@ -1936,6 +1936,47 @@ def _q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time CATEGORICAL drift: per-2-minute-window chi-square of
+    the document lang mix against the frozen even-doc_id reference mix
+    (streaming/drift.py streaming_category_mix + category_drift_report —
+    ONE windowed agg with state bounded by windows × |alphabet|;
+    off-alphabet values land in n_other; the chi2 sum runs in an ORDERED
+    window). Complete-mode availableNow == the batch per-window SQL."""
+    from fastselect_spark.streaming import (
+        category_drift_report,
+        reference_category_mix,
+        streaming_category_mix,
+    )
+
+    _register(spark, sf_dir, "documents")
+    ref = spark.table("documents").where(F.col("doc_id") % 2 == 0)
+    props = reference_category_mix(ref, "lang")
+    cats = sorted(props)
+    path = _staged_documents_stream_path(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .join(
+            F.broadcast(spark.table("documents").select("doc_id", "lang")),
+            "doc_id",
+        )
+    )
+    mix = streaming_category_mix(stream, "lang", cats, window="2 minutes")
+    res = _run_available_now(spark, mix, "fs_stream_catmix", mode="complete")
+    rep = category_drift_report(res, cats, props)
+    return rep.select(
+        "window_start",
+        "category",
+        "n",
+        "n_other",
+        "o",
+        F.round("chi2_term", 6).alias("chi2_term"),
+        F.round("chi2", 6).alias("chi2"),
+    )
+
+
 def _q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide role Markov transition matrix: (from_role, to_role,
     n, p) over within-conversation turn successions (featurize/convagg.py
@@ -2543,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_streaming_sessions,
         "streaming_asof_enrich": _q_streaming_asof_enrich,  # oracle = batch ASOF JOIN
         "streaming_psi_drift": _q_streaming_psi_drift,  # oracle = batch window PSI
+        "streaming_category_drift": _q_streaming_category_drift,  # chi2 mix drift
         "streaming_quantiles": _q_streaming_quantiles,  # oracle = batch quantile_cont
         "role_transitions": _q_role_transitions,  # corpus role Markov matrix
         "streaming_token_rates": _q_streaming_token_rates,
@@ -6255,6 +6297,69 @@ FROM ra
            ROUND(SUM((wp.p - q.q) * LN(wp.p / q.q)), 6) AS psi
     FROM wp JOIN q ON q.b = wp.b
     GROUP BY 1
+    """
+    # streaming categorical drift == batch per-window chi2 vs the
+    # even-doc_id reference mix (complete mode; shares + chi2 terms are
+    # exact-integer-derived; ordered-window sum pins the chi2 order)
+    out["streaming_category_drift"] = r"""
+    WITH base AS (
+        SELECT d.doc_id,
+               TIMESTAMP '2026-01-01 00:00:00'
+                   + d.doc_id * INTERVAL '1 second' AS ts,
+               d.lang
+        FROM documents d
+    ),
+    refc AS (
+        SELECT lang, COUNT(*) AS c FROM base
+        WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1
+    ),
+    reft AS (SELECT SUM(c) AS t FROM refc),
+    props AS (
+        SELECT lang AS category,
+               CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS p
+        FROM refc, reft
+    ),
+    win AS (
+        SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 120) * 120) AS TIMESTAMP)
+                   AS window_start,
+               lang
+        FROM base
+    ),
+    wc AS (
+        SELECT w.window_start, p.category,
+               CAST(COUNT(x.lang) AS BIGINT) AS o
+        FROM (SELECT DISTINCT window_start FROM win) w
+        CROSS JOIN props p
+        LEFT JOIN win x
+          ON x.window_start = w.window_start AND x.lang = p.category
+        GROUP BY 1, 2
+    ),
+    wother AS (
+        SELECT window_start,
+               CAST(SUM(CASE WHEN lang NOT IN (SELECT category FROM props)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+        FROM win GROUP BY 1
+    ),
+    wn AS (SELECT window_start, SUM(o) AS n FROM wc GROUP BY 1),
+    terms AS (
+        SELECT wc.window_start, wc.category,
+               CAST(wn.n AS BIGINT) AS n, wo.n_other, wc.o,
+               CASE WHEN CAST(wn.n AS DOUBLE) * p.p > 0.0
+                    THEN (CAST(wc.o AS DOUBLE) - CAST(wn.n AS DOUBLE) * p.p)
+                         * (CAST(wc.o AS DOUBLE) - CAST(wn.n AS DOUBLE) * p.p)
+                         / (CAST(wn.n AS DOUBLE) * p.p)
+                    ELSE 0.0 END AS chi2_term
+        FROM wc
+        JOIN wn USING (window_start)
+        JOIN wother wo USING (window_start)
+        JOIN props p ON p.category = wc.category
+    )
+    SELECT window_start, category, n, n_other, o,
+           ROUND(chi2_term, 6) AS chi2_term,
+           ROUND(SUM(chi2_term) OVER (PARTITION BY window_start
+                     ORDER BY category ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING), 6) AS chi2
+    FROM terms
     """
     # streaming quantiles == batch per-window quantile_cont (complete
     # mode; Spark exact percentile == DuckDB quantile_cont, proven by the

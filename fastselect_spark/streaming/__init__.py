@@ -17,6 +17,9 @@ from fastselect_spark.streaming.asof import (  # noqa: F401
     streaming_asof_enrich,
 )
 from fastselect_spark.streaming.drift import (  # noqa: F401
+    category_drift_report,
+    reference_category_mix,
+    streaming_category_mix,
     streaming_psi,
     streaming_window_quantiles,
 )

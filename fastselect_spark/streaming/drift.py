@@ -110,3 +110,97 @@ def streaming_window_quantiles(
             for i, p in enumerate(probs)
         ],
     )
+
+
+def reference_category_mix(df, col: str) -> dict[str, float]:
+    """Frozen reference mix: category -> share over non-null rows of a
+    BATCH frame. Shares are quotients of exact integer counts (the same
+    cross-engine-exact family as text/vocab.py's Zipf shares)."""
+    rows = df.where(F.col(col).isNotNull()).groupBy(col).count().collect()
+    total = float(sum(int(r["count"]) for r in rows))
+    return {str(r[col]): int(r["count"]) / total for r in rows}
+
+
+def streaming_category_mix(
+    stream: DataFrame,
+    col: str,
+    categories: list[str],
+    window: str = "10 minutes",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """(window_start, c_<i>..., n_other) per tumbling event-time window —
+    the categorical-mix counterpart of :func:`streaming_psi`: ONE
+    windowed aggregation whose state is bounded by windows × |alphabet|
+    (counts are fixed agg expressions, one per reference category, so
+    unseen-vocabulary growth cannot blow up state — off-alphabet values
+    land in ``n_other``; NULLs are excluded on both engines). Feed the
+    result to :func:`category_drift_report` after read-back."""
+    if watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
+    aggs = [
+        F.sum((F.col(col) == c).cast("long")).alias(f"__c{i}")
+        for i, c in enumerate(categories)
+    ]
+    aggs.append(
+        F.sum((~F.col(col).isin(list(categories))).cast("long")).alias(
+            "n_other"
+        )
+    )
+    agg = stream.groupBy(F.window(ts_col, window)).agg(*aggs)
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        *[F.coalesce(F.col(f"__c{i}"), F.lit(0)).alias(f"__c{i}")
+          for i in range(len(categories))],
+        F.coalesce(F.col("n_other"), F.lit(0)).alias("n_other"),
+    )
+
+
+def category_drift_report(
+    mix: DataFrame, categories: list[str], ref_props: dict[str, float]
+) -> DataFrame:
+    """Per-(window, category) chi-square drift terms + the window's chi2
+    statistic, from a read-back :func:`streaming_category_mix` frame
+    (batch side). ``chi2 = Σ (o - e)² / e`` with ``e = n·ref_prop`` over
+    the reference alphabet; the sum runs in an ORDERED full-frame window
+    (pinned summation order — deterministic cross-engine, same discipline
+    as corpus/calibration.py's ECE)."""
+    from pyspark.sql import Window
+
+    n: Column | None = None
+    for i in range(len(categories)):
+        c = F.col(f"__c{i}").cast("double")
+        n = c if n is None else n + c
+    mix = mix.withColumn("__n", n)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("category"),
+                F.col(f"__c{i}").cast("long").alias("o"),
+                F.lit(float(ref_props[c])).alias("p"),
+            )
+            for i, c in enumerate(categories)
+        ]
+    )
+    long = mix.select(
+        "window_start", "__n", "n_other", F.explode(pairs).alias("t")
+    ).select(
+        "window_start",
+        F.col("__n").cast("long").alias("n"),
+        "n_other",
+        "t.category",
+        "t.o",
+        "t.p",
+    )
+    e = F.col("n").cast("double") * F.col("p")
+    d = F.col("o").cast("double") - e
+    long = long.withColumn(
+        "chi2_term",
+        F.when(e > 0.0, d * d / e).otherwise(F.lit(0.0)),
+    )
+    w = (
+        Window.partitionBy("window_start")
+        .orderBy("category")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return long.withColumn("chi2", F.sum("chi2_term").over(w))

@@ -526,3 +526,35 @@ def test_profile_drift_detects_null_and_schema_drift(spark):
         for r in profile_drift(a, b2, None).collect()
     }
     assert "extra" in got2 and got2["extra"]["n_rows_a"] is None
+
+
+# ------------------------------------------------- streaming category drift
+def test_category_drift_report_math(spark):
+    import datetime as dt
+
+    from fastselect_spark.streaming import category_drift_report
+
+    w0 = dt.datetime(2026, 1, 1)
+    mix = spark.createDataFrame(
+        [(w0, 30, 10, 5)],
+        "window_start timestamp, __c0 long, __c1 long, n_other long",
+    )
+    props = {"a": 0.5, "b": 0.5}
+    rep = {
+        r["category"]: r
+        for r in category_drift_report(mix, ["a", "b"], props).collect()
+    }
+    # n=40, e=20 each: chi2 = (30-20)^2/20 + (10-20)^2/20 = 10
+    assert rep["a"]["n"] == 40 and rep["a"]["n_other"] == 5
+    assert abs(rep["a"]["chi2_term"] - 5.0) < 1e-12
+    assert abs(rep["b"]["chi2"] - 10.0) < 1e-12
+
+
+def test_reference_category_mix_excludes_nulls(spark):
+    from fastselect_spark.streaming import reference_category_mix
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,)], "lang string"
+    )
+    mix = reference_category_mix(df, "lang")
+    assert mix == {"a": 2 / 3, "b": 1 / 3}
