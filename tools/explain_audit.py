@@ -504,6 +504,32 @@ def main() -> int:
         f"(broadcast joins={n_bhj})",
     )
 
+    # 24b. per-group top terms: the rank window is PARTITIONED by group —
+    # never a single-partition global sort
+    from fastselect_spark.text import top_terms_per_group
+
+    tt = top_terms_per_group(docs.select("source", "doc_id", "text"), "source", 5)
+    p = plan_of(tt, execute=True)
+    failures += not check(
+        "per-group top terms rank window is group-partitioned",
+        "SinglePartition" not in p and "Window" in p,
+    )
+
+    # 24c. profile drift: two melt scans (one per snapshot), no
+    # corpus-sized join (the full-outer join runs on p-row profiles)
+    from fastselect_spark.corpus import profile_drift
+
+    pd_ = profile_drift(
+        docs.select("lang", "source"), docs.select("lang", "source")
+    )
+    p = plan_of(pd_, execute=True)
+    n_scan = len(re.findall(r"FileScan", p))
+    failures += not check(
+        "profile drift is two profile passes joined on p rows",
+        n_scan <= 2 and "CartesianProduct" not in p,
+        f"(scans={n_scan})",
+    )
+
     # 25. contrastive pairs: both representative tables broadcast; the
     # corpus is never shuffled by bucket (reps come from partial aggs)
     from fastselect_spark.corpus import contrastive_pairs
