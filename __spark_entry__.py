@@ -1086,6 +1086,19 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries_df, k=5)
 
 
+def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (similarity/mmr.py): exact top-8 pool →
+    pool-pair cosine job (engine-rounded sims) → driver greedy (λ=0.7,
+    k=3). The oracle unrolls the greedy in MATERIALIZED CTE steps with
+    the identical λ / (1−λ) double literals."""
+    from fastselect_spark.similarity import mmr_rerank
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return mmr_rerank(emb, queries_df, k=3, pool=8, lam=0.7)
+
+
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH with the md5 hash family: every stage (shingle hash,
     min-reduction, band hash, bucket join, Jaccard verify) is transliterated
@@ -2517,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_kfold": _q_group_kfold,  # group-leakage-safe fold assignment
         "top_terms_per_source": _q_top_terms_per_source,  # per-group vocab top-k
         "profile_drift": _q_profile_drift,  # snapshot data-quality drift
+        "mmr_rerank": _q_mmr_rerank,  # diversified retrieval (driver greedy)
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -4733,6 +4747,110 @@ def _spearman_oracle_sql() -> str:
     )
 
 
+def _mmr_oracle_sql(lam: float = 0.7, k: int = 3, pool: int = 8) -> str:
+    """Mirror of _q_mmr_rerank: the exact-top-pool CTE (unrounded-cosine
+    rank, rounded rel output — same as _EMBED_TOPK_ORACLE), the rounded
+    pool-pair sim table, then the greedy unrolled one MATERIALIZED CTE
+    per step. The lambda / (1-lambda) literals are repr'd from the SAME
+    Python floats the driver greedy multiplies with (1-0.7 is NOT the
+    double 0.3 — injecting repr avoids that classic mismatch)."""
+    lam_l = repr(float(lam))
+    om_l = repr(1.0 - float(lam))
+    steps = []
+    selected = ["s1"]
+    for t in range(2, k + 1):
+        prev = selected[-1]
+        sim_joins = "\n          ".join(
+            f"JOIN simlk sl{i} ON sl{i}.query_id = p.query_id "
+            f"AND sl{i}.i = p.nid AND sl{i}.j = {s}.nid"
+            for i, s in enumerate(selected, 1)
+        )
+        sel_joins = "\n          ".join(
+            f"JOIN {s} ON {s}.query_id = p.query_id" for s in selected
+        )
+        not_in = " AND ".join(f"p.nid <> {s}.nid" for s in selected)
+        maxsim = (
+            f"GREATEST({', '.join(f'sl{i}.sim' for i in range(1, len(selected) + 1))})"
+            if len(selected) > 1
+            else "sl1.sim"
+        )
+        steps.append(f"""
+    c{t} AS MATERIALIZED (
+        SELECT p.query_id, p.nid, p.rel,
+               {lam_l} * p.rel - {om_l} * {maxsim} AS score
+        FROM pool p
+          {sel_joins}
+          {sim_joins}
+        WHERE {not_in}
+    ),
+    s{t} AS MATERIALIZED (
+        SELECT query_id, nid, rel FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, nid) AS rn FROM c{t}
+        ) WHERE rn = 1
+    )""")
+        selected.append(f"s{t}")
+    union = "\n    UNION ALL ".join(
+        f"SELECT query_id, {t} AS rank, nid AS neighbor_id, rel AS relevance FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    return f"""
+    WITH q AS MATERIALIZED (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+    z AS (
+        SELECT query_id, neighbor_id, UNNEST(qe) AS x, UNNEST(ce) AS y
+        FROM q, c WHERE query_id <> neighbor_id
+    ),
+    s AS (
+        SELECT query_id, neighbor_id,
+               SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+               / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                  * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS cosine
+        FROM z GROUP BY 1, 2
+    ),
+    pool AS MATERIALIZED (
+        SELECT query_id, neighbor_id AS nid, ROUND(cosine, 6) AS rel FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rk FROM s
+        ) WHERE rk <= {pool}
+    ),
+    pe AS MATERIALIZED (
+        SELECT vec_id AS id, embedding AS e FROM embeddings
+        WHERE vec_id IN (SELECT nid FROM pool)
+    ),
+    pz AS (
+        SELECT pa.query_id, pa.nid AS id_a, pb.nid AS id_b,
+               UNNEST(ea.e) AS x, UNNEST(eb.e) AS y
+        FROM pool pa
+        JOIN pool pb ON pb.query_id = pa.query_id AND pa.nid < pb.nid
+        JOIN pe ea ON ea.id = pa.nid
+        JOIN pe eb ON eb.id = pb.nid
+    ),
+    psim AS MATERIALIZED (
+        SELECT query_id, id_a, id_b,
+               ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+               / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                  * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
+                   AS sim
+        FROM pz GROUP BY 1, 2, 3
+    ),
+    simlk AS MATERIALIZED (
+        SELECT query_id, id_a AS i, id_b AS j, sim FROM psim
+        UNION ALL SELECT query_id, id_b, id_a, sim FROM psim
+    ),
+    s1 AS MATERIALIZED (
+        SELECT query_id, nid, rel FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY rel DESC, nid) AS rn FROM pool
+        ) WHERE rn = 1
+    ){''.join(',' + st for st in steps)}
+    {union}
+    """
+
+
 def _profile_drift_oracle_sql() -> str:
     """Mirror of _q_profile_drift: the table_profile SQL body applied to
     each doc_id-parity half (same melt, same modal tie-break), full-outer
@@ -5133,6 +5251,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_components": _COMPONENTS_ORACLE,
         "embedding_topk": _EMBED_TOPK_ORACLE,
+        "mmr_rerank": _mmr_oracle_sql(),
         # seed-deterministic recall 1.0 at its operating point (12x6-bit
         # tables, multiprobe): the exact top-k SQL is the regression oracle
         "ann_lsh_topk": _EMBED_TOPK_ORACLE,

@@ -1,0 +1,131 @@
+"""Maximal Marginal Relevance (MMR) diversified top-k retrieval
+(Carbonell & Goldstein 1998): rerank a relevance-ranked candidate pool so
+the result balances relevance against redundancy —
+
+    mmr(i) = λ·rel(i) − (1−λ)·max_{s∈selected} sim(i, s)
+
+The standard fix for near-duplicate-saturated retrieval results (the
+retrieval-side twin of the dedup family: instead of deleting near-dups
+from the corpus, keep them from crowding one query's top-k).
+
+Distributed shape: stage 1 is the exact cosine top-``pool`` scan
+(similarity/ann.py cosine_topk — broadcast queries, partition-local
+top-k, corpus never shuffled); stage 2 computes the pool's pairwise
+similarities with ONE small Spark job (pool²·|queries| rows — bounded by
+parameters, not data); stage 3 is the greedy argmax on the driver over
+those collected tables (the same driver-greedy discipline as mRMR — the
+loop is O(k·pool) per query on k-row state, not cluster work).
+
+Cross-engine determinism: every similarity is ROUNDED TO 6 ENGINE-SIDE
+before the greedy consumes it (both relevance and pair sims), so the
+driver's float arithmetic runs on values both engines agree on
+bit-for-bit; ties break by ascending neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pool_pair_sims(
+    corpus: DataFrame,
+    pool_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, id_a, id_b, sim) — rounded cosine between every
+    unordered pair of a query's pool members. The embedding fetch is a
+    broadcast semi-join of the bounded pool-id set; the pair fan-out is
+    pool² per query."""
+    ids = pool_df.select(
+        F.col("neighbor_id").alias(id_col)
+    ).distinct()
+    emb = corpus.join(F.broadcast(ids), id_col, "left_semi").select(
+        F.col(id_col).alias("__id"), F.col(emb_col).alias("__e")
+    )
+    a = pool_df.select("query_id", F.col("neighbor_id").alias("id_a"))
+    b = pool_df.select("query_id", F.col("neighbor_id").alias("id_b"))
+    pairs = a.join(b, "query_id").where(F.col("id_a") < F.col("id_b"))
+    ea = F.broadcast(emb.select(F.col("__id").alias("id_a"), F.col("__e").alias("e_a")))
+    eb = F.broadcast(emb.select(F.col("__id").alias("id_b"), F.col("__e").alias("e_b")))
+    j = pairs.join(ea, "id_a").join(eb, "id_b")
+    sim = _dot(F.col("e_a"), F.col("e_b")) / (
+        F.sqrt(_dot(F.col("e_a"), F.col("e_a")))
+        * F.sqrt(_dot(F.col("e_b"), F.col("e_b")))
+    )
+    return j.select(
+        "query_id", "id_a", "id_b", F.round(sim, 6).alias("sim")
+    )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, relevance) — the MMR-diversified
+    top-``k`` out of each query's exact top-``pool``."""
+    from fastselect_spark.similarity.ann import cosine_topk
+
+    spark = corpus.sparkSession
+    pool_df = cosine_topk(
+        corpus, queries, k=pool, emb_col=emb_col, id_col=id_col
+    ).select("query_id", "neighbor_id", F.col("cosine").alias("rel"))
+    pool_df = pool_df.localCheckpoint()  # reused by the pair job + collect
+    sims_df = pool_pair_sims(corpus, pool_df, id_col, emb_col)
+
+    rel_rows = pool_df.collect()
+    sim_rows = sims_df.collect()
+    by_q: dict = {}
+    for r in rel_rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (int(r["neighbor_id"]), float(r["rel"]))
+        )
+    sims: dict = {}
+    for r in sim_rows:
+        sims[(r["query_id"], int(r["id_a"]), int(r["id_b"]))] = float(r["sim"])
+
+    def pair_sim(q, i, j) -> float:
+        if i == j:
+            return 1.0
+        a, b = (i, j) if i < j else (j, i)
+        return sims.get((q, a, b), 0.0)
+
+    one_minus = 1.0 - float(lam)
+    out = []
+    for q, cands in by_q.items():
+        cands = sorted(cands, key=lambda t: (-t[1], t[0]))
+        selected: list[int] = []
+        rel_of = dict(cands)
+        remaining = [cid for cid, _ in cands]
+        for rank in range(1, min(k, len(remaining)) + 1):
+            best = None
+            for cid in remaining:
+                if selected:
+                    maxsim = max(pair_sim(q, cid, s) for s in selected)
+                else:
+                    maxsim = 0.0
+                score = float(lam) * rel_of[cid] - one_minus * maxsim
+                key = (-score, cid)
+                if best is None or key < best[0]:
+                    best = (key, cid)
+            cid = best[1]
+            selected.append(cid)
+            remaining.remove(cid)
+            out.append((q, rank, cid, rel_of[cid]))
+    return spark.createDataFrame(
+        out, schema="query_id long, rank int, neighbor_id long, relevance double"
+    )

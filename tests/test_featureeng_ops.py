@@ -558,3 +558,56 @@ def test_reference_category_mix_excludes_nulls(spark):
     )
     mix = reference_category_mix(df, "lang")
     assert mix == {"a": 2 / 3, "b": 1 / 3}
+
+
+# ------------------------------------------------------------------ MMR
+def test_mmr_diversifies_vs_plain_topk(spark):
+    import numpy as np
+
+    # query q; twins a,b nearly parallel to q; c diverse but still relevant
+    def row(i, v):
+        return (i, [float(x) for x in v])
+
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    a = np.array([0.99, 0.14, 0.0, 0.0])
+    b = np.array([0.99, 0.141, 0.0, 0.0])  # near-duplicate of a
+    c = np.array([0.8, 0.0, 0.6, 0.0])  # diverse direction
+    corpus = spark.createDataFrame(
+        [row(0, q), row(1, a), row(2, b), row(3, c)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.where(F.col("vec_id") == 0)
+    from fastselect_spark.similarity import cosine_topk, mmr_rerank
+
+    plain = [
+        r["neighbor_id"]
+        for r in cosine_topk(corpus, queries, k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert set(plain) == {1, 2}  # the twins crowd the top-2
+    got = (
+        mmr_rerank(corpus, queries, k=2, pool=3, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    )
+    assert got[0]["neighbor_id"] in (1, 2)  # rank 1 = max relevance
+    assert got[1]["neighbor_id"] == 3  # rank 2 trades rel for diversity
+    # rank-1 relevance must equal the plain top-1
+    assert got[0]["rank"] == 1 and got[0]["relevance"] >= got[1]["relevance"]
+
+
+def test_mmr_lambda_one_equals_plain_topk(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+    from fastselect_spark.similarity import cosine_topk, mmr_rerank
+
+    plain = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in mmr_rerank(emb, queries, k=3, pool=8, lam=1.0).collect()
+    }
+    assert got == plain  # lambda=1: pure relevance, same ranking
