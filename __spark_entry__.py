@@ -1086,6 +1086,27 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries_df, k=5)
 
 
+def _q_auc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Univariate ROC-AUC screening via Mann-Whitney U on distributed
+    average ranks (selection/rank.py auc_scores): melt + range-partition
+    two-pass ranking + one per-feature agg; AUC is an exact-rational
+    quotient of (half-)integer rank sums."""
+    from fastselect_spark.selection import auc_scores
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.length("text").cast("double").alias("n_chars"),
+        F.size(F.split("text", r"\s+")).cast("double").alias("n_toks"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
+    )
+    out = auc_scores(docs, ["n_chars", "n_toks"], "label", ["id"],
+                     num_partitions=8)
+    return out.select(
+        "feature", "n_pos", "n_neg", F.round("auc", 9).alias("auc")
+    )
+
+
 def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified retrieval (similarity/mmr.py): exact top-8 pool →
     pool-pair cosine job (engine-rounded sims) → driver greedy (λ=0.7,
@@ -2531,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_per_source": _q_top_terms_per_source,  # per-group vocab top-k
         "profile_drift": _q_profile_drift,  # snapshot data-quality drift
         "mmr_rerank": _q_mmr_rerank,  # diversified retrieval (driver greedy)
+        "auc_scores": _q_auc_scores,  # Mann-Whitney univariate screening
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -5790,6 +5812,43 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 9)
                    AS token_share
         FROM a, t
+        """,
+        # Mann-Whitney AUC from average ranks (RANK + (cnt-1)/2)
+        "auc_scores": r"""
+        WITH d AS (
+            SELECT CAST(doc_id AS STRING) AS id,
+                   CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                   CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS DOUBLE)
+                       AS n_toks,
+                   CAST(doc_id % 3 = 0 AS INT) AS y
+            FROM documents
+        ),
+        long AS (
+            SELECT id, y, 'n_chars' AS feature, n_chars AS v FROM d
+            UNION ALL SELECT id, y, 'n_toks', n_toks FROM d
+        ),
+        ranked AS (
+            SELECT id, y, feature,
+                   RANK() OVER (PARTITION BY feature ORDER BY v)
+                   + (COUNT(*) OVER (PARTITION BY feature, v) - 1) / 2.0
+                       AS rank
+            FROM long WHERE v IS NOT NULL
+        ),
+        agg AS (
+            SELECT feature,
+                   SUM(CASE WHEN y = 1 THEN rank END) AS r_pos,
+                   CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_pos,
+                   CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_neg
+            FROM ranked GROUP BY 1
+        )
+        SELECT feature, n_pos, n_neg,
+               ROUND((r_pos - CAST(n_pos AS DOUBLE)
+                              * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+                     / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 9)
+                   AS auc
+        FROM agg
         """,
         # average ranks (RANK + (cnt-1)/2) scaled by 1/(n+1), pivoted wide
         "quantile_normalize": r"""

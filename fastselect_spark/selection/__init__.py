@@ -31,6 +31,7 @@ from fastselect_spark.selection.univariate import (  # noqa: F401
     variance_threshold,
 )
 from fastselect_spark.selection.rank import (  # noqa: F401
+    auc_scores,
     average_ranks_long,
     quantile_normalize,
 )

@@ -611,3 +611,36 @@ def test_mmr_lambda_one_equals_plain_topk(spark):
         for r in mmr_rerank(emb, queries, k=3, pool=8, lam=1.0).collect()
     }
     assert got == plain  # lambda=1: pure relevance, same ranking
+
+
+# ------------------------------------------------------------------ AUC
+def test_auc_scores_match_numpy_mann_whitney(spark):
+    rng = np.random.default_rng(15)
+    n = 500
+    y = (rng.random(n) < 0.4).astype(int)
+    informative = rng.normal(0, 1, n) + 1.2 * y  # separates classes
+    noise = rng.integers(0, 5, n).astype(float)  # ties + no signal
+    pdf = pd.DataFrame(
+        {"id": np.arange(n).astype(str), "f1": informative.round(4),
+         "f2": noise, "label": y}
+    )
+    from fastselect_spark.selection import auc_scores
+
+    got = {
+        r["feature"]: r
+        for r in auc_scores(
+            spark.createDataFrame(pdf).repartition(5),
+            ["f1", "f2"], "label", ["id"], num_partitions=4,
+        ).collect()
+    }
+
+    def auc_np(x, yy):
+        order = pd.Series(x).rank(method="average").to_numpy()
+        npos, nneg = int(yy.sum()), int((1 - yy).sum())
+        return (order[yy == 1].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+
+    for c, x in (("f1", pdf["f1"]), ("f2", pdf["f2"])):
+        assert got[c]["n_pos"] == int(y.sum())
+        assert abs(got[c]["auc"] - auc_np(x.to_numpy(), y)) < 1e-12
+    assert got["f1"]["auc"] > 0.75 > got["f2"]["auc"]  # signal vs noise
+    assert abs(got["f2"]["auc"] - 0.5) < 0.1
