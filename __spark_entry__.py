@@ -1086,6 +1086,25 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries_df, k=5)
 
 
+def _q_kfold_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold leave-fold-out target encoding (featurize/encoding.py
+    kfold_target_encode over splits.group_kfold folds): one (key, fold)
+    agg bounded by cardinality × K, leave-one-out by window subtraction,
+    broadcast join back — the row table is never shuffled."""
+    from fastselect_spark.featurize import group_kfold, kfold_target_encode
+
+    tr = group_kfold(
+        _transcripts(spark, sf_dir), "conv_id", n_folds=5, seed=11
+    ).withColumn("label", F.col("tool").isNotNull().cast("int"))
+    out = kfold_target_encode(tr, ["role"], "label", "fold")
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "fold",
+        F.round("te_cv", 9).alias("te_cv"),
+    )
+
+
 def _q_auc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Univariate ROC-AUC screening via Mann-Whitney U on distributed
     average ranks (selection/rank.py auc_scores): melt + range-partition
@@ -2553,6 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_drift": _q_profile_drift,  # snapshot data-quality drift
         "mmr_rerank": _q_mmr_rerank,  # diversified retrieval (driver greedy)
         "auc_scores": _q_auc_scores,  # Mann-Whitney univariate screening
+        "kfold_target_encoding": _q_kfold_target_encoding,  # CV-consistent TE
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -5812,6 +5832,32 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 9)
                    AS token_share
         FROM a, t
+        """,
+        # leave-fold-out by window subtraction over the (key, fold) table
+        "kfold_target_encoding": f"""
+        WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+        lab AS (
+            SELECT conv_id, turn_idx, role,
+                   CAST(tool IS NOT NULL AS INT) AS label,
+                   CAST(CAST('0x' || substr(md5('11:' || conv_id), 1, 15)
+                             AS BIGINT) % 5 AS INT) AS fold
+            FROM transcripts
+        ),
+        pf AS (
+            SELECT role, fold, SUM(label) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM lab GROUP BY 1, 2
+        ),
+        loo AS (
+            SELECT role, fold,
+                   SUM(s) OVER (PARTITION BY role) - s AS s_oof,
+                   SUM(c) OVER (PARTITION BY role) - c AS c_oof
+            FROM pf
+        )
+        SELECT l.conv_id, l.turn_idx, l.fold,
+               ROUND((CAST(s_oof AS DOUBLE) + 10.0 * 0.5)
+                     / (CAST(c_oof AS DOUBLE) + 10.0), 9) AS te_cv
+        FROM lab l JOIN loo USING (role, fold)
         """,
         # Mann-Whitney AUC from average ranks (RANK + (cnt-1)/2)
         "auc_scores": r"""

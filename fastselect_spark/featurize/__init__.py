@@ -14,6 +14,7 @@ from fastselect_spark.featurize.encoding import (  # noqa: F401
     count_encode_expanding,
     frequency_encode,
     hash_encode,
+    kfold_target_encode,
     target_encode_expanding,
     woe_iv_encode,
 )

@@ -196,3 +196,45 @@ def hash_encode(
     for c in cols:
         df = df.withColumn(f"{c}{suffix}", hash_bucket(c, n_buckets, seed))
     return df
+
+
+def kfold_target_encode(
+    df: DataFrame,
+    key_cols: list[str],
+    label_col: str = "label",
+    fold_col: str = "fold",
+    prior: float = 0.5,
+    alpha: float = 10.0,
+    out_col: str = "te_cv",
+) -> DataFrame:
+    """K-fold leave-fold-out target encoding: a row in fold f receives
+    the smoothed target mean of its key computed from ALL OTHER folds —
+    the standard CV-consistent encoder for non-temporal data (the
+    expanding encoder stays the point-in-time choice for ordered data;
+    this one is for shuffled/grouped CV where each fold must not see its
+    own labels). ``fold_col`` typically comes from splits.group_kfold so
+    a conversation never contributes to its own encoding.
+
+    Shape: ONE groupBy(key, fold) agg (bounded by cardinality × K, never
+    rows) → per-key totals via a window over that tiny table →
+    leave-one-out stats by subtraction → BROADCAST join back; the row
+    table is never shuffled. All sums are exact integers, so the encoding
+    is an exact-rational quotient — IEEE-identical cross-engine."""
+    lab = F.col(label_col).cast("long")
+    per_fold = df.groupBy(*key_cols, fold_col).agg(
+        F.sum(lab).alias("__s"),
+        F.count(F.lit(1)).cast("long").alias("__c"),
+    )
+    wk = Window.partitionBy(*key_cols)
+    loo = per_fold.select(
+        *key_cols,
+        fold_col,
+        (F.sum("__s").over(wk) - F.col("__s")).alias("__s_oof"),
+        (F.sum("__c").over(wk) - F.col("__c")).alias("__c_oof"),
+    )
+    enc = (
+        F.col("__s_oof").cast("double")
+        + F.lit(float(alpha)) * F.lit(float(prior))
+    ) / (F.col("__c_oof").cast("double") + F.lit(float(alpha)))
+    loo = loo.select(*key_cols, fold_col, enc.alias(out_col))
+    return df.join(F.broadcast(loo), [*key_cols, fold_col], "left")

@@ -644,3 +644,51 @@ def test_auc_scores_match_numpy_mann_whitney(spark):
         assert abs(got[c]["auc"] - auc_np(x.to_numpy(), y)) < 1e-12
     assert got["f1"]["auc"] > 0.75 > got["f2"]["auc"]  # signal vs noise
     assert abs(got["f2"]["auc"] - 0.5) < 0.1
+
+
+# ------------------------------------------------------------- K-fold TE
+def test_kfold_target_encode_no_own_fold_leakage(spark):
+    # fold 0 rows of key 'a' all labeled 1, other folds labeled 0: a
+    # leaking encoder would pull fold-0's te toward 1; leave-fold-out
+    # must compute it from the ZEROS only
+    rows = [("a", f, 1 if f == 0 else 0) for f in (0, 0, 0, 1, 1, 2, 2)]
+    df = spark.createDataFrame(rows, "k string, fold int, label int")
+    from fastselect_spark.featurize import kfold_target_encode
+
+    got = {
+        (r["k"], r["fold"]): r["te_cv"]
+        for r in kfold_target_encode(
+            df, ["k"], "label", "fold", prior=0.5, alpha=10.0
+        ).collect()
+    }
+    # fold 0: oof = folds 1,2 -> s=0, c=4 -> (0+5)/(4+10)
+    assert abs(got[("a", 0)] - 5.0 / 14.0) < 1e-15
+    # fold 1: oof = folds 0,2 -> s=3, c=5 -> (3+5)/(5+10)
+    assert abs(got[("a", 1)] - 8.0 / 15.0) < 1e-15
+
+
+def test_kfold_target_encode_matches_pandas(spark):
+    rng = np.random.default_rng(21)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 300),
+            "fold": rng.integers(0, 4, 300),
+            "label": rng.integers(0, 2, 300),
+        }
+    )
+    from fastselect_spark.featurize import kfold_target_encode
+
+    got = (
+        kfold_target_encode(
+            spark.createDataFrame(pdf).repartition(5), ["k"], "label", "fold"
+        )
+        .toPandas()
+        .sort_values(["k", "fold"])
+    )
+    tot = pdf.groupby("k")["label"].agg(["sum", "count"])
+    per = pdf.groupby(["k", "fold"])["label"].agg(["sum", "count"])
+    for _, r in got.iterrows():
+        s_oof = tot.loc[r["k"], "sum"] - per.loc[(r["k"], r["fold"]), "sum"]
+        c_oof = tot.loc[r["k"], "count"] - per.loc[(r["k"], r["fold"]), "count"]
+        exp = (s_oof + 10.0 * 0.5) / (c_oof + 10.0)
+        assert abs(r["te_cv"] - exp) < 1e-15
