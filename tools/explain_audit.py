@@ -530,6 +530,20 @@ def main() -> int:
         f"(scans={n_scan})",
     )
 
+    # 24d. K-fold target encoding: the row table joins the tiny
+    # (key, fold) stats by BROADCAST — no row-table shuffle
+    from fastselect_spark.featurize import group_kfold, kfold_target_encode
+
+    tr_te = group_kfold(tr, "conv_id", 5, 11).withColumn(
+        "label", F.col("tool").isNotNull().cast("int")
+    )
+    te = kfold_target_encode(tr_te, ["role"], "label", "fold")
+    p = plan_of(te, execute=True)
+    failures += not check(
+        "kfold target encoding broadcasts the oof stats",
+        "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+    )
+
     # 25. contrastive pairs: both representative tables broadcast; the
     # corpus is never shuffled by bucket (reps come from partial aggs)
     from fastselect_spark.corpus import contrastive_pairs
