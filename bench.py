@@ -411,6 +411,33 @@ def default_mode() -> None:
             dd, ["n_chars", "n_toks"], ["doc_id"], num_partitions=int(CPUS)
         ).count()
         ops["quantile_normalize_sec"] = round(time.perf_counter() - t0, 3)
+        # session-5 additions: AUC screen, profile drift, MMR rerank
+        from fastselect_spark.corpus import profile_drift
+        from fastselect_spark.selection import auc_scores
+        from fastselect_spark.similarity import mmr_rerank
+
+        dl = dd.withColumn("label", (F.col("doc_id") % 3 == 0).cast("int"))
+        t0 = time.perf_counter()
+        auc_scores(
+            dl.withColumn("id", F.col("doc_id").cast("string")),
+            ["n_chars", "n_toks"],
+            "label",
+            ["id"],
+            num_partitions=int(CPUS),
+        ).count()
+        ops["auc_scores_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        profile_drift(
+            docs.where(F.col("doc_id") % 2 == 0).select("lang", "source"),
+            docs.where(F.col("doc_id") % 2 == 1).select("lang", "source"),
+        ).count()
+        ops["profile_drift_sec"] = round(time.perf_counter() - t0, 3)
+        emb2 = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        t0 = time.perf_counter()
+        ops["mmr_rows"] = mmr_rerank(
+            emb2, emb2.where(F.col("vec_id") < 10), k=5, pool=20
+        ).count()
+        ops["mmr_rerank_sec"] = round(time.perf_counter() - t0, 3)
         docs.unpersist()
         out["corpus_ops"] = ops
     except Exception as exc:  # surface the regression in the bench output
