@@ -1,9 +1,12 @@
-"""Leakage-safe categorical encodings for the transcripts feature matrix.
+"""Categorical encodings for the transcripts feature matrix — all Window
++ built-in expressions (no Python in the hot path).
 
-Three encoders, all Window + built-in expressions (no Python in the hot
-path), all honoring the zero-temporal-leakage invariant (BASELINE.json
-north_rule): every statistic a row receives is computed from STRICTLY
-EARLIER rows only, via ``rowsBetween(unboundedPreceding, -1)`` frames.
+The point-in-time encoders honor the zero-temporal-leakage invariant
+(BASELINE.json north_rule): every statistic a row receives is computed
+from STRICTLY EARLIER rows only, via ``rowsBetween(unboundedPreceding,
+-1)`` frames; ``kfold_target_encode`` is the CV-consistent alternative
+for shuffled/grouped folds (leave-fold-out); ``frequency_encode`` /
+``woe_iv_encode`` are whole-corpus statistics for static categoricals.
 
 - ``target_encode_expanding`` — smoothed expanding target mean per key:
   ``(sum_prev + alpha * prior) / (cnt_prev + alpha)``. The prior is a
