@@ -1086,6 +1086,28 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries_df, k=5)
 
 
+def _q_f_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-target univariate F (selection/univariate.py
+    f_regression_scores): ONE sufficient-stats agg; integer-valued
+    features keep the Pearson closure exact, so r and F hash-match the
+    term-for-term SQL mirror."""
+    from fastselect_spark.selection import f_regression_scores
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        F.length("text").cast("double").alias("n_chars"),
+        F.size(F.split("text", r"\s+")).cast("double").alias("n_toks"),
+        (F.length("text") - F.length(F.regexp_replace("text", "e", "")))
+        .cast("double")
+        .alias("n_echars"),
+        (F.col("doc_id") % 97).cast("double").alias("target"),
+    )
+    out = f_regression_scores(docs, ["n_chars", "n_toks", "n_echars"], "target")
+    return out.select(
+        "feature", F.round("r", 9).alias("r"), F.round("f", 9).alias("f")
+    )
+
+
 def _q_kfold_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-fold leave-fold-out target encoding (featurize/encoding.py
     kfold_target_encode over splits.group_kfold folds): one (key, fold)
@@ -2573,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": _q_mmr_rerank,  # diversified retrieval (driver greedy)
         "auc_scores": _q_auc_scores,  # Mann-Whitney univariate screening
         "kfold_target_encoding": _q_kfold_target_encoding,  # CV-consistent TE
+        "f_regression_scores": _q_f_regression,  # continuous-target univariate F
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -5832,6 +5855,57 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 9)
                    AS token_share
         FROM a, t
+        """,
+        # term-for-term Pearson closure mirror; sums exact on int features
+        "f_regression_scores": r"""
+        WITH d AS (
+            SELECT CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                   CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS DOUBLE)
+                       AS n_toks,
+                   CAST(LENGTH(text) - LENGTH(REPLACE(text, 'e', ''))
+                        AS DOUBLE) AS n_echars,
+                   CAST(doc_id % 97 AS DOUBLE) AS target
+            FROM documents
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   SUM(target) AS sy, SUM(target * target) AS syy,
+                   SUM(n_chars) AS sx_n_chars, SUM(n_chars * n_chars) AS sxx_n_chars, SUM(n_chars * target) AS sxy_n_chars,
+                   SUM(n_toks) AS sx_n_toks, SUM(n_toks * n_toks) AS sxx_n_toks, SUM(n_toks * target) AS sxy_n_toks,
+                   SUM(n_echars) AS sx_n_echars, SUM(n_echars * n_echars) AS sxx_n_echars, SUM(n_echars * target) AS sxy_n_echars
+            FROM d
+        ),
+        b AS (
+            SELECT 'n_chars' AS feature,
+                   (n * sxy_n_chars - sx_n_chars * sy) AS num,
+                   (n * sxx_n_chars - sx_n_chars * sx_n_chars)
+                       * (n * syy - sy * sy) AS den2,
+                   n
+            FROM s
+            UNION ALL
+            SELECT 'n_toks' AS feature,
+                   (n * sxy_n_toks - sx_n_toks * sy) AS num,
+                   (n * sxx_n_toks - sx_n_toks * sx_n_toks)
+                       * (n * syy - sy * sy) AS den2,
+                   n
+            FROM s
+            UNION ALL
+            SELECT 'n_echars' AS feature,
+                   (n * sxy_n_echars - sx_n_echars * sy) AS num,
+                   (n * sxx_n_echars - sx_n_echars * sx_n_echars)
+                       * (n * syy - sy * sy) AS den2,
+                   n
+            FROM s
+        ),
+        rr AS (
+            SELECT feature, n,
+                   CASE WHEN den2 > 0.0 THEN num / SQRT(den2) END AS r
+            FROM b
+        )
+        SELECT feature, ROUND(r, 9) AS r,
+               ROUND(CASE WHEN r * r < 1.0
+                          THEN r * r / (1.0 - r * r) * (n - 2.0) END, 9) AS f
+        FROM rr
         """,
         # leave-fold-out by window subtraction over the (key, fold) table
         "kfold_target_encoding": f"""

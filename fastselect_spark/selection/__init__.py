@@ -19,6 +19,7 @@ from fastselect_spark.selection.cmim import CMIMSelector, cmim_select  # noqa: F
 from fastselect_spark.selection.fcbf import FCBFSelector, fcbf_select  # noqa: F401
 from fastselect_spark.selection.univariate import (  # noqa: F401
     anova_f_score,
+    f_regression_scores,
     feature_variances,
     mad_outliers,
     mad_stats,

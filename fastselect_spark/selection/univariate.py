@@ -241,3 +241,51 @@ def variance_threshold(
     0.0, i.e. drops constants; we match that: keep ``var > threshold``)."""
     var = feature_variances(df, feature_cols)
     return [i for i in range(len(feature_cols)) if var[i] > threshold]
+
+
+def f_regression_scores(
+    df: DataFrame, feature_cols: list[str], target_col: str
+) -> DataFrame:
+    """sklearn ``f_regression`` for CONTINUOUS targets: per feature
+    ``F_j = r_j² / (1 - r_j²) · (n - 2)`` with ``r_j`` the Pearson
+    correlation between feature j and the target — the regression
+    counterpart of ANOVA-F/chi2/MI/AUC (which need a discrete label).
+
+    ONE sufficient-statistics aggregation (n, Σx, Σx², Σxy per feature +
+    Σy, Σy² once — map-side partials, p-bounded output); the closure is
+    spelled in the same term order as the oracle SQL, so on
+    integer-valued features (exact sums) the scores are IEEE-identical
+    cross-engine. Returns (feature, r, f) rows; a constant feature or
+    target yields NULL (0/0), mirroring the undefined correlation."""
+    y = F.col(target_col).cast("double")
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(y).alias("__sy"),
+        F.sum(y * y).alias("__syy"),
+    ]
+    for c in feature_cols:
+        x = F.col(c).cast("double")
+        aggs += [
+            F.sum(x).alias(f"__sx_{c}"),
+            F.sum(x * x).alias(f"__sxx_{c}"),
+            F.sum(x * y).alias(f"__sxy_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    n = float(row["__n"])
+    sy, syy = float(row["__sy"]), float(row["__syy"])
+    spark = df.sparkSession
+    out = []
+    for c in feature_cols:
+        sx = float(row[f"__sx_{c}"])
+        sxx = float(row[f"__sxx_{c}"])
+        sxy = float(row[f"__sxy_{c}"])
+        num = n * sxy - sx * sy
+        den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        if den2 <= 0.0:
+            out.append((c, None, None))
+            continue
+        r = num / den2**0.5
+        r2 = r * r
+        f = (r2 / (1.0 - r2) * (n - 2.0)) if r2 < 1.0 else None
+        out.append((c, r, f))
+    return spark.createDataFrame(out, schema="feature string, r double, f double")

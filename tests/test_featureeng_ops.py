@@ -692,3 +692,32 @@ def test_kfold_target_encode_matches_pandas(spark):
         c_oof = tot.loc[r["k"], "count"] - per.loc[(r["k"], r["fold"]), "count"]
         exp = (s_oof + 10.0 * 0.5) / (c_oof + 10.0)
         assert abs(r["te_cv"] - exp) < 1e-15
+
+
+# ----------------------------------------------------------- f_regression
+def test_f_regression_matches_numpy(spark):
+    rng = np.random.default_rng(30)
+    n = 400
+    y = rng.normal(0, 1, n).round(3)
+    x1 = (2 * y + rng.normal(0, 1, n)).round(3)  # correlated
+    x2 = rng.integers(0, 7, n).astype(float)  # independent
+    x3 = np.full(n, 5.0)  # constant -> NULL
+    pdf = pd.DataFrame({"x1": x1, "x2": x2, "x3": x3, "target": y})
+    from fastselect_spark.selection import f_regression_scores
+
+    got = {
+        r["feature"]: r
+        for r in f_regression_scores(
+            spark.createDataFrame(pdf).repartition(4),
+            ["x1", "x2", "x3"],
+            "target",
+        ).collect()
+    }
+
+    for c in ("x1", "x2"):
+        r_np = np.corrcoef(pdf[c], y)[0, 1]
+        f_np = r_np**2 / (1 - r_np**2) * (n - 2)
+        assert abs(got[c]["r"] - r_np) < 1e-9
+        assert abs(got[c]["f"] - f_np) < 1e-6 * max(1.0, f_np)
+    assert got["x3"]["r"] is None and got["x3"]["f"] is None
+    assert got["x1"]["f"] > 100 > got["x2"]["f"]
