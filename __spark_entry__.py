@@ -1086,6 +1086,28 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries_df, k=5)
 
 
+def _q_categorical_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V + Theil's U between categorical columns
+    (selection/categorical.py): ONE groupBy-all-columns cube + driver
+    marginalization (the shared-cube discipline) — never one job per
+    pair."""
+    from fastselect_spark.selection import categorical_associations
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "lang",
+        "source",
+        F.floor(F.length("text") / 400).cast("int").alias("lb"),
+    )
+    out = categorical_associations(docs, ["lang", "source", "lb"])
+    return out.select(
+        "col_a",
+        "col_b",
+        F.round("cramers_v", 6).alias("cramers_v"),
+        F.round("theils_u", 6).alias("theils_u"),
+    )
+
+
 def _q_f_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-target univariate F (selection/univariate.py
     f_regression_scores): ONE sufficient-stats agg; integer-valued
@@ -2596,6 +2618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_scores": _q_auc_scores,  # Mann-Whitney univariate screening
         "kfold_target_encoding": _q_kfold_target_encoding,  # CV-consistent TE
         "f_regression_scores": _q_f_regression,  # continuous-target univariate F
+        "categorical_associations": _q_categorical_associations,  # Cramér V / Theil U
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -4916,6 +4939,67 @@ def _mmr_oracle_sql(lam: float = 0.7, k: int = 3, pool: int = 8) -> str:
     """
 
 
+def _cat_assoc_oracle_sql() -> str:
+    """Mirror of _q_categorical_associations: per ordered pair, the
+    contingency from nonzero cells + the missing-cell chi2 correction
+    (zero cells contribute e, so chi2 = Σ_present (c−e)²/e + n − Σ_present e),
+    entropies over nonzero cells, ROUND(.,6) absorbing SQL-vs-NumPy
+    summation-order ulps (the anova/psi precedent)."""
+    cols = ["lang", "source", "lb"]
+    blocks = []
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            blocks.append(f"""
+        SELECT '{a}' AS col_a, '{b}' AS col_b,
+               ROUND(CASE WHEN LEAST(R - 1, C2 - 1) > 0
+                    THEN SQRT((chi2 / n) / LEAST(R - 1, C2 - 1))
+                    ELSE 0.0 END, 6) AS cramers_v,
+               ROUND(CASE WHEN ha > 0.0 THEN (ha - hab) / ha
+                    ELSE 1.0 END, 6) AS theils_u
+        FROM (
+            SELECT SUM((c - ri * cj / n) * (c - ri * cj / n) / (ri * cj / n))
+                       + MAX(n) - SUM(ri * cj / n) AS chi2,
+                   MAX(n) AS n,
+                   COUNT(DISTINCT va) AS R, COUNT(DISTINCT vb) AS C2,
+                   SUM(-(c / n) * LN(c / cj)) AS hab
+            FROM (
+                SELECT va, vb, c,
+                       SUM(c) OVER () AS n,
+                       SUM(c) OVER (PARTITION BY va) AS ri,
+                       SUM(c) OVER (PARTITION BY vb) AS cj
+                FROM (
+                    SELECT {a} AS va, {b} AS vb,
+                           CAST(COUNT(*) AS DOUBLE) AS c
+                    FROM d GROUP BY 1, 2
+                )
+            )
+        ),
+        (
+            SELECT -SUM((ri / n) * LN(ri / n)) AS ha FROM (
+                SELECT DISTINCT va, ri, n FROM (
+                    SELECT va, c,
+                           SUM(c) OVER () AS n,
+                           SUM(c) OVER (PARTITION BY va) AS ri
+                    FROM (
+                        SELECT {a} AS va, CAST(COUNT(*) AS DOUBLE) AS c
+                        FROM d GROUP BY 1
+                    )
+                )
+            )
+        )""")
+    body = "\n        UNION ALL".join(blocks)
+    return f"""
+    WITH d AS (
+        SELECT CAST(lang AS STRING) AS lang, CAST(source AS STRING) AS source,
+               CAST(CAST(FLOOR(LENGTH(text) / 400) AS INT) AS STRING) AS lb
+        FROM documents
+    )
+    {body}
+    """
+
+
 def _profile_drift_oracle_sql() -> str:
     """Mirror of _q_profile_drift: the table_profile SQL body applied to
     each doc_id-parity half (same melt, same modal tie-break), full-outer
@@ -5013,6 +5097,7 @@ def oracle_sql() -> dict[str, str]:
         "spearman_correlations": _spearman_oracle_sql(),
         "table_profile": _profile_oracle_sql(),
         "profile_drift": _profile_drift_oracle_sql(),
+        "categorical_associations": _cat_assoc_oracle_sql(),
         # thresholds: plain FLOOR truncation of (ratio*min/cnt)*1e6 — the
         # Spark side uses int() truncation on the same IEEE double, so no
         # rounding-mode divergence; hash = the shared 60-bit md5 family

@@ -36,6 +36,9 @@ from fastselect_spark.selection.rank import (  # noqa: F401
     average_ranks_long,
     quantile_normalize,
 )
+from fastselect_spark.selection.categorical import (  # noqa: F401
+    categorical_associations,
+)
 from fastselect_spark.selection.multivariate import (  # noqa: F401
     close_mahalanobis_stats,
     mahalanobis_distance,

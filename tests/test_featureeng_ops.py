@@ -721,3 +721,45 @@ def test_f_regression_matches_numpy(spark):
         assert abs(got[c]["f"] - f_np) < 1e-6 * max(1.0, f_np)
     assert got["x3"]["r"] is None and got["x3"]["f"] is None
     assert got["x1"]["f"] > 100 > got["x2"]["f"]
+
+
+# ------------------------------------------------- categorical associations
+def test_categorical_associations_known_cases(spark):
+    rng = np.random.default_rng(40)
+    a = rng.choice(["x", "y", "z"], 600)
+    b = a.copy()  # perfect association
+    c = rng.choice(["p", "q"], 600)  # independent of a
+    pdf = pd.DataFrame({"a": a, "b": b, "c": c})
+    from fastselect_spark.selection import categorical_associations
+
+    got = {
+        (r["col_a"], r["col_b"]): r
+        for r in categorical_associations(
+            spark.createDataFrame(pdf).repartition(4), ["a", "b", "c"]
+        ).collect()
+    }
+    assert abs(got[("a", "b")]["cramers_v"] - 1.0) < 1e-9
+    assert abs(got[("a", "b")]["theils_u"] - 1.0) < 1e-9
+    assert got[("a", "c")]["cramers_v"] < 0.15  # near-independent
+    assert got[("a", "c")]["theils_u"] < 0.05
+    # V symmetric; U need not be
+    assert abs(
+        got[("a", "c")]["cramers_v"] - got[("c", "a")]["cramers_v"]
+    ) < 1e-12
+
+
+def test_categorical_associations_asymmetric_u(spark):
+    # b determines a (a = first char of b) but not vice versa:
+    # U(a|b) = 1, U(b|a) < 1
+    rows = [("x", "x1"), ("x", "x2"), ("y", "y1"), ("y", "y2")] * 50
+    pdf = pd.DataFrame(rows, columns=["a", "b"])
+    from fastselect_spark.selection import categorical_associations
+
+    got = {
+        (r["col_a"], r["col_b"]): r["theils_u"]
+        for r in categorical_associations(
+            spark.createDataFrame(pdf), ["a", "b"]
+        ).collect()
+    }
+    assert abs(got[("a", "b")] - 1.0) < 1e-12
+    assert got[("b", "a")] < 0.6
