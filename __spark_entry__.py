@@ -1086,6 +1086,79 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries_df, k=5)
 
 
+_PCORR_COLS = ["n_chars", "n_toks", "n_echars"]
+
+
+def _q_partial_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation matrix (selection/correlation.py
+    partial_correlation_matrix): one sufficient-stats pass + driver
+    inverse; integer features keep the closure exact, so the distributed
+    stats match the oracle's independent single-process replica
+    bit-for-bit."""
+    from fastselect_spark.selection.correlation import (
+        correlation_table,
+        partial_correlation_matrix,
+    )
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        F.length("text").cast("double").alias("n_chars"),
+        F.size(F.split("text", r"\s+")).cast("double").alias("n_toks"),
+        (F.length("text") - F.length(F.regexp_replace("text", "e", "")))
+        .cast("double")
+        .alias("n_echars"),
+    )
+    pc = partial_correlation_matrix(docs, _PCORR_COLS, impl="agg")
+    tbl = correlation_table(spark, pc, _PCORR_COLS, round_to=None)
+    return tbl.select(
+        "feature_a", "feature_b", F.round("corr", 6).alias("partial_r")
+    )
+
+
+def _partial_corr_oracle_sql() -> str | None:
+    """Independent replica for ``partial_correlations``: DuckDB feature
+    extraction + NumPy exact-integer sums + the SAME _corr_from_stats /
+    inverse closure — bit-identical to the distributed fit by
+    construction; the oracle emits the replica's values (the
+    NumPy-replica-literal family of kmeans/PCA/Mahalanobis)."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        import duckdb as _duck
+        import numpy as _np
+
+        from fastselect_spark.selection.correlation import _corr_from_stats
+
+        con = _duck.connect()
+        M = con.sql(
+            rf"""
+            SELECT CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                   CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS DOUBLE) AS n_toks,
+                   CAST(LENGTH(text) - LENGTH(REPLACE(text, 'e', ''))
+                        AS DOUBLE) AS n_echars
+            FROM read_parquet('{sf_dir}/documents.parquet')
+            """
+        ).df()[_PCORR_COLS].to_numpy()
+        con.close()
+        corr = _corr_from_stats(float(len(M)), M.sum(axis=0), M.T @ M)
+        prec = _np.linalg.inv(corr)
+        d = _np.sqrt(_np.diag(prec))
+        pc = -prec / _np.outer(d, d)
+    except Exception:
+        return None
+    rows = ",\n        ".join(
+        f"('{_PCORR_COLS[i]}', '{_PCORR_COLS[j]}', ROUND({float(pc[i, j])!r}, 6))"
+        for i in range(len(_PCORR_COLS))
+        for j in range(i + 1, len(_PCORR_COLS))
+    )
+    return f"""
+    SELECT * FROM (VALUES
+        {rows}
+    ) AS t(feature_a, feature_b, partial_r)
+    """
+
+
 def _q_categorical_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cramér's V + Theil's U between categorical columns
     (selection/categorical.py): ONE groupBy-all-columns cube + driver
@@ -2619,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_target_encoding": _q_kfold_target_encoding,  # CV-consistent TE
         "f_regression_scores": _q_f_regression,  # continuous-target univariate F
         "categorical_associations": _q_categorical_associations,  # Cramér V / Theil U
+        "partial_correlations": _q_partial_correlations,  # confounder-adjusted r
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -6600,6 +6674,9 @@ FROM ra
     ivf = _ivf_topk_oracle_sql()
     if ivf is not None:
         out["ann_ivf_topk"] = ivf
+    pcorr = _partial_corr_oracle_sql()
+    if pcorr is not None:
+        out["partial_correlations"] = pcorr
     maha = _mahalanobis_oracle_sql()
     if maha is not None:
         out["mahalanobis_outliers"] = maha

@@ -180,3 +180,39 @@ def spearman_matrix(
         .agg(F.first("rank"))
     )
     return correlation_matrix(wide, feature_cols, impl)
+
+
+def partial_correlation_matrix(
+    df: DataFrame, feature_cols: list[str], impl: str = "auto"
+) -> np.ndarray:
+    """(p, p) partial correlation matrix: the correlation between every
+    feature pair CONTROLLING for all other features — the standard way to
+    separate direct linear relationships from ones routed through a
+    confounder (a pair with high Pearson r but near-zero partial r is
+    explained away by the rest of the matrix).
+
+    Derivation: invert the Pearson matrix (driver NumPy over the p×p
+    closure — the same fit-is-a-pure-function-of-sufficient-stats
+    discipline as multivariate.py), then
+
+        partial_ij = -P_ij / sqrt(P_ii * P_jj),   diag = 1.
+
+    Cost: identical to :func:`correlation_matrix` (one sufficient-stats
+    pass); the inverse is O(p³) driver work. Raises the multivariate
+    singularity contract error on exactly collinear features."""
+    corr = correlation_matrix(df, feature_cols, impl)
+    # explicit conditioning guard: LAPACK only raises on an exactly-zero
+    # pivot, which is environment-dependent for collinear inputs (observed:
+    # the same [[1,1],[1,1]] raises in one process and "inverts" to garbage
+    # in another) — test the condition number instead
+    if not np.all(np.isfinite(corr)) or np.linalg.cond(corr) > 1e12:
+        raise ValueError(
+            "singular correlation matrix — exactly collinear or constant "
+            "features; prune them (prune_correlated / variance_threshold) "
+            "before partial correlations"
+        )
+    prec = np.linalg.inv(corr)
+    d = np.sqrt(np.diag(prec))
+    out = -prec / np.outer(d, d)
+    np.fill_diagonal(out, 1.0)
+    return out

@@ -763,3 +763,43 @@ def test_categorical_associations_asymmetric_u(spark):
     }
     assert abs(got[("a", "b")] - 1.0) < 1e-12
     assert got[("b", "a")] < 0.6
+
+
+# --------------------------------------------------- partial correlations
+def test_partial_correlation_explains_away_confounder(spark):
+    rng = np.random.default_rng(50)
+    n = 800
+    z = rng.integers(0, 40, n).astype(float)  # confounder
+    x = z + rng.integers(0, 5, n)  # x and y both driven by z
+    y = z + rng.integers(0, 5, n)
+    pdf = pd.DataFrame({"x": x, "y": y, "z": z})
+    from fastselect_spark.selection.correlation import (
+        correlation_matrix,
+        partial_correlation_matrix,
+    )
+
+    d = spark.createDataFrame(pdf).repartition(4)
+    corr = correlation_matrix(d, ["x", "y", "z"], impl="agg")
+    pc = partial_correlation_matrix(d, ["x", "y", "z"], impl="agg")
+    # marginal x-y correlation is strong; controlling for z kills it
+    assert corr[0, 1] > 0.8
+    assert abs(pc[0, 1]) < 0.15
+    # matches the NumPy closed form from the same correlation matrix
+    prec = np.linalg.inv(corr)
+    dd = np.sqrt(np.diag(prec))
+    exp = -prec / np.outer(dd, dd)
+    np.fill_diagonal(exp, 1.0)
+    assert np.allclose(pc, exp, atol=0, rtol=0)
+
+
+def test_partial_correlation_singular_raises(spark):
+    x = np.arange(50.0)
+    pdf = pd.DataFrame({"a": x, "b": 2 * x})  # exactly collinear
+    from fastselect_spark.selection.correlation import (
+        partial_correlation_matrix,
+    )
+
+    with pytest.raises(ValueError, match="singular correlation"):
+        partial_correlation_matrix(
+            spark.createDataFrame(pdf), ["a", "b"], impl="agg"
+        )
