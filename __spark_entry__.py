@@ -1159,6 +1159,19 @@ def _partial_corr_oracle_sql() -> str | None:
     """
 
 
+def _q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table health gate (similarity/mmr.py embedding_health):
+    per-vector L2 norm (rounded engine-side — the sequential-fold vs
+    unordered-SUM ulp boundary), zero/NaN flags, MAD-outlier norms."""
+    from fastselect_spark.similarity import embedding_health
+
+    _register(spark, sf_dir, "embeddings")
+    out = embedding_health(spark.table("embeddings"))
+    return out.select(
+        "vec_id", "dim", "l2_norm", "is_zero", "has_nan", "norm_out"
+    )
+
+
 def _q_categorical_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cramér's V + Theil's U between categorical columns
     (selection/categorical.py): ONE groupBy-all-columns cube + driver
@@ -2693,6 +2706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_regression_scores": _q_f_regression,  # continuous-target univariate F
         "categorical_associations": _q_categorical_associations,  # Cramér V / Theil U
         "partial_correlations": _q_partial_correlations,  # confounder-adjusted r
+        "embedding_health": _q_embedding_health,  # vector-table quality gate
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -6014,6 +6028,34 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 9)
                    AS token_share
         FROM a, t
+        """,
+        # per-vector norms from UNNEST sums, MAD flags mirrored
+        "embedding_health": r"""
+        WITH u AS (
+            SELECT vec_id, UNNEST(embedding) AS x FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id,
+                   SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS s2,
+                   CAST(SUM(CASE WHEN ISNAN(CAST(x AS DOUBLE))
+                                 THEN 1 ELSE 0 END) > 0 AS INT) AS has_nan
+            FROM u GROUP BY 1
+        ),
+        b AS (
+            SELECT e.vec_id, CAST(LEN(e.embedding) AS INT) AS dim,
+                   ROUND(SQRT(s.s2), 6) AS l2_norm,
+                   CAST(s.s2 = 0.0 AS INT) AS is_zero,
+                   s.has_nan
+            FROM embeddings e JOIN s ON s.vec_id = e.vec_id
+        ),
+        m AS (SELECT QUANTILE_CONT(l2_norm, 0.5) AS med FROM b),
+        md AS (
+            SELECT QUANTILE_CONT(ABS(l2_norm - med), 0.5) AS mad FROM b, m
+        )
+        SELECT vec_id, dim, l2_norm, is_zero, has_nan,
+               CAST(ABS(l2_norm - med) > 3.5 * 1.4826 * mad AS INT)
+                   AS norm_out
+        FROM b, m, md
         """,
         # term-for-term Pearson closure mirror; sums exact on int features
         "f_regression_scores": r"""

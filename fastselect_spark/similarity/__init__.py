@@ -17,3 +17,4 @@ from fastselect_spark.similarity.pca import (  # noqa: F401
     train_pca_numpy,
 )
 from fastselect_spark.similarity.mmr import mmr_rerank, pool_pair_sims  # noqa: F401
+from fastselect_spark.similarity.mmr import embedding_health  # noqa: F401

@@ -129,3 +129,48 @@ def mmr_rerank(
     return spark.createDataFrame(
         out, schema="query_id long, rank int, neighbor_id long, relevance double"
     )
+
+
+def embedding_health(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: float = 3.5,
+) -> DataFrame:
+    """Per-vector health record for an embedding table — the data-quality
+    gate an ANN/dedup pipeline should run before trusting cosine math:
+
+    (id, dim, l2_norm, is_zero, has_nan, norm_out) where ``norm_out``
+    flags MAD-outlier norms (|norm − median| > k·1.4826·MAD — collapsed
+    or exploded vectors from a bad encoder batch) and ``is_zero`` marks
+    exactly-zero vectors (cosine undefined). One projection scan for the
+    per-vector stats + the two exact-percentile MAD aggs
+    (selection/univariate.py); the flagging is a literal projection."""
+    from fastselect_spark.selection import mad_outliers, mad_stats
+
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(emb_col),
+            F.col(emb_col),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    has_nan = F.exists(F.col(emb_col), lambda v: F.isnan(v.cast("double")))
+    # norms round to 6 ENGINE-side before the MAD fit: Spark's aggregate()
+    # folds the array sequentially while SQL SUM(UNNEST) is unordered, so
+    # the raw sums differ in ulps — the rounded norms are the cross-engine
+    # contract surface. Persisted: the MAD fit reads it twice.
+    base = corpus.select(
+        F.col(id_col),
+        F.size(F.col(emb_col)).alias("dim"),
+        F.round(F.sqrt(dot), 6).alias("l2_norm"),
+        (dot == 0.0).cast("int").alias("is_zero"),
+        has_nan.cast("int").alias("has_nan"),
+    ).persist()
+    med, mad = mad_stats(base, ["l2_norm"])
+    out = mad_outliers(base, ["l2_norm"], med, mad, k=k)
+    out = out.withColumnRenamed("l2_norm_out", "norm_out").localCheckpoint()
+    base.unpersist()
+    return out

@@ -803,3 +803,27 @@ def test_partial_correlation_singular_raises(spark):
         partial_correlation_matrix(
             spark.createDataFrame(pdf), ["a", "b"], impl="agg"
         )
+
+
+# --------------------------------------------------------- embedding health
+def test_embedding_health_flags_planted_defects(spark):
+    rng = np.random.default_rng(60)
+    rows = []
+    for i in range(100):
+        v = rng.normal(0, 1, 8)
+        v = v / np.linalg.norm(v)  # unit norms
+        rows.append((i, [float(x) for x in v]))
+    rows.append((100, [0.0] * 8))  # zero vector
+    rows.append((101, [float("nan")] + [0.5] * 7))  # NaN
+    rows.append((102, [50.0] * 8))  # exploded norm
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from fastselect_spark.similarity import embedding_health
+
+    got = {r["vec_id"]: r for r in embedding_health(d).collect()}
+    assert got[100]["is_zero"] == 1 and got[100]["l2_norm"] == 0.0
+    assert got[101]["has_nan"] == 1
+    assert got[102]["norm_out"] == 1 and got[102]["l2_norm"] > 100
+    assert got[0]["is_zero"] == 0 and got[0]["has_nan"] == 0
+    assert abs(got[0]["l2_norm"] - 1.0) < 1e-6
+    # healthy unit vectors are not norm outliers
+    assert sum(got[i]["norm_out"] for i in range(100)) == 0
