@@ -1159,6 +1159,31 @@ def _partial_corr_oracle_sql() -> str | None:
     """
 
 
+def _q_binned_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-feature MI via equal-frequency binning
+    (selection/univariate.py quantile_discretize → selection/mi.py
+    mi_pair): one percentile agg fits the edges (literal-projection
+    transform), then the standard discrete-MI contingency — the on-ramp
+    that lets every discrete scorer consume continuous features."""
+    from fastselect_spark.selection import quantile_discretize
+    from fastselect_spark.selection.mi import mi_pair
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        F.length("text").cast("double").alias("n_chars"),
+        F.size(F.split("text", r"\s+")).cast("double").alias("n_toks"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("y"),
+    )
+    binned, _ = quantile_discretize(docs, ["n_chars", "n_toks"], bins=4)
+    rows = [
+        (f"{c}_q", mi_pair(binned, f"{c}_q", "y", unit="bit"))
+        for c in ["n_chars", "n_toks"]
+    ]
+    return spark.createDataFrame(
+        rows, schema="feature string, mi_bits double"
+    ).select("feature", F.round("mi_bits", 6).alias("mi_bits"))
+
+
 def _q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-table health gate (similarity/mmr.py embedding_health):
     per-vector L2 norm (rounded engine-side — the sequential-fold vs
@@ -2707,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorical_associations": _q_categorical_associations,  # Cramér V / Theil U
         "partial_correlations": _q_partial_correlations,  # confounder-adjusted r
         "embedding_health": _q_embedding_health,  # vector-table quality gate
+        "binned_mi": _q_binned_mi,  # continuous features -> discrete MI
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -6028,6 +6054,52 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 9)
                    AS token_share
         FROM a, t
+        """,
+        # quantile_cont edges + the shared discrete-MI contingency form
+        "binned_mi": r"""
+        WITH d AS (
+            SELECT CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                   CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS DOUBLE)
+                       AS n_toks,
+                   CAST(doc_id % 3 = 0 AS INT) AS y
+            FROM documents
+        ),
+        e AS (
+            SELECT QUANTILE_CONT(n_chars, 0.25) AS c1,
+                   QUANTILE_CONT(n_chars, 0.50) AS c2,
+                   QUANTILE_CONT(n_chars, 0.75) AS c3,
+                   QUANTILE_CONT(n_toks, 0.25) AS t1,
+                   QUANTILE_CONT(n_toks, 0.50) AS t2,
+                   QUANTILE_CONT(n_toks, 0.75) AS t3
+            FROM d
+        ),
+        m AS (
+            SELECT CAST(n_chars > c1 AS INT) + CAST(n_chars > c2 AS INT)
+                       + CAST(n_chars > c3 AS INT) AS f_chars,
+                   CAST(n_toks > t1 AS INT) + CAST(n_toks > t2 AS INT)
+                       + CAST(n_toks > t3 AS INT) AS f_toks,
+                   y
+            FROM d, e
+        ),
+        long AS (
+            SELECT 'n_chars_q' AS feature, f_chars AS v, y FROM m
+            UNION ALL SELECT 'n_toks_q', f_toks, y FROM m
+        ),
+        joint AS (
+            SELECT feature, v, y, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM long GROUP BY 1, 2, 3
+        ),
+        tot AS (SELECT feature, SUM(c) AS n FROM joint GROUP BY 1),
+        px AS (SELECT feature, v, SUM(c) AS cx FROM joint GROUP BY 1, 2),
+        py AS (SELECT feature, y, SUM(c) AS cy FROM joint GROUP BY 1, 2)
+        SELECT j.feature,
+               ROUND(SUM((c / n) * LOG2((c / n)
+                     / ((cx / n) * (cy / n) + 1e-12))), 6) AS mi_bits
+        FROM joint j
+        JOIN tot USING (feature)
+        JOIN px USING (feature, v)
+        JOIN py USING (feature, y)
+        GROUP BY j.feature
         """,
         # per-vector norms from UNNEST sums, MAD flags mirrored
         "embedding_health": r"""

@@ -24,6 +24,7 @@ from fastselect_spark.selection.univariate import (  # noqa: F401
     mad_outliers,
     mad_stats,
     quantile_clip,
+    quantile_discretize,
     quantile_stats,
     robust_scale,
     robust_scaler_stats,

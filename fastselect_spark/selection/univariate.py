@@ -12,7 +12,7 @@ is embarrassingly partition-parallel, the same shape as ``fisher.py``.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -289,3 +289,27 @@ def f_regression_scores(
         f = (r2 / (1.0 - r2) * (n - 2.0)) if r2 < 1.0 else None
         out.append((c, r, f))
     return spark.createDataFrame(out, schema="feature string, r double, f double")
+
+
+def quantile_discretize(
+    df: DataFrame,
+    feature_cols: list[str],
+    bins: int = 4,
+    suffix: str = "_q",
+) -> tuple[DataFrame, dict[str, list[float]]]:
+    """Equal-frequency discretization: bin = number of interior quantile
+    edges STRICTLY BELOW x (edges at i/bins, i = 1..bins-1, from the exact
+    cross-engine percentile family). The continuous-feature on-ramp to
+    every discrete scorer (MI/chi2/mRMR/CFS want integer codes): one
+    percentile agg fits the edges, the transform is a pure literal
+    projection — shuffle-free at any scale. Duplicate edges (heavy ties)
+    merge bins naturally. Returns (df_with_codes, edges)."""
+    qs = [i / bins for i in range(1, bins)]
+    edges = quantile_stats(df, feature_cols, qs)
+    for c in feature_cols:
+        x = F.col(c).cast("double")
+        b: Column = F.lit(0)
+        for e in edges[c]:
+            b = b + (x > F.lit(float(e))).cast("int")
+        df = df.withColumn(f"{c}{suffix}", b.cast("int"))
+    return df, edges

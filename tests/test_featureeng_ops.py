@@ -827,3 +827,38 @@ def test_embedding_health_flags_planted_defects(spark):
     assert abs(got[0]["l2_norm"] - 1.0) < 1e-6
     # healthy unit vectors are not norm outliers
     assert sum(got[i]["norm_out"] for i in range(100)) == 0
+
+
+# ------------------------------------------------------ quantile discretize
+def test_quantile_discretize_equal_frequency(spark):
+    rng = np.random.default_rng(70)
+    x = rng.normal(0, 1, 1000).round(4)
+    pdf = pd.DataFrame({"x": x})
+    from fastselect_spark.selection import quantile_discretize
+
+    binned, edges = quantile_discretize(
+        spark.createDataFrame(pdf).repartition(4), ["x"], bins=4
+    )
+    counts = (
+        binned.groupBy("x_q").count().toPandas().set_index("x_q")["count"]
+    )
+    # 4 roughly equal bins over continuous data
+    assert set(counts.index) == {0, 1, 2, 3}
+    assert counts.max() - counts.min() <= 4
+    # edges equal NumPy percentiles (the cross-engine family)
+    exp = np.percentile(x, [25, 50, 75])
+    assert np.allclose(edges["x"], exp, atol=1e-12)  # Spark==DuckDB exactly; NumPy ulp-close
+    # monotone mapping
+    j = binned.toPandas().sort_values("x")
+    assert (j["x_q"].diff().dropna() >= 0).all()
+
+
+def test_quantile_discretize_heavy_ties_merge_bins(spark):
+    x = np.array([1.0] * 90 + [2.0] * 10)
+    from fastselect_spark.selection import quantile_discretize
+
+    binned, _ = quantile_discretize(
+        spark.createDataFrame(pd.DataFrame({"x": x})), ["x"], bins=4
+    )
+    got = {r["x_q"] for r in binned.select("x_q").distinct().collect()}
+    assert len(got) == 2  # duplicate edges collapse
