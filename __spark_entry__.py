@@ -1159,6 +1159,23 @@ def _partial_corr_oracle_sql() -> str | None:
     """
 
 
+def _q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle novelty vs a reference corpus (corpus/decontaminate.py
+    novelty_scores): fraction of each doc's distinct 3-grams absent from
+    the doc_id%37==0 reference slice — broadcast reference set, emitted
+    for no-hit docs too."""
+    from fastselect_spark.corpus import novelty_scores
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    ref = docs.where(F.col("doc_id") % 37 == 0)
+    cur = docs.where(F.col("doc_id") % 37 != 0)
+    out = novelty_scores(cur, ref)
+    return out.select(
+        "doc_id", "n_shingles", "n_seen", F.round("novelty", 6).alias("novelty")
+    )
+
+
 def _q_binned_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-feature MI via equal-frequency binning
     (selection/univariate.py quantile_discretize → selection/mi.py
@@ -2733,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partial_correlations": _q_partial_correlations,  # confounder-adjusted r
         "embedding_health": _q_embedding_health,  # vector-table quality gate
         "binned_mi": _q_binned_mi,  # continuous features -> discrete MI
+        "novelty_scores": _q_novelty_scores,  # shingle freshness vs reference
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -6054,6 +6072,36 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 9)
                    AS token_share
         FROM a, t
+        """,
+        # same shingle derivation as decontaminate; novelty for no-hit docs
+        "novelty_scores": """
+        WITH norm AS (
+            SELECT doc_id,
+                   STRING_SPLIT(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, UNNEST(toks) AS tok, UNNEST(RANGE(1, LEN(toks) + 1)) AS pos
+            FROM norm
+        ),
+        sh AS (
+            SELECT doc_id,
+                   tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+        ref AS (SELECT DISTINCT shingle FROM shd WHERE doc_id % 37 = 0),
+        corp AS (SELECT doc_id, shingle FROM shd WHERE doc_id % 37 <> 0),
+        tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM corp GROUP BY 1),
+        hit AS (
+            SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+            FROM corp c JOIN ref USING (shingle) GROUP BY 1
+        )
+        SELECT t.doc_id, t.n_sh AS n_shingles,
+               COALESCE(h.n_hit, 0) AS n_seen,
+               ROUND(1.0 - CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                     / CAST(t.n_sh AS DOUBLE), 6) AS novelty
+        FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
         """,
         # quantile_cont edges + the shared discrete-MI contingency form
         "binned_mi": r"""

@@ -4,6 +4,7 @@ from fastselect_spark.corpus.classifier import (
     train_quality_classifier_numpy,
 )
 from fastselect_spark.corpus.decontaminate import (
+    novelty_scores,
     contamination_hits,
     decontaminate,
 )

@@ -89,3 +89,44 @@ def decontaminate(
         & (F.col("hit_frac") >= min_hit_frac)
     ).select(id_col)
     return corpus.join(bad, id_col, "left_anti")
+
+
+def novelty_scores(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str | None = None,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc_id, n_shingles, n_seen, novelty) for EVERY corpus doc with at
+    least one shingle — ``novelty`` is the fraction of the doc's distinct
+    ``shingle_k``-grams ABSENT from the reference corpus: the freshness
+    score for training-mixture planning (novelty ≈ 0 means the doc is
+    phrase-level redundant with what the model already saw; the
+    complement of contamination_hits' hit_frac, but emitted for no-hit
+    docs too). Two corpus scans (the hit join + the per-doc shingle
+    count); the reference shingle set is broadcast, same as
+    decontaminate."""
+    hits = contamination_hits(
+        corpus, reference, text_col, id_col, ref_text_col, shingle_k
+    )
+    base = corpus.select(
+        F.col(id_col),
+        F.size(_shingles(F.col(text_col), shingle_k))
+        .cast("long")
+        .alias("n_shingles"),
+    ).where(F.col("n_shingles") > 0)
+    j = base.join(
+        hits.select(id_col, "n_hit_shingles"), id_col, "left"
+    )
+    n_seen = F.coalesce(F.col("n_hit_shingles"), F.lit(0)).cast("long")
+    return j.select(
+        id_col,
+        "n_shingles",
+        n_seen.alias("n_seen"),
+        (
+            F.lit(1.0)
+            - n_seen.cast("double") / F.col("n_shingles").cast("double")
+        ).alias("novelty"),
+    )

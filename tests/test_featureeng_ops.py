@@ -862,3 +862,26 @@ def test_quantile_discretize_heavy_ties_merge_bins(spark):
     )
     got = {r["x_q"] for r in binned.select("x_q").distinct().collect()}
     assert len(got) == 2  # duplicate edges collapse
+
+
+# ----------------------------------------------------------- novelty scores
+def test_novelty_scores_planted(spark):
+    ref = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    cur = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # verbatim
+            (2, "completely fresh text with novel phrasing here"),
+            (3, "the quick brown fox went somewhere else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    from fastselect_spark.corpus import novelty_scores
+
+    got = {r["doc_id"]: r for r in novelty_scores(cur, ref).collect()}
+    assert got[1]["novelty"] == 0.0  # verbatim copy: nothing new
+    assert got[2]["novelty"] == 1.0  # fully novel
+    assert 0.0 < got[3]["novelty"] < 1.0  # shared prefix only
+    assert got[3]["n_seen"] == 2  # 'the quick brown', 'quick brown fox'
