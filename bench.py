@@ -438,6 +438,34 @@ def default_mode() -> None:
             emb2, emb2.where(F.col("vec_id") < 10), k=5, pool=20
         ).count()
         ops["mmr_rerank_sec"] = round(time.perf_counter() - t0, 3)
+        from fastselect_spark.corpus import novelty_scores
+        from fastselect_spark.selection import (
+            categorical_associations,
+            quantile_discretize,
+        )
+        from fastselect_spark.similarity import embedding_health
+
+        t0 = time.perf_counter()
+        ops["embedding_health_rows"] = embedding_health(emb2).count()
+        ops["embedding_health_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        novelty_scores(
+            docs.where(F.col("doc_id") % 37 != 0),
+            docs.where(F.col("doc_id") % 37 == 0),
+        ).count()
+        ops["novelty_scores_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        categorical_associations(
+            docs.selectExpr(
+                "lang", "source",
+                "CAST(FLOOR(LENGTH(text) / 400) AS INT) AS lb",
+            ),
+            ["lang", "source", "lb"],
+        ).count()
+        ops["categorical_assoc_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        quantile_discretize(dd, ["n_chars", "n_toks"], bins=8)[0].count()
+        ops["quantile_discretize_sec"] = round(time.perf_counter() - t0, 3)
         docs.unpersist()
         out["corpus_ops"] = ops
     except Exception as exc:  # surface the regression in the bench output
