@@ -1159,6 +1159,18 @@ def _partial_corr_oracle_sql() -> str | None:
     """
 
 
+def _q_dedup_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-conversation turn dedup (dedup/exact.py
+    dedup_turns_within_conversation): first occurrence per (conv,
+    fingerprint) survives — transcript boilerplate removal on the shared
+    conv-keyed exchange."""
+    from fastselect_spark.dedup import dedup_turns_within_conversation
+
+    tr = _transcripts(spark, sf_dir)
+    out = dedup_turns_within_conversation(tr)
+    return out.select("conv_id", "turn_idx", "role", "tool")
+
+
 def _q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle novelty vs a reference corpus (corpus/decontaminate.py
     novelty_scores): fraction of each doc's distinct 3-grams absent from
@@ -2751,6 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_health": _q_embedding_health,  # vector-table quality gate
         "binned_mi": _q_binned_mi,  # continuous features -> discrete MI
         "novelty_scores": _q_novelty_scores,  # shingle freshness vs reference
+        "dedup_turns": _q_dedup_turns,  # within-conversation boilerplate removal
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -6072,6 +6085,21 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 9)
                    AS token_share
         FROM a, t
+        """,
+        # first occurrence per (conv, normalized-text md5)
+        "dedup_turns": f"""
+        WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+        fp AS (
+            SELECT conv_id, turn_idx, role, tool,
+                   md5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')))
+                       AS fpx
+            FROM transcripts
+        )
+        SELECT conv_id, turn_idx, role, tool FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, fpx
+                                         ORDER BY turn_idx) AS rn
+            FROM fp
+        ) WHERE rn = 1
         """,
         # same shingle derivation as decontaminate; novelty for no-hit docs
         "novelty_scores": """

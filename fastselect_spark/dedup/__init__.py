@@ -1,4 +1,8 @@
-from fastselect_spark.dedup.exact import dedup_exact, exact_duplicate_groups  # noqa: F401
+from fastselect_spark.dedup.exact import (  # noqa: F401
+    dedup_exact,
+    dedup_turns_within_conversation,
+    exact_duplicate_groups,
+)
 from fastselect_spark.dedup.minhash import (  # noqa: F401
     add_minhash_signature,
     minhash_near_duplicates,

@@ -45,3 +45,29 @@ def dedup_exact(
         .where(F.col("__rn") == 1)
         .drop("__rn", "fp_exact")
     )
+
+
+def dedup_turns_within_conversation(
+    tr: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop repeated turns INSIDE a conversation — the transcript-level
+    boilerplate killer (retries, duplicated tool dumps, repeated system
+    banners): a turn is dropped when an EARLIER turn of the same
+    conversation has the same normalized-text fingerprint; the first
+    occurrence survives, cross-conversation repeats are untouched (that
+    is corpus-level dedup's job).
+
+    One window over the (conv, fingerprint) partition ordered by
+    ``order_col`` — rides the same conv-keyed exchange family as every
+    featurize op; NULL text follows SQL grouping (all null-text turns of
+    a conversation collapse to the first)."""
+    fp = add_fingerprint(tr, text_col, with_rolling=False)
+    w = Window.partitionBy(conv_col, "fp_exact").orderBy(order_col)
+    return (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "fp_exact")
+    )

@@ -885,3 +885,26 @@ def test_novelty_scores_planted(spark):
     assert got[2]["novelty"] == 1.0  # fully novel
     assert 0.0 < got[3]["novelty"] < 1.0  # shared prefix only
     assert got[3]["n_seen"] == 2  # 'the quick brown', 'quick brown fox'
+
+
+# ------------------------------------------------------------- turn dedup
+def test_dedup_turns_within_conversation(spark):
+    rows = [
+        ("c1", 0, "u", None, "hello"),
+        ("c1", 1, "a", None, "same   reply"),
+        ("c1", 2, "a", None, "Same reply"),  # dup after normalization
+        ("c1", 3, "a", None, "different"),
+        ("c2", 0, "a", None, "same reply"),  # other conversation: kept
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string, text string"
+    )
+    from fastselect_spark.dedup import dedup_turns_within_conversation
+
+    got = {
+        (r["conv_id"], r["turn_idx"])
+        for r in dedup_turns_within_conversation(tr).collect()
+    }
+    assert ("c1", 1) in got and ("c1", 2) not in got  # first survives
+    assert ("c2", 0) in got  # cross-conversation repeat untouched
+    assert len(got) == 4
