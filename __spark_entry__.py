@@ -1159,6 +1159,16 @@ def _partial_corr_oracle_sql() -> str | None:
     """
 
 
+def _q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(conversation, session) summary table (featurize/convagg.py
+    session_features): one groupBy on the shared conv-keyed featurize
+    frame; whole-second epochs + exact-integer counts."""
+    from fastselect_spark.featurize import session_features
+
+    feat = featurize_transcripts(_transcripts(spark, sf_dir))
+    return session_features(feat)
+
+
 def _q_dedup_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-conversation turn dedup (dedup/exact.py
     dedup_turns_within_conversation): first occurrence per (conv,
@@ -2764,6 +2774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binned_mi": _q_binned_mi,  # continuous features -> discrete MI
         "novelty_scores": _q_novelty_scores,  # shingle freshness vs reference
         "dedup_turns": _q_dedup_turns,  # within-conversation boilerplate removal
+        "session_features": _q_session_features,  # per-session summary table
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -6085,6 +6096,16 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 9)
                    AS token_share
         FROM a, t
+        """,
+        "session_features": _FEATURIZE_BASE + """
+        SELECT conv_id, session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(MIN(FLOOR(EPOCH(ts))) AS BIGINT) AS start_epoch,
+               CAST(MAX(FLOOR(EPOCH(ts))) AS BIGINT) AS end_epoch,
+               CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_tool_calls,
+               CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS tokens
+        FROM feat GROUP BY 1, 2
         """,
         # first occurrence per (conv, normalized-text md5)
         "dedup_turns": f"""

@@ -30,6 +30,7 @@ from fastselect_spark.featurize.splits import (  # noqa: F401
 from fastselect_spark.featurize.resample import resample_grid  # noqa: F401
 from fastselect_spark.featurize.convagg import (  # noqa: F401
     conversation_features,
+    session_features,
     role_transition_matrix,
     tool_cooccurrence_pmi,
 )

@@ -157,3 +157,24 @@ def tool_cooccurrence_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def session_features(
+    feat: DataFrame,
+    conv_col: str = "conv_id",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Per-(conversation, session) summary from the featurized turn frame
+    — the session-granularity feature-store table between turn-level
+    features and conversation_features: ONE groupBy on the same conv-
+    keyed family (start/end as whole-second epochs, turn/tool counts,
+    exact-integer token stats)."""
+    return feat.groupBy(conv_col, session_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.min(F.unix_timestamp("ts")).cast("long").alias("start_epoch"),
+        F.max(F.unix_timestamp("ts")).cast("long").alias("end_epoch"),
+        F.sum(F.col("tool").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_tool_calls"),
+        F.sum(F.col("n_tokens").cast("long")).cast("long").alias("tokens"),
+    )

@@ -908,3 +908,46 @@ def test_dedup_turns_within_conversation(spark):
     assert ("c1", 1) in got and ("c1", 2) not in got  # first survives
     assert ("c2", 0) in got  # cross-conversation repeat untouched
     assert len(got) == 4
+
+
+# --------------------------------------------------------- session features
+def test_session_features_pandas_replica(spark):
+    from fastselect_spark.data.transcripts import generate_transcripts_pandas
+    from fastselect_spark.featurize import featurize_transcripts, session_features
+
+    pdf = generate_transcripts_pandas(n_convs=30, seed=3)
+    tr = spark.createDataFrame(pdf)
+    feat = featurize_transcripts(tr)
+    got = (
+        session_features(feat)
+        .toPandas()
+        .sort_values(["conv_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    ref = feat.select(
+        "conv_id", "session_id", "ts", "tool", "n_tokens"
+    ).toPandas()
+    rep = (
+        ref.assign(
+            epoch=ref["ts"].astype("int64") // 10**9,
+            has_tool=ref["tool"].notna().astype(int),
+        )
+        .groupby(["conv_id", "session_id"])
+        .agg(
+            n_turns=("ts", "size"),
+            start_epoch=("epoch", "min"),
+            end_epoch=("epoch", "max"),
+            n_tool_calls=("has_tool", "sum"),
+            tokens=("n_tokens", "sum"),
+        )
+        .reset_index()
+        .sort_values(["conv_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    for c in ["n_turns", "start_epoch", "end_epoch", "n_tool_calls", "tokens"]:
+        assert (got[c].to_numpy() == rep[c].to_numpy()).all(), c
+    # sessions partition the conversation: per-conv turn sums match
+    assert (
+        got.groupby("conv_id")["n_turns"].sum().sort_index().to_numpy()
+        == ref.groupby("conv_id").size().sort_index().to_numpy()
+    ).all()
