@@ -1159,6 +1159,16 @@ def _partial_corr_oracle_sql() -> str | None:
     """
 
 
+def _q_conversation_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive conversation fingerprints (dedup/exact.py): md5 of
+    the turn fingerprints concatenated in turn order via array_sort —
+    partitioning-independent; the conversation-level exact-dedup key."""
+    from fastselect_spark.dedup import conversation_fingerprints
+
+    tr = _transcripts(spark, sf_dir)
+    return conversation_fingerprints(tr)
+
+
 def _q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(conversation, session) summary table (featurize/convagg.py
     session_features): one groupBy on the shared conv-keyed featurize
@@ -2775,6 +2785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_scores": _q_novelty_scores,  # shingle freshness vs reference
         "dedup_turns": _q_dedup_turns,  # within-conversation boilerplate removal
         "session_features": _q_session_features,  # per-session summary table
+        "conversation_fingerprints": _q_conversation_fingerprints,  # conv dedup key
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -6096,6 +6107,19 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 9)
                    AS token_share
         FROM a, t
+        """,
+        # turn fps concatenated in turn order (STRING_AGG ORDER BY)
+        "conversation_fingerprints": f"""
+        WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+        fp AS (
+            SELECT conv_id, turn_idx,
+                   md5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')))
+                       AS fpx
+            FROM transcripts
+        )
+        SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+               md5(STRING_AGG(fpx, '' ORDER BY turn_idx)) AS conv_fp
+        FROM fp GROUP BY 1
         """,
         "session_features": _FEATURIZE_BASE + """
         SELECT conv_id, session_id,

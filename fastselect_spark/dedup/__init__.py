@@ -1,6 +1,8 @@
 from fastselect_spark.dedup.exact import (  # noqa: F401
+    conversation_fingerprints,
     dedup_exact,
     dedup_turns_within_conversation,
+    duplicate_conversations,
     exact_duplicate_groups,
 )
 from fastselect_spark.dedup.minhash import (  # noqa: F401

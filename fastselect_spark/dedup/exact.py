@@ -71,3 +71,50 @@ def dedup_turns_within_conversation(
         .where(F.col("__rn") == 1)
         .drop("__rn", "fp_exact")
     )
+
+
+def conversation_fingerprints(
+    tr: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """(conv_id, n_turns, conv_fp) — an ORDER-SENSITIVE fingerprint of a
+    whole conversation: md5 of the turn fingerprints concatenated in turn
+    order (array_sort on (order, fp) structs, so the result is
+    partitioning-independent). Two identical dialogues replayed under
+    different conv_ids collide; a reordered dialogue does not."""
+    fp = add_fingerprint(tr, text_col, with_rolling=False)
+    agg = fp.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(order_col).alias("i"), F.col("fp_exact").alias("f"))
+            )
+        ).alias("__s"),
+    )
+    joined = F.array_join(F.transform(F.col("__s"), lambda s: s["f"]), "")
+    return agg.select(
+        conv_col, "n_turns", F.md5(joined).alias("conv_fp")
+    )
+
+
+def duplicate_conversations(
+    tr: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """(conv_fp, keep_conv, n_copies) for every group of verbatim-repeated
+    conversations (> 1 copy); keep = minimum conv_id. The transcript-side
+    twin of exact_duplicate_groups — one conv-keyed agg + one fingerprint
+    agg, both hash aggregations."""
+    fps = conversation_fingerprints(tr, conv_col, order_col, text_col)
+    return (
+        fps.groupBy("conv_fp")
+        .agg(
+            F.min(conv_col).alias("keep_conv"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+    )

@@ -951,3 +951,33 @@ def test_session_features_pandas_replica(spark):
         got.groupby("conv_id")["n_turns"].sum().sort_index().to_numpy()
         == ref.groupby("conv_id").size().sort_index().to_numpy()
     ).all()
+
+
+# -------------------------------------------------- conversation fingerprints
+def test_duplicate_conversations_planted(spark):
+    rows = []
+    for c, texts in [
+        ("c1", ["hi", "hello", "bye"]),
+        ("c2", ["hi", "hello", "bye"]),  # verbatim replay of c1
+        ("c3", ["hello", "hi", "bye"]),  # same turns, different ORDER
+        ("c4", ["something", "else"]),
+    ]:
+        rows += [(c, i, t) for i, t in enumerate(texts)]
+    tr = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    from fastselect_spark.dedup import (
+        conversation_fingerprints,
+        duplicate_conversations,
+    )
+
+    fps = {r["conv_id"]: r["conv_fp"] for r in conversation_fingerprints(tr).collect()}
+    assert fps["c1"] == fps["c2"]
+    assert fps["c1"] != fps["c3"]  # order-sensitive
+    dups = duplicate_conversations(tr).collect()
+    assert len(dups) == 1
+    assert dups[0]["keep_conv"] == "c1" and dups[0]["n_copies"] == 2
+    # partitioning-independent
+    fps2 = {
+        r["conv_id"]: r["conv_fp"]
+        for r in conversation_fingerprints(tr.repartition(7)).collect()
+    }
+    assert fps == fps2
