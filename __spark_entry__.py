@@ -1159,6 +1159,19 @@ def _partial_corr_oracle_sql() -> str | None:
     """
 
 
+def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget sample (corpus/sampling.py
+    sample_token_budget): hash-ordered prefix per source until 500
+    tokens, selected via the range-bucket histogram threshold — equal by
+    construction to the plain per-source window prefix the oracle
+    spells."""
+    from fastselect_spark.corpus import sample_token_budget
+
+    _register(spark, sf_dir, "documents")
+    out = sample_token_budget(spark.table("documents"), budget_tokens=500)
+    return out.select("doc_id", "source")
+
+
 def _q_conversation_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive conversation fingerprints (dedup/exact.py): md5 of
     the turn fingerprints concatenated in turn order via array_sort —
@@ -2786,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_turns": _q_dedup_turns,  # within-conversation boilerplate removal
         "session_features": _q_session_features,  # per-session summary table
         "conversation_fingerprints": _q_conversation_fingerprints,  # conv dedup key
+        "token_budget_sample": _q_token_budget_sample,  # N-tokens-per-source prefix
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -6107,6 +6121,24 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 9)
                    AS token_share
         FROM a, t
+        """,
+        # bucket algorithm == plain hash-ordered prefix (range buckets)
+        "token_budget_sample": r"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS BIGINT)
+                       AS nt,
+                   CAST('0x' || substr(md5('tb0:' || CAST(doc_id AS STRING)),
+                                       1, 15) AS BIGINT) AS h
+            FROM documents
+        )
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   COALESCE(SUM(nt) OVER (PARTITION BY source
+                       ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS before
+            FROM d
+        ) WHERE before < 500
         """,
         # turn fps concatenated in turn order (STRING_AGG ORDER BY)
         "conversation_fingerprints": f"""

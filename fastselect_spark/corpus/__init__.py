@@ -24,6 +24,7 @@ from fastselect_spark.corpus.sampling import (
     deterministic_sample,
     rebalance_classes,
     sample_by_source,
+    sample_token_budget,
     source_mixture_report,
     train_val_test_split,
 )
@@ -45,6 +46,7 @@ __all__ = [
     "quality_scores",
     "table_profile",
     "sample_by_source",
+    "sample_token_budget",
     "source_mixture_report",
     "train_quality_classifier",
     "train_quality_classifier_numpy",

@@ -214,3 +214,83 @@ def source_mixture_report(
             / F.sum("n_tokens").over(w).cast("double")
         ).alias("token_share"),
     )
+
+
+_TB_BUCKETS = 4096
+_TB_WIDTH = (1 << 60) // _TB_BUCKETS  # 60-bit md5 hash range / buckets
+
+
+def sample_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-source TOKEN-budget sampling: keep a deterministic hash-ordered
+    prefix of each source whose cumulative whitespace-token count reaches
+    ``budget_tokens`` (a doc is kept while the tokens BEFORE it are under
+    budget, so the budget overshoots by at most one document) — the
+    mixture-building primitive ("N tokens per source"), by token mass
+    rather than row count (cap_per_source).
+
+    Scale shape (the dsir_select_top histogram-threshold discipline — a
+    per-source ``Window.orderBy`` would funnel each source through one
+    task): the 60-bit hash is RANGE-bucketed (bucket = h // 2^48, so
+    bucket-major order IS hash order); ONE (source, bucket) token-sum agg
+    (tiny driver ingress) finds each source's boundary bucket; rows below
+    it keep row-locally, and only the boundary bucket's rows (~1/4096 of
+    the source) pay a window. Exact integer token sums — deterministic
+    under any partitioning, and equal by construction to the plain
+    per-source hash-ordered prefix (the oracle form)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"tb{seed}:"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = docs.withColumn("__h", h).withColumn(
+        "__nt", F.size(F.split(F.col(text_col), r"\s+")).cast("long")
+    )
+    base = base.withColumn("__b", (F.col("__h") / F.lit(_TB_WIDTH)).cast("int"))
+    per = (
+        base.groupBy(source_col, "__b")
+        .agg(F.sum("__nt").alias("t"))
+        .collect()
+    )
+    by_src: dict = {}
+    for r in per:
+        by_src.setdefault(r[source_col], []).append((int(r["__b"]), int(r["t"])))
+    rows = []
+    for src, lst in by_src.items():
+        run = 0
+        bstar, remaining = None, 0
+        for b, t in sorted(lst):
+            if run + t >= budget_tokens:
+                bstar, remaining = b, budget_tokens - run
+                break
+            run += t
+        if bstar is None:  # whole source fits
+            bstar, remaining = _TB_BUCKETS, 0
+        rows.append((src, bstar, remaining))
+    spark = docs.sparkSession
+    bounds = spark.createDataFrame(
+        rows, schema=f"{source_col} string, __bstar int, __rem long"
+    )
+    j = base.join(F.broadcast(bounds), source_col)
+    below = j.where(F.col("__b") < F.col("__bstar"))
+    boundary = j.where(F.col("__b") == F.col("__bstar"))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = boundary.withColumn(
+        "__before", F.coalesce(F.sum("__nt").over(w), F.lit(0))
+    ).where(F.col("__before") < F.col("__rem"))
+    out = below.unionByName(boundary.drop("__before"))
+    return out.drop("__h", "__nt", "__b", "__bstar", "__rem")

@@ -981,3 +981,43 @@ def test_duplicate_conversations_planted(spark):
         for r in conversation_fingerprints(tr.repartition(7)).collect()
     }
     assert fps == fps2
+
+
+# ------------------------------------------------------ token budget sample
+def test_sample_token_budget_semantics(spark):
+    rng = np.random.default_rng(80)
+    rows = []
+    for i in range(200):
+        src = f"s{i % 3}"
+        rows.append((i, src, "tok " * int(rng.integers(5, 40))))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    from fastselect_spark.corpus import sample_token_budget
+
+    budget = 300
+    kept = sample_token_budget(docs, budget)
+    got = kept.selectExpr(
+        "doc_id", "source", "SIZE(SPLIT(text, '\\\\s+')) AS nt"
+    ).toPandas()
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(f"tb0:{i}".encode()).hexdigest()[:15], 16)
+
+    full = docs.selectExpr(
+        "doc_id", "source", "SIZE(SPLIT(text, '\\\\s+')) AS nt"
+    ).toPandas()
+    full["h"] = full["doc_id"].map(h)
+    for src, grp in full.groupby("source"):
+        grp = grp.sort_values(["h", "doc_id"])
+        before = grp["nt"].cumsum() - grp["nt"]
+        exp = set(grp.loc[before < budget, "doc_id"])
+        assert set(got.loc[got["source"] == src, "doc_id"]) == exp
+        # budget respected up to one overshooting doc
+        kept_tok = grp.loc[grp["doc_id"].isin(exp), "nt"]
+        assert kept_tok.sum() - kept_tok.iloc[-1] < budget <= kept_tok.sum() + 1
+    # deterministic under repartitioning
+    again = set(
+        r["doc_id"]
+        for r in sample_token_budget(docs.repartition(7), budget).collect()
+    )
+    assert again == set(got["doc_id"])
