@@ -1159,6 +1159,14 @@ def _partial_corr_oracle_sql() -> str | None:
     """
 
 
+def _q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT (prompt, response) extraction (corpus/pairs.py sft_pairs):
+    adjacent user→assistant turns on the shared conv_id exchange."""
+    from fastselect_spark.corpus import sft_pairs
+
+    return sft_pairs(_transcripts(spark, sf_dir))
+
+
 def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-budget sample (corpus/sampling.py
     sample_token_budget): hash-ordered prefix per source until 500
@@ -2800,6 +2808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_features": _q_session_features,  # per-session summary table
         "conversation_fingerprints": _q_conversation_fingerprints,  # conv dedup key
         "token_budget_sample": _q_token_budget_sample,  # N-tokens-per-source prefix
+        "sft_pairs": _q_sft_pairs,  # adjacent prompt/response extraction
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -6121,6 +6130,18 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 9)
                    AS token_share
         FROM a, t
+        """,
+        "sft_pairs": f"""
+        WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+        led AS (
+            SELECT conv_id, turn_idx, role, text AS prompt,
+                   LEAD(role) OVER w AS next_role,
+                   LEAD(text) OVER w AS response
+            FROM transcripts
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        )
+        SELECT conv_id, turn_idx, prompt, response
+        FROM led WHERE role = 'user' AND next_role = 'assistant'
         """,
         # bucket algorithm == plain hash-ordered prefix (range buckets)
         "token_budget_sample": r"""

@@ -116,3 +116,37 @@ def contrastive_pairs(
             "negative",
         )
     )
+
+
+def sft_pairs(
+    tr: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+) -> DataFrame:
+    """(conv_id, turn_idx, prompt, response) — adjacent user→assistant
+    turn pairs, the canonical SFT training-example extraction: a pair is
+    emitted when a ``prompt_role`` turn is IMMEDIATELY followed by a
+    ``response_role`` turn of the same conversation (multi-turn
+    assistant runs contribute only their first response; repeated user
+    turns only pair their last — the adjacency rule keeps prompts and
+    responses aligned without any heuristics).
+
+    One lead() window on the shared conv_id exchange — no joins, no
+    Python."""
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    out = tr.select(
+        F.col(conv_col),
+        F.col(order_col),
+        F.col(role_col),
+        F.col(text_col).alias("prompt"),
+        F.lead(role_col).over(w).alias("__next_role"),
+        F.lead(text_col).over(w).alias("response"),
+    )
+    return out.where(
+        (F.col(role_col) == prompt_role)
+        & (F.col("__next_role") == response_role)
+    ).select(conv_col, order_col, "prompt", "response")

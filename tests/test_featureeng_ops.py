@@ -1021,3 +1021,29 @@ def test_sample_token_budget_semantics(spark):
         for r in sample_token_budget(docs.repartition(7), budget).collect()
     )
     assert again == set(got["doc_id"])
+
+
+# ---------------------------------------------------------------- SFT pairs
+def test_sft_pairs_adjacency(spark):
+    rows = [
+        ("c1", 0, "user", "q1"),
+        ("c1", 1, "assistant", "a1"),
+        ("c1", 2, "assistant", "a1b"),  # continuation: not a new pair
+        ("c1", 3, "user", "q2"),
+        ("c1", 4, "user", "q2b"),  # repeated user: only the LAST pairs
+        ("c1", 5, "assistant", "a2"),
+        ("c2", 0, "assistant", "opener"),  # no prompt before: no pair
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    from fastselect_spark.corpus import sft_pairs
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["prompt"], r["response"])
+        for r in sft_pairs(tr).collect()
+    }
+    assert got == {
+        ("c1", 0): ("q1", "a1"),
+        ("c1", 4): ("q2b", "a2"),
+    }
