@@ -1159,6 +1159,26 @@ def _partial_corr_oracle_sql() -> str | None:
     """
 
 
+def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups (dedup/ngram.py
+    ngram_containment_pairs) on a planted quote corpus: 120-char
+    prefixes of the first 100 docs re-enter under shifted ids — tiny
+    Jaccard, containment ≈ 1 (what symmetric dedup misses)."""
+    from fastselect_spark.dedup import ngram_containment_pairs
+
+    _register(spark, sf_dir, "documents")
+    base = spark.table("documents").select("doc_id", "text").where(
+        F.col("doc_id") < 100
+    )
+    trunc = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring("text", 1, 120).alias("text"),
+    )
+    return ngram_containment_pairs(
+        base.unionByName(trunc), threshold=0.8, max_doc_freq=None
+    )
+
+
 def _q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT (prompt, response) extraction (corpus/pairs.py sft_pairs):
     adjacent user→assistant turns on the shared conv_id exchange."""
@@ -2809,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_fingerprints": _q_conversation_fingerprints,  # conv dedup key
         "token_budget_sample": _q_token_budget_sample,  # N-tokens-per-source prefix
         "sft_pairs": _q_sft_pairs,  # adjacent prompt/response extraction
+        "ngram_containment": _q_ngram_containment,  # quote/superset near-dups
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -6130,6 +6151,44 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 9)
                    AS token_share
         FROM a, t
+        """,
+        # asymmetric containment on the planted prefix-quote corpus
+        "ngram_containment": """
+        WITH src AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 100
+            UNION ALL
+            SELECT doc_id + 100000, SUBSTRING(text, 1, 120)
+            FROM documents WHERE doc_id < 100
+        ),
+        norm AS (
+            SELECT doc_id,
+                   STRING_SPLIT(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM src
+        ),
+        toks AS (
+            SELECT doc_id, UNNEST(toks) AS tok, UNNEST(RANGE(1, LEN(toks) + 1)) AS pos
+            FROM norm
+        ),
+        sh AS (
+            SELECT doc_id,
+                   tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+        cnt AS (SELECT doc_id, COUNT(*) AS c FROM shd GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM shd a JOIN shd b USING (shingle)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(i * 1.0 / ca.c, 6) AS c_a_in_b,
+               ROUND(i * 1.0 / cb.c, 6) AS c_b_in_a,
+               ROUND(i * 1.0 / (ca.c + cb.c - i), 6) AS jaccard
+        FROM inter
+        JOIN cnt ca ON ca.doc_id = id_a
+        JOIN cnt cb ON cb.doc_id = id_b
+        WHERE i * 1.0 / ca.c >= 0.8 OR i * 1.0 / cb.c >= 0.8
         """,
         "sft_pairs": f"""
         WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),

@@ -10,7 +10,10 @@ from fastselect_spark.dedup.minhash import (  # noqa: F401
     minhash_near_duplicates,
 )
 from fastselect_spark.dedup.simhash import add_simhash, simhash_near_duplicates  # noqa: F401
-from fastselect_spark.dedup.ngram import ngram_jaccard_pairs  # noqa: F401
+from fastselect_spark.dedup.ngram import (  # noqa: F401
+    ngram_containment_pairs,
+    ngram_jaccard_pairs,
+)
 from fastselect_spark.dedup.spans import (  # noqa: F401
     explode_spans,
     remove_duplicate_spans,

@@ -92,3 +92,54 @@ def ngram_jaccard_pairs(
     result = result.localCheckpoint()
     docs.unpersist()
     return result
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | float | None = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: (id_a < id_b, containment_a_in_b,
+    containment_b_in_a, jaccard) for pairs where EITHER containment
+    reaches ``threshold`` — containment(X in Y) = |X∩Y| / |X|. Catches
+    what Jaccard misses: a short document quoted verbatim inside a long
+    one has tiny Jaccard but containment ≈ 1 (quote/superset dedup, the
+    C4-span-removal companion at document granularity).
+
+    Same shape as ngram_jaccard_pairs: df-capped inverted-index candidate
+    join, persist-once shingle frame, exact verification on the
+    candidate pairs only."""
+    from fastselect_spark.dedup.minhash import ensure_parallelism
+
+    docs = ensure_parallelism(df).select(
+        F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("shingles")
+    ).persist()
+    cap = _resolve_doc_freq_cap(docs, max_doc_freq)
+    cand = _candidate_pairs(docs, id_col, cap)
+    da = docs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    db = docs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    pairs = cand.join(da, "id_a").join(db, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    na = F.size("sh_a").cast("double")
+    nb = F.size("sh_b").cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    result = (
+        pairs.withColumn("c_a_in_b", inter / na)
+        .withColumn("c_b_in_a", inter / nb)
+        .where(
+            (F.col("c_a_in_b") >= threshold) | (F.col("c_b_in_a") >= threshold)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round("c_a_in_b", 6).alias("c_a_in_b"),
+            F.round("c_b_in_a", 6).alias("c_b_in_a"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+    )
+    result = result.localCheckpoint()
+    docs.unpersist()
+    return result

@@ -1047,3 +1047,28 @@ def test_sft_pairs_adjacency(spark):
         ("c1", 0): ("q1", "a1"),
         ("c1", 4): ("q2b", "a2"),
     }
+
+
+# --------------------------------------------------------------- containment
+def test_ngram_containment_catches_quotes_jaccard_misses(spark):
+    long_doc = " ".join(f"w{i}" for i in range(200))
+    quote = " ".join(f"w{i}" for i in range(12))  # verbatim prefix quote
+    other = " ".join(f"x{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, quote), (3, other)],
+        "doc_id long, text string",
+    )
+    from fastselect_spark.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    cont = {(r["id_a"], r["id_b"]): r for r in
+            ngram_containment_pairs(docs, threshold=0.9, max_doc_freq=None).collect()}
+    assert (1, 2) in cont
+    r = cont[(1, 2)]
+    assert r["c_b_in_a"] == 1.0  # the quote is fully contained
+    assert r["jaccard"] < 0.1  # symmetric metric misses it
+    assert ngram_jaccard_pairs(
+        docs, threshold=0.5, max_doc_freq=None
+    ).count() == 0
