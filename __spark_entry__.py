@@ -1159,6 +1159,22 @@ def _partial_corr_oracle_sql() -> str | None:
     """
 
 
+def _q_uniform_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width discretizer (selection/univariate.py
+    uniform_discretize): one min/max agg + the shared clipped-floor bin
+    rule as a literal projection."""
+    from fastselect_spark.selection import uniform_discretize
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.length("text").cast("double").alias("n_chars"),
+        F.size(F.split("text", r"\s+")).cast("double").alias("n_toks"),
+    )
+    out, _ = uniform_discretize(docs, ["n_chars", "n_toks"], bins=8)
+    return out.select("doc_id", "n_chars_u", "n_toks_u")
+
+
 def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dups (dedup/ngram.py
     ngram_containment_pairs) on a planted quote corpus: 120-char
@@ -2830,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": _q_token_budget_sample,  # N-tokens-per-source prefix
         "sft_pairs": _q_sft_pairs,  # adjacent prompt/response extraction
         "ngram_containment": _q_ngram_containment,  # quote/superset near-dups
+        "uniform_discretize": _q_uniform_discretize,  # equal-width codes
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -6151,6 +6168,32 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 9)
                    AS token_share
         FROM a, t
+        """,
+        # min/max edges + the drift module's clipped-floor bin rule
+        "uniform_discretize": r"""
+        WITH d AS (
+            SELECT doc_id, CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                   CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS DOUBLE)
+                       AS n_toks
+            FROM documents
+        ),
+        e AS (
+            SELECT MIN(n_chars) AS lc,
+                   CASE WHEN MAX(n_chars) > MIN(n_chars)
+                        THEN (MAX(n_chars) - MIN(n_chars)) / 8 ELSE 1.0 END
+                       AS wc,
+                   MIN(n_toks) AS lt,
+                   CASE WHEN MAX(n_toks) > MIN(n_toks)
+                        THEN (MAX(n_toks) - MIN(n_toks)) / 8 ELSE 1.0 END
+                       AS wt
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(LEAST(GREATEST(FLOOR((n_chars - lc) / wc), 0), 7) AS INT)
+                   AS n_chars_u,
+               CAST(LEAST(GREATEST(FLOOR((n_toks - lt) / wt), 0), 7) AS INT)
+                   AS n_toks_u
+        FROM d, e
         """,
         # asymmetric containment on the planted prefix-quote corpus
         "ngram_containment": """

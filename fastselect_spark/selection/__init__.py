@@ -30,6 +30,7 @@ from fastselect_spark.selection.univariate import (  # noqa: F401
     robust_scaler_stats,
     standard_scale,
     standard_scaler_stats,
+    uniform_discretize,
     variance_threshold,
 )
 from fastselect_spark.selection.rank import (  # noqa: F401

@@ -313,3 +313,32 @@ def quantile_discretize(
             b = b + (x > F.lit(float(e))).cast("int")
         df = df.withColumn(f"{c}{suffix}", b.cast("int"))
     return df, edges
+
+
+def uniform_discretize(
+    df: DataFrame,
+    feature_cols: list[str],
+    bins: int = 4,
+    suffix: str = "_u",
+) -> tuple[DataFrame, dict[str, tuple[float, float]]]:
+    """Equal-WIDTH discretization (sklearn KBinsDiscretizer
+    strategy='uniform' / the CFS default binning): ONE min/max agg fits
+    (lo, width) per feature; codes are the clipped floor((x-lo)/width)
+    literal projection (the drift module's bin rule — shared convention).
+    Returns (df_with_codes, {col: (lo, width)}). Constant features get
+    width 1.0 (single bin 0)."""
+    aggs = []
+    for c in feature_cols:
+        d = F.col(c).cast("double")
+        aggs += [F.min(d).alias(f"__lo_{c}"), F.max(d).alias(f"__hi_{c}")]
+    r = df.agg(*aggs).collect()[0]
+    fit: dict[str, tuple[float, float]] = {}
+    for c in feature_cols:
+        lo = float(r[f"__lo_{c}"]) if r[f"__lo_{c}"] is not None else 0.0
+        hi = float(r[f"__hi_{c}"]) if r[f"__hi_{c}"] is not None else 0.0
+        width = (hi - lo) / bins if hi > lo else 1.0
+        fit[c] = (lo, width)
+        raw = F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(width))
+        code = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+        df = df.withColumn(f"{c}{suffix}", code)
+    return df, fit

@@ -1072,3 +1072,22 @@ def test_ngram_containment_catches_quotes_jaccard_misses(spark):
     assert ngram_jaccard_pairs(
         docs, threshold=0.5, max_doc_freq=None
     ).count() == 0
+
+
+# -------------------------------------------------------- uniform discretize
+def test_uniform_discretize_semantics(spark):
+    x = np.arange(0, 80, dtype=float)  # uniform: equal-width == equal count
+    pdf = pd.DataFrame({"x": x, "c": 5.0})
+    from fastselect_spark.selection import uniform_discretize
+
+    out, fit = uniform_discretize(
+        spark.createDataFrame(pdf).repartition(3), ["x", "c"], bins=8
+    )
+    got = out.toPandas().sort_values("x")
+    lo, w = fit["x"]
+    assert lo == 0.0 and abs(w - 79.0 / 8) < 1e-12
+    exp = np.clip(np.floor((x - lo) / w), 0, 7).astype(int)
+    assert (got["x_u"].to_numpy() == exp).all()
+    assert got["x_u"].min() == 0 and got["x_u"].max() == 7
+    # constant feature: single bin 0, width-1 convention
+    assert fit["c"] == (5.0, 1.0) and (got["c_u"] == 0).all()
