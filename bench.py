@@ -466,6 +466,41 @@ def default_mode() -> None:
         t0 = time.perf_counter()
         quantile_discretize(dd, ["n_chars", "n_toks"], bins=8)[0].count()
         ops["quantile_discretize_sec"] = round(time.perf_counter() - t0, 3)
+        from fastselect_spark.corpus import sample_token_budget
+        from fastselect_spark.dedup import (
+            conversation_fingerprints,
+            ngram_containment_pairs,
+        )
+        from fastselect_spark.selection import uniform_discretize
+
+        t0 = time.perf_counter()
+        ops["token_budget_rows"] = sample_token_budget(docs, 5000).count()
+        ops["token_budget_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        uniform_discretize(dd, ["n_chars", "n_toks"], bins=8)[0].count()
+        ops["uniform_discretize_sec"] = round(time.perf_counter() - t0, 3)
+        small = docs.select("doc_id", "text").where(F.col("doc_id") < 500)
+        planted = small.unionByName(
+            small.selectExpr(
+                "doc_id + 1000000 AS doc_id",
+                "SUBSTRING(text, 1, 120) AS text",
+            )
+        )
+        t0 = time.perf_counter()
+        ops["containment_pairs"] = ngram_containment_pairs(
+            planted, threshold=0.8, max_doc_freq=None
+        ).count()
+        ops["containment_sec"] = round(time.perf_counter() - t0, 3)
+        tr_fp = spark.read.parquet(
+            os.path.join(SF_DIR, "events.parquet")
+        ).selectExpr(
+            "CAST(user_id AS STRING) AS conv_id",
+            "CAST(event_id AS INT) AS turn_idx",
+            "event_type AS text",
+        )
+        t0 = time.perf_counter()
+        ops["conv_fp_rows"] = conversation_fingerprints(tr_fp).count()
+        ops["conv_fingerprints_sec"] = round(time.perf_counter() - t0, 3)
         docs.unpersist()
         out["corpus_ops"] = ops
     except Exception as exc:  # surface the regression in the bench output
