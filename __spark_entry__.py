@@ -1159,6 +1159,18 @@ def _partial_corr_oracle_sql() -> str | None:
     """
 
 
+def _q_truncate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation (corpus/packing.py
+    truncate_to_token_budget): keep each conversation's most-recent
+    suffix that fits 120 whitespace tokens — one running-sum window on
+    the shared conv exchange, strict per-turn fit."""
+    from fastselect_spark.corpus import truncate_to_token_budget
+
+    tr = _transcripts(spark, sf_dir)
+    out = truncate_to_token_budget(tr, budget_tokens=120)
+    return out.select("conv_id", "turn_idx", "role")
+
+
 def _q_uniform_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-width discretizer (selection/univariate.py
     uniform_discretize): one min/max agg + the shared clipped-floor bin
@@ -2847,6 +2859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pairs": _q_sft_pairs,  # adjacent prompt/response extraction
         "ngram_containment": _q_ngram_containment,  # quote/superset near-dups
         "uniform_discretize": _q_uniform_discretize,  # equal-width codes
+        "truncate_token_budget": _q_truncate_budget,  # context-window suffix fit
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
@@ -6168,6 +6181,19 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 9)
                    AS token_share
         FROM a, t
+        """,
+        # running suffix token sum per conversation, strict fit
+        "truncate_token_budget": f"""
+        WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+        c AS (
+            SELECT conv_id, turn_idx, role,
+                   SUM(CAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS BIGINT))
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM transcripts
+        )
+        SELECT conv_id, turn_idx, role FROM c WHERE cum <= 120
         """,
         # min/max edges + the drift module's clipped-floor bin rule
         "uniform_discretize": r"""

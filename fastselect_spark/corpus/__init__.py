@@ -16,7 +16,7 @@ from fastselect_spark.corpus.dsir import (
 from fastselect_spark.corpus.calibration import calibration_report
 from fastselect_spark.corpus.filtering import quality_filter
 from fastselect_spark.corpus.lm import lm_perplexity, perplexity_tertiles
-from fastselect_spark.corpus.packing import pack_sequences
+from fastselect_spark.corpus.packing import pack_sequences, truncate_to_token_budget
 from fastselect_spark.corpus.pairs import contrastive_pairs, sft_pairs
 from fastselect_spark.corpus.profile import profile_drift, table_profile
 from fastselect_spark.corpus.sampling import (

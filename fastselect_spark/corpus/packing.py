@@ -73,3 +73,35 @@ def pack_sequences(
             (prev + F.greatest(F.col("n_tokens") - 1, F.lit(0))) / max_tokens
         ).cast("long").alias("end_chunk"),
     )
+
+
+def truncate_to_token_budget(
+    tr: DataFrame,
+    budget_tokens: int,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    keep: str = "suffix",
+) -> DataFrame:
+    """Context-window fitting: keep each conversation's SUFFIX (default —
+    the most recent turns, the SFT convention) or PREFIX whose cumulative
+    whitespace-token count stays within ``budget_tokens`` (a turn is kept
+    only if it fits ENTIRELY — strict fit, so a single over-budget turn
+    drops out rather than truncating mid-turn).
+
+    One running-sum window on the shared conv_id exchange; exact integer
+    token counts — deterministic under any partitioning."""
+    if keep not in ("suffix", "prefix"):
+        raise ValueError("keep must be 'suffix' or 'prefix'")
+    order = F.desc(order_col) if keep == "suffix" else F.asc(order_col)
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nt = F.size(F.split(F.col(text_col), r"\s+")).cast("long")
+    return (
+        tr.withColumn("__cum", F.sum(nt).over(w))
+        .where(F.col("__cum") <= budget_tokens)
+        .drop("__cum")
+    )

@@ -1091,3 +1091,32 @@ def test_uniform_discretize_semantics(spark):
     assert got["x_u"].min() == 0 and got["x_u"].max() == 7
     # constant feature: single bin 0, width-1 convention
     assert fit["c"] == (5.0, 1.0) and (got["c_u"] == 0).all()
+
+
+# ------------------------------------------------------- context truncation
+def test_truncate_to_token_budget_suffix(spark):
+    rows = [
+        ("c1", 0, "a b c d e"),  # 5 tokens (oldest)
+        ("c1", 1, "f g h"),  # 3
+        ("c1", 2, "i j"),  # 2
+        ("c2", 0, "one two three four five six seven"),  # 7 > budget
+    ]
+    tr = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    from fastselect_spark.corpus import truncate_to_token_budget
+
+    got = {
+        (r["conv_id"], r["turn_idx"])
+        for r in truncate_to_token_budget(tr, budget_tokens=6).collect()
+    }
+    # suffix fit: turns 2 (2) + 1 (3) = 5 <= 6; adding turn 0 (5) overflows
+    assert got == {("c1", 1), ("c1", 2)}
+    # prefix mode keeps the other end
+    got_p = {
+        (r["conv_id"], r["turn_idx"])
+        for r in truncate_to_token_budget(
+            tr, budget_tokens=6, keep="prefix"
+        ).collect()
+    }
+    assert got_p == {("c1", 0)}
+    # an over-budget single turn drops its conversation entirely
+    assert not any(c == "c2" for c, _ in got | got_p)
