@@ -6302,8 +6302,11 @@ def oracle_sql() -> dict[str, str]:
                md5(STRING_AGG(fpx, '' ORDER BY turn_idx)) AS conv_fp
         FROM fp GROUP BY 1
         """,
+        # session_id MUST be cast: DuckDB window SUM(int) is HUGEINT, which
+        # the pandas client converts to float64 (0.0 vs Spark's 0) — the
+        # driver's value-hash is dtype-sensitive (round-4 red row).
         "session_features": _FEATURIZE_BASE + """
-        SELECT conv_id, session_id,
+        SELECT conv_id, CAST(session_id AS BIGINT) AS session_id,
                CAST(COUNT(*) AS BIGINT) AS n_turns,
                CAST(MIN(FLOOR(EPOCH(ts))) AS BIGINT) AS start_epoch,
                CAST(MAX(FLOOR(EPOCH(ts))) AS BIGINT) AS end_epoch,

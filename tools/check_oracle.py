@@ -65,6 +65,18 @@ def main() -> int:
             eq = True
             for c in a.columns:
                 av, bv = a[c], b[c]
+                # Driver hazard: its value-hash is dtype/repr-sensitive, so a
+                # float64 column on one side vs int64 on the other ("3.0" vs
+                # "3") mismatches even when values are numerically equal.
+                # DuckDB HUGEINT (SUM of ints) -> pandas float64 is the
+                # classic source (round-4 session_features red) — flag it.
+                if pd.api.types.is_float_dtype(av) != pd.api.types.is_float_dtype(bv):
+                    eq = False
+                    status.append(
+                        f"DTYPE {c}: spark={av.dtype} vs oracle={bv.dtype}"
+                        " (driver hash would mismatch; CAST the oracle column)"
+                    )
+                    continue
                 if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
                     av = av.astype(float)
                     bv = bv.astype(float)
