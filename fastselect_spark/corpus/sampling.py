@@ -257,14 +257,20 @@ def sample_token_budget(
         "__nt", F.size(F.split(F.col(text_col), r"\s+")).cast("long")
     )
     base = base.withColumn("__b", (F.col("__h") / F.lit(_TB_WIDTH)).cast("int"))
+    # NULL sources get their own budget: an equi-join on a NULL key never
+    # matches, so bucket/join on a sentinel-coalesced key (the NUL prefix
+    # cannot collide with a real source string)
+    null_sentinel = "\x00__null_source__"
+    src_key = F.coalesce(F.col(source_col).cast("string"), F.lit(null_sentinel))
+    base = base.withColumn("__src", src_key)
     per = (
-        base.groupBy(source_col, "__b")
+        base.groupBy("__src", "__b")
         .agg(F.sum("__nt").alias("t"))
         .collect()
     )
     by_src: dict = {}
     for r in per:
-        by_src.setdefault(r[source_col], []).append((int(r["__b"]), int(r["t"])))
+        by_src.setdefault(r["__src"], []).append((int(r["__b"]), int(r["t"])))
     rows = []
     for src, lst in by_src.items():
         run = 0
@@ -279,13 +285,13 @@ def sample_token_budget(
         rows.append((src, bstar, remaining))
     spark = docs.sparkSession
     bounds = spark.createDataFrame(
-        rows, schema=f"{source_col} string, __bstar int, __rem long"
+        rows, schema="__src string, __bstar int, __rem long"
     )
-    j = base.join(F.broadcast(bounds), source_col)
+    j = base.join(F.broadcast(bounds), "__src")
     below = j.where(F.col("__b") < F.col("__bstar"))
     boundary = j.where(F.col("__b") == F.col("__bstar"))
     w = (
-        Window.partitionBy(source_col)
+        Window.partitionBy("__src")
         .orderBy("__h", id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -293,4 +299,4 @@ def sample_token_budget(
         "__before", F.coalesce(F.sum("__nt").over(w), F.lit(0))
     ).where(F.col("__before") < F.col("__rem"))
     out = below.unionByName(boundary.drop("__before"))
-    return out.drop("__h", "__nt", "__b", "__bstar", "__rem")
+    return out.drop("__h", "__nt", "__b", "__src", "__bstar", "__rem")

@@ -146,16 +146,22 @@ def woe_iv_encode(
         F.sum(F.lit(1) - lab).cast("long").alias("neg"),
     )
     # category-bounded table: persist at the branch point so the class
-    # check and the transform join share ONE corpus scan
-    vocab = vocab.persist()
-    check = vocab.agg(F.sum("pos").alias("p"), F.sum("neg").alias("n")).first()
-    if not check["p"] or not check["n"]:
-        vocab.unpersist()
-        raise ValueError(
-            "WoE requires both label classes present "
-            f"(pos={check['p'] or 0}, neg={check['n'] or 0}); a one-class "
-            "frame has no odds to weight"
-        )
+    # check and the transform join share ONE corpus scan, then cut the
+    # returned plan loose with localCheckpoint so the cached handle can be
+    # released HERE instead of leaking for the caller's lifetime (same
+    # hygiene as ngram/mmr/embedding_health)
+    cached = vocab.persist()
+    try:
+        check = cached.agg(F.sum("pos").alias("p"), F.sum("neg").alias("n")).first()
+        if not check["p"] or not check["n"]:
+            raise ValueError(
+                "WoE requires both label classes present "
+                f"(pos={check['p'] or 0}, neg={check['n'] or 0}); a one-class "
+                "frame has no odds to weight"
+            )
+        vocab = cached.localCheckpoint(eager=True)
+    finally:
+        cached.unpersist()
     tot = Window.partitionBy()
     p = (F.col("pos").cast("double") + F.lit(float(eps))) / F.sum("pos").over(
         tot

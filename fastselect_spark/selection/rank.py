@@ -165,6 +165,16 @@ def _rank_block(
     )
 
 
+def _row_key(id_cols: list[str]):
+    """Unambiguous per-row join key from an id-column tuple: the JSON of
+    the id struct. A plain ``concat_ws(':')`` both collides across
+    components containing the delimiter and erases the NULL-vs-empty
+    distinction; JSON encoding does neither."""
+    from pyspark.sql import functions as F
+
+    return F.to_json(F.struct(*[F.col(c) for c in id_cols]))
+
+
 def quantile_normalize(
     df,
     feature_cols: list[str],
@@ -182,10 +192,15 @@ def quantile_normalize(
     range-partition two-pass) plus one id-keyed pivot back to wide — the
     same shape as spearman_matrix's rank stage; no global Window at any
     scale. Quantiles are quotients of exact (half-)integers, so they are
-    IEEE-identical cross-engine."""
+    IEEE-identical cross-engine.
+
+    Precondition: ``id_cols`` tuples must be UNIQUE per row — the pivot
+    back to wide keys on them, so a duplicate id tuple would collapse to
+    one arbitrary row. The row key is the JSON encoding of the id struct
+    (unambiguous across multi-column ids and NULLs, unlike a ':' concat)."""
     from pyspark.sql import functions as F
 
-    rid = F.concat_ws(":", *[F.col(c).cast("string") for c in id_cols])
+    rid = _row_key(id_cols)
     melted = df.select(
         rid.alias("__rid"),
         F.stack(
@@ -254,7 +269,11 @@ def auc_scores(
     from pyspark.sql import functions as F
 
     id_cols = id_cols or ["id"]
-    rid = F.concat_ws(":", *[F.col(c).cast("string") for c in id_cols])
+    # NULL-label rows must not enter the RANKING either — a ranked-but-
+    # unlabeled row shifts every higher value's rank and silently skews
+    # R_pos, not just the n_pos/n_neg denominators
+    df = df.where(F.col(label_col).isNotNull())
+    rid = _row_key(id_cols)
     labels = df.select(
         rid.alias("__rid"), F.col(label_col).cast("int").alias("__y")
     )

@@ -81,8 +81,12 @@ def cosine_topk(
             if rows:
                 yield pd.concat(rows, ignore_index=True)
 
+    # id columns pass through with the INPUT id type (string ids work;
+    # a hardcoded `long` would make Arrow reject non-integral ids)
+    id_t = corpus.schema[id_col].dataType.simpleString()
     partial = corpus.select(id_col, emb_col).mapInPandas(
-        local_topk, schema="query_id long, neighbor_id long, cosine double"
+        local_topk,
+        schema=f"query_id {id_t}, neighbor_id {id_t}, cosine double",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

@@ -89,14 +89,17 @@ def mmr_rerank(
 
     rel_rows = pool_df.collect()
     sim_rows = sims_df.collect()
+    # ids pass through UNTOUCHED (no int() coercion): string or any
+    # orderable id type works; pair canonicalization below uses the same
+    # ordering as pool_pair_sims' `id_a < id_b`
     by_q: dict = {}
     for r in rel_rows:
         by_q.setdefault(r["query_id"], []).append(
-            (int(r["neighbor_id"]), float(r["rel"]))
+            (r["neighbor_id"], float(r["rel"]))
         )
     sims: dict = {}
     for r in sim_rows:
-        sims[(r["query_id"], int(r["id_a"]), int(r["id_b"]))] = float(r["sim"])
+        sims[(r["query_id"], r["id_a"], r["id_b"])] = float(r["sim"])
 
     def pair_sim(q, i, j) -> float:
         if i == j:
@@ -126,9 +129,20 @@ def mmr_rerank(
             selected.append(cid)
             remaining.remove(cid)
             out.append((q, rank, cid, rel_of[cid]))
-    return spark.createDataFrame(
-        out, schema="query_id long, rank int, neighbor_id long, relevance double"
+    # output schema derives from the pool frame, so non-integral id types
+    # round-trip instead of raising at collect time
+    from pyspark.sql import types as T
+
+    pool_schema = {f.name: f.dataType for f in pool_df.schema.fields}
+    schema = T.StructType(
+        [
+            T.StructField("query_id", pool_schema["query_id"]),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("neighbor_id", pool_schema["neighbor_id"]),
+            T.StructField("relevance", T.DoubleType()),
+        ]
     )
+    return spark.createDataFrame(out, schema=schema)
 
 
 def embedding_health(

@@ -1120,3 +1120,86 @@ def test_truncate_to_token_budget_suffix(spark):
     assert got_p == {("c1", 0)}
     # an over-budget single turn drops its conversation entirely
     assert not any(c == "c2" for c, _ in got | got_p)
+
+
+# ------------------------------------------------- round-5 ADVICE regressions
+def test_auc_scores_ignore_null_labels(spark):
+    # unlabeled rows must not enter the ranking: with them excluded, f1's
+    # AUC over the 4 labeled rows is exact; an unlabeled row with the top
+    # value would otherwise inflate every labeled rank
+    rows = [
+        ("a", 1.0, 0), ("b", 2.0, 0), ("c", 3.0, 1), ("d", 4.0, 1),
+        ("e", 100.0, None),  # unlabeled outlier
+    ]
+    df = spark.createDataFrame(rows, "id string, f1 double, label int")
+    from fastselect_spark.selection import auc_scores
+
+    got = auc_scores(df, ["f1"], "label", ["id"]).collect()[0]
+    assert (got["n_pos"], got["n_neg"]) == (2, 2)
+    assert got["auc"] == 1.0  # perfect separation among LABELED rows
+
+
+def test_sample_token_budget_null_source_gets_own_budget(spark):
+    rows = [(i, None if i % 2 else "s0", "tok " * 10) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    from fastselect_spark.corpus import sample_token_budget
+
+    kept = sample_token_budget(docs, budget_tokens=50).toPandas()
+    by_src = kept.groupby(kept["source"].fillna("∅"))["doc_id"].count()
+    # each source (including NULL) keeps a non-empty <=budget prefix
+    assert by_src.get("∅", 0) > 0 and by_src.get("s0", 0) > 0
+    # output schema unchanged (no helper columns leak)
+    assert list(kept.columns) == ["doc_id", "source", "text"]
+
+
+def test_mmr_rerank_string_ids(spark):
+    import numpy as np
+
+    def row(i, v):
+        return (f"id-{i}", [float(x) for x in v])
+
+    q = np.array([1.0, 0.0, 0.0])
+    corpus = spark.createDataFrame(
+        [row(0, q), row(1, [0.99, 0.1, 0.0]), row(2, [0.98, 0.11, 0.0]),
+         row(3, [0.7, 0.0, 0.7])],
+        "vec_id string, embedding array<double>",
+    )
+    queries = corpus.where(F.col("vec_id") == "id-0")
+    from fastselect_spark.similarity import mmr_rerank
+
+    got = mmr_rerank(corpus, queries, k=2, pool=3, lam=0.5).orderBy("rank").collect()
+    assert [type(r["neighbor_id"]) for r in got] == [str, str]
+    assert got[1]["neighbor_id"] == "id-3"  # diversity pick, ids untouched
+
+
+def test_quantile_normalize_delimiter_collision_ids(spark):
+    # two-part ids engineered to collide under a ':' concat ("a:b"+"c" vs
+    # "a"+"b:c") must stay distinct rows
+    rows = [("a:b", "c", 1.0), ("a", "b:c", 2.0), ("x", "y", 3.0)]
+    df = spark.createDataFrame(rows, "k1 string, k2 string, f double")
+    from fastselect_spark.selection import quantile_normalize
+
+    got = quantile_normalize(df, ["f"], ["k1", "k2"]).toPandas()
+    assert len(got) == 3 and got["f_qn"].notna().all()
+    assert len(got[["k1", "k2"]].drop_duplicates()) == 3
+    # monotone: value order preserved by the quantile transform
+    assert got.sort_values("f")["f_qn"].is_monotonic_increasing
+
+
+def test_woe_iv_encode_releases_cache(spark):
+    pdf = pd.DataFrame(
+        {"k": ["a", "b", "a", "c"] * 5, "label": [0, 1, 1, 0] * 5}
+    )
+    from fastselect_spark.featurize import woe_iv_encode
+
+    before = {r.id() for r in spark.sparkContext._jsc.getPersistentRDDs().values()} \
+        if hasattr(spark.sparkContext._jsc, "getPersistentRDDs") else None
+    enc, vocab = woe_iv_encode(spark.createDataFrame(pdf), "k", "label")
+    assert enc.count() == 20 and vocab.count() == 3
+    # no cached RDD left behind by the call (localCheckpoint blocks are
+    # owned by the returned frames, not the persist handle)
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    leaked = [
+        s for s in str(jmap).split(",") if "GroupBy" in s or "Aggregate" in s
+    ]
+    assert not leaked
