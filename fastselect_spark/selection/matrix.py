@@ -36,7 +36,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fastselect_spark.selection._agg import tree_reduce_ndarrays
+from fastselect_spark.selection._agg import (
+    bounded_arrow_batches,
+    list_matrix_view,
+    tree_reduce_ndarrays_arrow,
+)
 from fastselect_spark.selection._stats import (
     chi2_sf,
     chi2_stats_from_observed,
@@ -93,35 +97,44 @@ def chi2_matrix(
         F.col(label_col).cast("double").alias("y"),
     )
 
-    def partial(batches: Iterator[pd.DataFrame]) -> dict[str, np.ndarray]:
+    def partial(batches) -> dict[str, np.ndarray]:
+        # Arrow-flat kernel (round-5): X is a ZERO-COPY view over the list
+        # column's values buffer — no np.stack 100 MB copy per batch (the
+        # round-4 3x within-session drift was allocator churn from exactly
+        # those temporaries). Per-class sums are one small one-hot gemm per
+        # ~1 MB column chunk, so peak temporary stays cache-sized.
         obs = None
         cnt = np.zeros(n_classes, dtype=np.float64)
-        minv = None
-        for pdf in batches:
-            if pdf.empty:
+        neg = 0.0
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            Xb = np.stack(pdf["features"].to_numpy()).astype(np.float64)
-            yb = np.searchsorted(classes, pdf["y"].to_numpy(dtype=np.float64))
+            Xb, yv = list_matrix_view(batch, "features", "y")
+            yb = np.searchsorted(classes, np.asarray(yv, dtype=np.float64))
+            nb, p_b = Xb.shape
             if obs is None:
-                obs = np.zeros((n_classes, Xb.shape[1]), dtype=np.float64)
-                minv = np.full(Xb.shape[1], np.inf)
-            for c in range(n_classes):
-                m = yb == c
-                if m.any():
-                    obs[c] += Xb[m].sum(axis=0)
-                    cnt[c] += int(m.sum())
-            if validate:
-                minv = np.minimum(minv, Xb.min(axis=0))
+                obs = np.zeros((n_classes, p_b), dtype=np.float64)
+            onehot = (yb[:, None] == np.arange(n_classes)[None, :]).astype(
+                np.float64
+            )
+            cnt += onehot.sum(axis=0)
+            step = max(1, (1 << 17) // max(1, nb))
+            for c0 in range(0, p_b, step):
+                blk = Xb[:, c0 : c0 + step]
+                obs[:, c0 : c0 + step] += onehot.T @ blk
+                if validate and blk.min() < 0:
+                    neg += 1.0
         out: dict[str, np.ndarray] = {}
         if obs is not None:
             out["obs"] = obs
             out["cnt"] = cnt
             if validate:
                 # min is not sum-mergeable; ship a non-negativity FLAG count
-                out["neg"] = np.array([float((minv < 0).sum())])
+                out["neg"] = np.array([neg])
         return out
 
-    merged = tree_reduce_ndarrays(proj, partial)
+    with bounded_arrow_batches(proj, "features"):
+        merged = tree_reduce_ndarrays_arrow(proj, partial)
     if "obs" not in merged:
         raise ValueError("chi2_matrix: input DataFrame is empty")
     if validate and merged.get("neg", np.zeros(1))[0] > 0:
@@ -151,35 +164,36 @@ def fisher_matrix(
         F.col(label_col).cast("double").alias("y"),
     )
 
-    def partial(batches: Iterator[pd.DataFrame]) -> dict[str, np.ndarray]:
+    def partial(batches) -> dict[str, np.ndarray]:
+        # Arrow-flat kernel (see chi2_matrix): zero-copy X view + one-hot
+        # gemms per ~1 MB column chunk, computing sum and sum-of-squares
+        # while the chunk is cache-hot — one effective memory pass (the
+        # naive second pass made Fisher ~1.6x chi2 at p=200k; bandwidth,
+        # not flops) and no 100 MB np.stack temporaries.
         s = q = None
         cnt = np.zeros(n_classes, dtype=np.float64)
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            Xb = np.stack(pdf["features"].to_numpy()).astype(np.float64)
-            yb = np.searchsorted(classes, pdf["y"].to_numpy(dtype=np.float64))
+            Xb, yv = list_matrix_view(batch, "features", "y")
+            yb = np.searchsorted(classes, np.asarray(yv, dtype=np.float64))
+            nb, p_b = Xb.shape
             if s is None:
-                s = np.zeros((n_classes, Xb.shape[1]), dtype=np.float64)
+                s = np.zeros((n_classes, p_b), dtype=np.float64)
                 q = np.zeros_like(s)
-            for c in range(n_classes):
-                m = yb == c
-                if m.any():
-                    # one gather per class; then column chunks sized to L2
-                    # (~1MB) so the sum and the einsum sum-of-squares read
-                    # the chunk while cache-hot — one effective memory pass
-                    # instead of two (the naive second pass made Fisher
-                    # ~1.6x chi2 at p=200k; this is bandwidth, not flops)
-                    g = Xb[m]
-                    step = max(1, (1 << 17) // max(1, g.shape[0]))
-                    for c0 in range(0, g.shape[1], step):
-                        blk = g[:, c0 : c0 + step]
-                        s[c, c0 : c0 + step] += blk.sum(axis=0)
-                        q[c, c0 : c0 + step] += np.einsum("ij,ij->j", blk, blk)
-                    cnt[c] += int(m.sum())
+            onehot = (yb[:, None] == np.arange(n_classes)[None, :]).astype(
+                np.float64
+            )
+            cnt += onehot.sum(axis=0)
+            step = max(1, (1 << 17) // max(1, nb))
+            for c0 in range(0, p_b, step):
+                blk = Xb[:, c0 : c0 + step]
+                s[:, c0 : c0 + step] += onehot.T @ blk
+                q[:, c0 : c0 + step] += onehot.T @ (blk * blk)
         return {"s": s, "q": q, "cnt": cnt} if s is not None else {}
 
-    merged = tree_reduce_ndarrays(proj, partial)
+    with bounded_arrow_batches(proj, "features"):
+        merged = tree_reduce_ndarrays_arrow(proj, partial)
     if "s" not in merged:
         raise ValueError("fisher_matrix: input DataFrame is empty")
     s, q, n_c = merged["s"], merged["q"], merged["cnt"]
@@ -219,26 +233,34 @@ def mi_relevance_matrix(
         F.col(label_col).cast("long").alias("y"),
     )
 
-    def partial(batches: Iterator[pd.DataFrame]) -> dict[str, np.ndarray]:
+    def partial(batches) -> dict[str, np.ndarray]:
+        # Arrow-flat kernel: the int64 cast happens per ~1 MB column chunk
+        # of the zero-copy float64 view, never as a whole-batch copy.
         hist = None
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            Xb = np.stack(pdf["features"].to_numpy()).astype(np.int64)
-            yb = pdf["y"].to_numpy(dtype=np.int64)
-            if (Xb < 0).any() or (Xb >= k).any() or (yb < 0).any() or (yb >= k).any():
+            Xv, yv = list_matrix_view(batch, "features", "y")
+            yb = np.asarray(yv, dtype=np.int64)
+            if (yb < 0).any() or (yb >= k).any():
                 raise ValueError("codes out of [0, n_states) for MI relevance")
-            n_b, p = Xb.shape
+            nb, p = Xv.shape
             if hist is None:
                 hist = np.zeros((p, k * k), dtype=np.int64)
-            fused = Xb * k + yb[:, None]  # (n_b, p)
-            # one bincount per feature over fused codes (CLAUDE.md: bincount
-            # beats np.add.at ~10x on fused codes)
-            for f in range(p):
-                hist[f] += np.bincount(fused[:, f], minlength=k * k)
+            step = max(1, (1 << 17) // max(1, nb))
+            for c0 in range(0, p, step):
+                Xb = Xv[:, c0 : c0 + step].astype(np.int64)
+                if (Xb < 0).any() or (Xb >= k).any():
+                    raise ValueError("codes out of [0, n_states) for MI relevance")
+                fused = Xb * k + yb[:, None]  # (nb, chunk)
+                # one bincount per feature over fused codes (CLAUDE.md:
+                # bincount beats np.add.at ~10x on fused codes)
+                for f in range(fused.shape[1]):
+                    hist[c0 + f] += np.bincount(fused[:, f], minlength=k * k)
         return {"hist": hist} if hist is not None else {}
 
-    merged = tree_reduce_ndarrays(proj, partial)
+    with bounded_arrow_batches(proj, "features"):
+        merged = tree_reduce_ndarrays_arrow(proj, partial)
     if "hist" not in merged:
         raise ValueError("mi_relevance_matrix: input DataFrame is empty")
     hist = merged["hist"]
