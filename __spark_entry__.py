@@ -1171,6 +1171,49 @@ def _q_truncate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", "role")
 
 
+def _q_truncate_budget_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation driven by a PRECOMPUTED token-cost column
+    (corpus/packing.py truncate_to_token_budget cost_col): the synthetic
+    deterministic cost (turn_idx % 29) + 1 stands in for a real BPE
+    tokenizer's per-turn counts — the whitespace proxy is bypassed."""
+    from fastselect_spark.corpus import truncate_to_token_budget
+
+    tr = _transcripts(spark, sf_dir).withColumn(
+        "bpe_cost", (F.col("turn_idx") % 29 + 1).cast("long")
+    )
+    out = truncate_to_token_budget(tr, budget_tokens=40, cost_col="bpe_cost")
+    return out.select("conv_id", "turn_idx", "role")
+
+
+def _q_token_budget_sample_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget sample by a PRECOMPUTED cost column
+    (corpus/sampling.py sample_token_budget cost_col): deterministic
+    synthetic cost (doc_id % 97) + 1 instead of whitespace counts."""
+    from fastselect_spark.corpus import sample_token_budget
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").withColumn(
+        "bpe_cost", (F.col("doc_id") % 97 + 1).cast("long")
+    )
+    out = sample_token_budget(docs, budget_tokens=300, cost_col="bpe_cost")
+    return out.select("doc_id", "source")
+
+
+def _q_pack_sequences_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing manifest by a PRECOMPUTED cost column (corpus/packing.py
+    pack_sequences cost_col): chunk/offset arithmetic over the synthetic
+    per-doc cost (doc_id % 97) + 1."""
+    from fastselect_spark.corpus import pack_sequences
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").withColumn(
+        "bpe_cost", (F.col("doc_id") % 97 + 1).cast("long")
+    )
+    return pack_sequences(
+        docs, max_tokens=128, n_shards=4, seed=0, cost_col="bpe_cost"
+    )
+
+
 def _q_uniform_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-width discretizer (selection/univariate.py
     uniform_discretize): one min/max agg + the shared clipped-floor bin
@@ -2856,6 +2899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_features": _q_session_features,  # per-session summary table
         "conversation_fingerprints": _q_conversation_fingerprints,  # conv dedup key
         "token_budget_sample": _q_token_budget_sample,  # N-tokens-per-source prefix
+        "token_budget_sample_cost": _q_token_budget_sample_cost,  # precomputed-cost variant
+        "truncate_token_budget_cost": _q_truncate_budget_cost,  # precomputed-cost variant
+        "pack_sequences_cost": _q_pack_sequences_cost,  # precomputed-cost variant
         "sft_pairs": _q_sft_pairs,  # adjacent prompt/response extraction
         "ngram_containment": _q_ngram_containment,  # quote/superset near-dups
         "uniform_discretize": _q_uniform_discretize,  # equal-width codes
@@ -6272,6 +6318,58 @@ def oracle_sql() -> dict[str, str]:
         FROM led WHERE role = 'user' AND next_role = 'assistant'
         """,
         # bucket algorithm == plain hash-ordered prefix (range buckets)
+        # precomputed-cost variants of the budget family: identical window
+        # arithmetic with the synthetic deterministic cost column standing
+        # in for a real tokenizer's counts
+        "token_budget_sample_cost": r"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   CAST(doc_id % 97 + 1 AS BIGINT) AS nt,
+                   CAST('0x' || substr(md5('tb0:' || CAST(doc_id AS STRING)),
+                                       1, 15) AS BIGINT) AS h
+            FROM documents
+        )
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   COALESCE(SUM(nt) OVER (PARTITION BY source
+                       ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS before
+            FROM d
+        ) WHERE before < 300
+        """,
+        "truncate_token_budget_cost": f"""
+        WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+        c AS (
+            SELECT conv_id, turn_idx, role,
+                   SUM(CAST(turn_idx % 29 + 1 AS BIGINT))
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM transcripts
+        )
+        SELECT conv_id, turn_idx, role FROM c WHERE cum <= 40
+        """,
+        "pack_sequences_cost": """
+        WITH base AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5('0:' || doc_id), 1, 15) AS BIGINT)
+                       % 1000000 % 4 AS shard,
+                   doc_id % 97 + 1 AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+            FROM base
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(FLOOR(prev / 128) AS BIGINT) AS start_chunk,
+               CAST(prev % 128 AS BIGINT) AS start_offset,
+               CAST(FLOOR((prev + GREATEST(n_tokens - 1, 0)) / 128) AS BIGINT)
+                   AS end_chunk
+        FROM cum
+        """,
         "token_budget_sample": r"""
         WITH d AS (
             SELECT doc_id, source,

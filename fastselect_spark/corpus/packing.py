@@ -36,6 +36,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     n_shards: int = 8,
     seed: int = 0,
+    cost_col: str | None = None,
 ) -> DataFrame:
     """Pack manifest: (doc_id, shard, n_tokens, start_chunk, start_offset,
     end_chunk) per document.
@@ -47,11 +48,17 @@ def pack_sequences(
       shard) and token offset where the doc's first token lands;
     - ``end_chunk`` — chunk holding the doc's last token (> start_chunk
       when the doc spans boundaries). Tokens = whitespace tokens of the
-      normalized text (the repo-wide tokenization)."""
+      normalized text (the repo-wide tokenization), or — when
+      ``cost_col`` names a precomputed per-doc token-count column (a real
+      BPE tokenizer's counts) — that column, so the manifest reflects the
+      actual training token cost."""
     if max_tokens < 1:
         raise ValueError("max_tokens must be >= 1")
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    toks = F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+    if cost_col is not None:
+        toks = F.col(cost_col)
+    else:
+        norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+        toks = F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
     base = df.select(
         F.col(id_col),
         (_hash_bucket(F.col(id_col), seed) % n_shards).alias("shard"),
@@ -82,12 +89,15 @@ def truncate_to_token_budget(
     order_col: str = "turn_idx",
     text_col: str = "text",
     keep: str = "suffix",
+    cost_col: str | None = None,
 ) -> DataFrame:
     """Context-window fitting: keep each conversation's SUFFIX (default —
     the most recent turns, the SFT convention) or PREFIX whose cumulative
     whitespace-token count stays within ``budget_tokens`` (a turn is kept
     only if it fits ENTIRELY — strict fit, so a single over-budget turn
-    drops out rather than truncating mid-turn).
+    drops out rather than truncating mid-turn). ``cost_col`` optionally
+    names a precomputed per-turn token-count column (a real tokenizer's
+    counts) to use instead of the whitespace proxy.
 
     One running-sum window on the shared conv_id exchange; exact integer
     token counts — deterministic under any partitioning."""
@@ -99,7 +109,10 @@ def truncate_to_token_budget(
         .orderBy(order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    nt = F.size(F.split(F.col(text_col), r"\s+")).cast("long")
+    if cost_col is not None:
+        nt = F.col(cost_col).cast("long")
+    else:
+        nt = F.size(F.split(F.col(text_col), r"\s+")).cast("long")
     return (
         tr.withColumn("__cum", F.sum(nt).over(w))
         .where(F.col("__cum") <= budget_tokens)

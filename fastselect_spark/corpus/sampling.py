@@ -227,13 +227,16 @@ def sample_token_budget(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 0,
+    cost_col: str | None = None,
 ) -> DataFrame:
     """Per-source TOKEN-budget sampling: keep a deterministic hash-ordered
     prefix of each source whose cumulative whitespace-token count reaches
     ``budget_tokens`` (a doc is kept while the tokens BEFORE it are under
     budget, so the budget overshoots by at most one document) — the
     mixture-building primitive ("N tokens per source"), by token mass
-    rather than row count (cap_per_source).
+    rather than row count (cap_per_source). ``cost_col`` optionally names
+    a precomputed per-doc token-count column (a real BPE tokenizer's
+    counts) to use as the token mass instead of the whitespace proxy.
 
     Scale shape (the dsir_select_top histogram-threshold discipline — a
     per-source ``Window.orderBy`` would funnel each source through one
@@ -253,9 +256,12 @@ def sample_token_budget(
         16,
         10,
     ).cast("long")
-    base = docs.withColumn("__h", h).withColumn(
-        "__nt", F.size(F.split(F.col(text_col), r"\s+")).cast("long")
+    nt = (
+        F.col(cost_col).cast("long")
+        if cost_col is not None
+        else F.size(F.split(F.col(text_col), r"\s+")).cast("long")
     )
+    base = docs.withColumn("__h", h).withColumn("__nt", nt)
     base = base.withColumn("__b", (F.col("__h") / F.lit(_TB_WIDTH)).cast("int"))
     # NULL sources get their own budget: an equi-join on a NULL key never
     # matches, so bucket/join on a sentinel-coalesced key (the NUL prefix

@@ -1203,3 +1203,49 @@ def test_woe_iv_encode_releases_cache(spark):
         s for s in str(jmap).split(",") if "GroupBy" in s or "Aggregate" in s
     ]
     assert not leaked
+
+
+def test_budget_family_pluggable_cost(spark):
+    rows = [("c1", 0, "a b c", 10), ("c1", 1, "d", 25), ("c1", 2, "e f", 5)]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, bpe int"
+    )
+    from fastselect_spark.corpus import (
+        pack_sequences,
+        sample_token_budget,
+        truncate_to_token_budget,
+    )
+
+    # suffix fit by COST column: turn2 (5) + turn1 (25) = 30 <= 30; turn0 over
+    got = {
+        r["turn_idx"]
+        for r in truncate_to_token_budget(
+            tr, budget_tokens=30, cost_col="bpe"
+        ).collect()
+    }
+    assert got == {1, 2}
+    # whitespace default unchanged: 2 + 1 + 3 = 6 all fit in 6
+    got_ws = {
+        r["turn_idx"]
+        for r in truncate_to_token_budget(tr, budget_tokens=6).collect()
+    }
+    assert got_ws == {0, 1, 2}
+
+    docs = spark.createDataFrame(
+        [(i, "s", "x y z", 100) for i in range(10)],
+        "doc_id long, source string, text string, bpe int",
+    )
+    # cost 100/doc vs budget 250 keeps exactly 3 docs (2 full + overshoot)
+    assert sample_token_budget(docs, 250, cost_col="bpe").count() == 3
+    # whitespace proxy (3 tokens/doc) keeps far more under the same budget
+    assert sample_token_budget(docs, 250).count() == 10
+
+    man = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            docs, max_tokens=128, n_shards=1, cost_col="bpe"
+        ).collect()
+    }
+    assert man[0]["n_tokens"] == 100 and man[0]["start_chunk"] == 0
+    # doc 1 starts at token 100 -> chunk 0 offset 100, ends in chunk 1
+    assert (man[1]["start_chunk"], man[1]["start_offset"], man[1]["end_chunk"]) == (0, 100, 1)
