@@ -2277,6 +2277,51 @@ def _q_streaming_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFram
     return verify_candidate_pairs(docs, pairs, threshold=0.5)
 
 
+def _q_streaming_dedup_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup loop CLOSED: the MinHash candidate stream's verified
+    pairs are folded into checkpointed duplicate clusters by the periodic
+    ClusterConsolidator (streaming/consolidate.py) — here driven in TWO
+    incremental folds (pair files split by a deterministic hash) against
+    one state dir, exercising manifest-resume. Incremental folding equals
+    batch clustering of the union of emitted pairs (min-label components
+    compose across folds), so the oracle is the recursive-CTE components
+    of the batch MinHash pair SQL."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from fastselect_spark.dedup.minhash import verify_candidate_pairs
+    from fastselect_spark.streaming import (
+        ClusterConsolidator,
+        streaming_minhash_candidates,
+    )
+
+    docs = _streamable_documents(spark, sf_dir)
+    path = _staged_documents_stream_path(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    cands = streaming_minhash_candidates(
+        stream, watermark="10 minutes", state_ttl_minutes=10**6
+    )
+    out = _run_available_now(spark, cands, "fs_stream_consol", mode="append")
+    pairs = verify_candidate_pairs(
+        docs, out.dropDuplicates(["id_a", "id_b"]), threshold=0.5
+    ).select("id_a", "id_b")
+    root = tempfile.mkdtemp(prefix="fs_consol_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    # two pair-feed epochs, split deterministically
+    epoch = F.pmod(F.xxhash64(F.col("id_a"), F.col("id_b")), F.lit(2))
+    pairs.where(epoch == 0).coalesce(1).write.parquet(root + "/pairs/e0")
+    cons = ClusterConsolidator(root + "/state")
+    cons.consolidate(spark, root + "/pairs")  # fold epoch 0
+    pairs.where(epoch == 1).coalesce(1).write.parquet(root + "/pairs/e1")
+    final = cons.consolidate(spark, root + "/pairs")  # fold only epoch 1
+    return final.select("doc_id", F.col("comp").cast("long").alias("comp"))
+
+
 def _q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time drift monitoring: per-2-minute-window PSI of document
     text length against the frozen even-doc_id batch reference
@@ -2982,6 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_within_watermark": _q_streaming_dedup_wm,
         "streaming_stateful_progress": _q_streaming_stateful,
         "streaming_minhash_near_dups": _q_streaming_minhash_near_dups,  # oracle = batch minhash SQL
+        "streaming_dedup_consolidation": _q_streaming_dedup_consolidation,  # pair stream -> checkpointed clusters
         "streaming_quality_filter": _q_streaming_quality_filter,  # oracle = batch filter SQL
         "streaming_pii_redaction": _q_streaming_pii_redaction,  # oracle = batch scrub SQL
         "q1_pricing_summary": _q_q1_pricing_summary,
@@ -5830,6 +5876,25 @@ def oracle_sql() -> dict[str, str]:
         # union of its micro-batches (state TTL > run; verified in pytest),
         # so the same transliterated SQL is its oracle
         "streaming_minhash_near_dups": _MINHASH_ORACLE,
+        # batch clustering of the union of emitted (verified) pairs: the
+        # incremental two-fold consolidation must equal this exactly
+        "streaming_dedup_consolidation": f"""
+        WITH RECURSIVE
+        {_minhash_cte_sql("SELECT doc_id, text FROM documents", 0.5)},
+        e AS (
+            SELECT id_a AS src, id_b AS dst FROM mh_pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM mh_pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        reach(node, comp) AS (
+            SELECT node, node AS comp FROM nodes
+            UNION
+            SELECT e.src, r.comp FROM reach r JOIN e ON e.dst = r.node
+        )
+        SELECT node AS doc_id, CAST(MIN(comp) AS BIGINT) AS comp
+        FROM reach GROUP BY 1
+        """,
         "dedup_pipeline": _DEDUP_PIPELINE_ORACLE,
         "simhash_near_dups": _SIMHASH_ORACLE,
         "multimodal_features": _MULTIMODAL_ORACLE,

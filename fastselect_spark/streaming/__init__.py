@@ -13,6 +13,9 @@ from fastselect_spark.streaming.stateful import (  # noqa: F401
 from fastselect_spark.streaming.minhash import (  # noqa: F401
     streaming_minhash_candidates,
 )
+from fastselect_spark.streaming.consolidate import (  # noqa: F401
+    ClusterConsolidator,
+)
 from fastselect_spark.streaming.asof import (  # noqa: F401
     streaming_asof_enrich,
 )

@@ -436,3 +436,59 @@ def test_streaming_minhash_ttl_eviction_and_bucket_cap(spark, tmp_path):
         (11, d) for d in (12, 13, 14, 15)
     }
     assert pairs2 == expect
+
+
+# ----------------------------------------------- cluster consolidation
+def test_cluster_consolidator_incremental_equals_batch(spark, tmp_path):
+    from fastselect_spark.dedup import connected_components
+    from fastselect_spark.streaming import ClusterConsolidator
+
+    all_pairs = [(1, 2), (2, 3), (10, 11), (20, 21), (3, 20)]
+    e0 = spark.createDataFrame(all_pairs[:2], "id_a long, id_b long")
+    e1 = spark.createDataFrame(all_pairs[2:], "id_a long, id_b long")
+    pairs_dir = str(tmp_path / "pairs")
+    e0.coalesce(1).write.parquet(pairs_dir + "/e0")
+    cons = ClusterConsolidator(str(tmp_path / "state"))
+    first = cons.consolidate(spark, pairs_dir)
+    assert {(r["doc_id"], r["comp"]) for r in first.collect()} == {
+        (1, 1), (2, 1), (3, 1)
+    }
+    e1.coalesce(1).write.parquet(pairs_dir + "/e1")
+    final = cons.consolidate(spark, pairs_dir)
+    batch = connected_components(
+        spark.createDataFrame(all_pairs, "id_a long, id_b long")
+    )
+    assert {(r["doc_id"], r["comp"]) for r in final.collect()} == {
+        (r["doc_id"], r["comp"]) for r in batch.collect()
+    }
+    # no new files: returns committed state unchanged
+    again = cons.consolidate(spark, pairs_dir)
+    assert again.count() == final.count()
+
+
+def test_cluster_consolidator_resumes_after_uncommitted_snapshot(spark, tmp_path):
+    import json
+    import os
+
+    from fastselect_spark.streaming import ClusterConsolidator
+
+    pairs_dir = str(tmp_path / "pairs")
+    spark.createDataFrame([(1, 2)], "id_a long, id_b long").coalesce(1).write.parquet(
+        pairs_dir + "/e0"
+    )
+    state = str(tmp_path / "state")
+    cons = ClusterConsolidator(state)
+    cons.consolidate(spark, pairs_dir)
+    # simulate a crash AFTER the v2 snapshot write but BEFORE the manifest
+    # commit: roll the manifest back to v1 with e1 unfolded
+    spark.createDataFrame([(2, 5)], "id_a long, id_b long").coalesce(1).write.parquet(
+        pairs_dir + "/e1"
+    )
+    manifest = json.load(open(os.path.join(state, "_manifest.json")))
+    cons.consolidate(spark, pairs_dir)
+    json.dump(manifest, open(os.path.join(state, "_manifest.json"), "w"))
+    # rerun refolds e1 idempotently and commits
+    final = ClusterConsolidator(state).consolidate(spark, pairs_dir)
+    assert {(r["doc_id"], r["comp"]) for r in final.collect()} == {
+        (1, 1), (2, 1), (5, 1)
+    }
