@@ -26,9 +26,10 @@ Reference numeric details reproduced:
   iterations until the squared center shift <= tol*var (tol=1e-4), edges =
   midpoints of the sorted final centers. Distributed: every Lloyd iteration
   is ONE pass computing per-cluster (count, sum) for ALL continuous columns
-  simultaneously. Documented divergence: sklearn relocates empty clusters
-  to far points; this implementation keeps an empty cluster's center in
-  place (1-D sorted-init Lloyd essentially never empties a cluster).
+  simultaneously. Empty clusters relocate to the sample farthest from
+  its assigned center (sklearn _relocate_empty_clusters semantics; ties
+  in distance break deterministically by larger value) via one tiny
+  TakeOrdered job per affected column — rare in 1-D sorted-init Lloyd.
 """
 
 from __future__ import annotations
@@ -169,8 +170,11 @@ def kmeans_bin_edges(
                     continue
                 for ci, c in enumerate(act):
                     x = pdf[c].to_numpy(dtype=np.float64)
-                    mids = (cur[c][:-1] + cur[c][1:]) / 2.0
-                    a = np.searchsorted(mids, x, side="left")
+                    # nearest-CENTER assignment (first-min index on ties,
+                    # matching sklearn's dense argmin): centers can be
+                    # UNSORTED after an empty-cluster relocation, so the
+                    # sorted-midpoint searchsorted shortcut is invalid here
+                    a = np.abs(x[:, None] - cur[c][None, :]).argmin(axis=1)
                     cnt[ci] += np.bincount(a, minlength=n_bins)
                     s[ci] += np.bincount(a, weights=x, minlength=n_bins)
             return {"cnt": cnt, "s": s}
@@ -178,8 +182,41 @@ def kmeans_bin_edges(
         merged = tree_reduce_ndarrays(proj.select(*act), partial)
         done = set()
         for ci, c in enumerate(act):
-            cnt, s = merged["cnt"][ci], merged["s"][ci]
+            cnt, s = merged["cnt"][ci].copy(), merged["s"][ci].copy()
+            empty = np.where(cnt == 0)[0]
+            reloc: dict[int, float] = {}
+            if len(empty):
+                # sklearn KMeans empty-cluster relocation (KBinsDiscretizer
+                # strategy='kmeans' runs full KMeans): each empty cluster's
+                # center moves to a sample FARTHEST from its assigned
+                # center, and that sample leaves its donor cluster's stats
+                # (sklearn _relocate_empty_clusters_dense). Ties in
+                # distance break by larger value (sklearn's argpartition
+                # order is arbitrary there; this pin is deterministic).
+                # Empties are rare in 1-D sorted-init Lloyd, so the extra
+                # top-E TakeOrdered job per affected column is off the
+                # hot path.
+                dexpr = F.least(
+                    *[
+                        (F.col(c) - F.lit(float(ct))) ** 2
+                        for ct in cur[c]
+                    ]
+                )
+                cand = (
+                    proj.select(F.col(c).alias("x"), dexpr.alias("d"))
+                    .orderBy(F.desc("d"), F.desc("x"))
+                    .limit(int(len(empty)))
+                    .collect()
+                )
+                for cluster_id, row in zip(empty, cand):
+                    x = float(row["x"])
+                    donor = int(np.abs(x - cur[c]).argmin())
+                    cnt[donor] -= 1
+                    s[donor] -= x
+                    reloc[int(cluster_id)] = x
             new = np.where(cnt > 0, s / np.maximum(cnt, 1), cur[c])
+            for cluster_id, x in reloc.items():
+                new[cluster_id] = x
             shift = float(((new - cur[c]) ** 2).sum())
             centers[c] = new
             if shift <= tol_abs[c]:

@@ -251,12 +251,50 @@ def test_cfs_invalid_strategy():
         CFSSelector(strategy="entropy")
 
 
+
+def _local_kmeans_edges(x, n_bins):
+    """Faithful local replica of kmeans_bin_edges: nearest-center argmin
+    assignment + sklearn-style empty-cluster relocation (desc distance,
+    value tie-break), tol = 1e-4 * var, edges = midpoints of sorted final
+    centers bracketed by [min, max]."""
+    mn, mx = float(x.min()), float(x.max())
+    e = np.linspace(mn, mx, n_bins + 1)
+    centers = (e[:-1] + e[1:]) / 2.0
+    tol_abs = 1e-4 * x.var()
+    for _ in range(300):
+        a = np.abs(x[:, None] - centers[None, :]).argmin(axis=1)
+        cnt = np.bincount(a, minlength=n_bins).astype(float)
+        s = np.bincount(a, weights=x, minlength=n_bins)
+        empty = np.where(cnt == 0)[0]
+        reloc = {}
+        if len(empty):
+            d = (x - centers[a]) ** 2
+            order = np.lexsort((-x, -d))[: len(empty)]
+            for cid, idx in zip(empty, order):
+                cnt[a[idx]] -= 1
+                s[a[idx]] -= x[idx]
+                reloc[cid] = x[idx]
+        new = np.where(cnt > 0, s / np.maximum(cnt, 1), centers)
+        for cid, v in reloc.items():
+            new[cid] = v
+        shift = ((new - centers) ** 2).sum()
+        centers = new
+        if shift <= tol_abs:
+            break
+    ctr = np.sort(centers)
+    return np.concatenate([[mn], (ctr[:-1] + ctr[1:]) / 2.0, [mx]])
+
 def test_cfs_kmeans_strategy(spark, cfs_recipe):
-    """kmeans binning (KBinsDiscretizer semantics) still recovers [0, 2]."""
+    """kmeans binning (KBinsDiscretizer semantics incl. empty-cluster
+    relocation) recovers one of the near-duplicate informative twins
+    {f0, f1} plus f2. Under the round-4 no-relocation variant f0 won;
+    the relocation (which fires once on f0's bimodal column) nudges
+    f0's binning so its SU lands a hair below f1's — f1 and f2 are the
+    faithful-sklearn selection."""
     X, y = cfs_recipe
     df, cols = _to_df(spark, X, y)
     m = CFSSelector(n_bins=10, strategy="kmeans").fit(df, cols)
-    assert m.selected_indices_.tolist() == [0, 2]
+    assert m.selected_indices_.tolist() == [1, 2]
 
 
 def test_kmeans_bin_edges_matches_local_lloyd(spark):
@@ -269,23 +307,7 @@ def test_kmeans_bin_edges_matches_local_lloyd(spark):
     n_bins = 4
     mn, mx = float(x.min()), float(x.max())
     got = kmeans_bin_edges(df, ["x"], n_bins, {"x": mn}, {"x": mx})["x"]
-
-    e = np.linspace(mn, mx, n_bins + 1)
-    centers = (e[:-1] + e[1:]) / 2.0
-    tol_abs = 1e-4 * x.var()
-    for _ in range(300):
-        mids = (centers[:-1] + centers[1:]) / 2.0
-        a = np.searchsorted(mids, x, side="left")
-        cnt = np.bincount(a, minlength=n_bins)
-        s = np.bincount(a, weights=x, minlength=n_bins)
-        new = np.where(cnt > 0, s / np.maximum(cnt, 1), centers)
-        shift = ((new - centers) ** 2).sum()
-        centers = new
-        if shift <= tol_abs:
-            break
-    ctr = np.sort(centers)
-    exp = np.concatenate([[mn], (ctr[:-1] + ctr[1:]) / 2.0, [mx]])
-    np.testing.assert_allclose(got, exp, rtol=1e-9)
+    np.testing.assert_allclose(got, _local_kmeans_edges(x, n_bins), rtol=1e-9)
 
 
 # ---------- MDR ----------
@@ -404,3 +426,23 @@ def test_fisher_score_separated_feature(spark):
             den += len(xc) * xc.var()
         exp.append(num / den if den > 0 else (np.inf if num > 0 else 0.0))
     np.testing.assert_allclose(s, exp, rtol=1e-9)
+
+
+def test_kmeans_bin_edges_empty_cluster_relocation(spark):
+    """sklearn KMeans empty-cluster semantics: the uniform-midpoint init
+    leaves clusters 1 and 2 empty on this bimodal fixture; each empty
+    center must relocate to a farthest-from-assigned-center sample
+    (desc distance, value tie-break), the donors losing those samples —
+    matching a local NumPy replica of sklearn's relocation."""
+    from fastselect_spark.selection.cfs import kmeans_bin_edges
+
+    x = np.array([0.1, 0.7, 1.1, 8.6, 10.0])
+    n_bins = 4
+    mn, mx = float(x.min()), float(x.max())
+    df = spark.createDataFrame(pd.DataFrame({"x": x})).repartition(3)
+    got = kmeans_bin_edges(df, ["x"], n_bins, {"x": mn}, {"x": mx})["x"]
+    exp = _local_kmeans_edges(x, n_bins)
+    np.testing.assert_allclose(got, exp, rtol=1e-9)
+    # all four bins are non-degenerate: the two relocated centers landed
+    # on samples, so no edge collapses onto another
+    assert len(np.unique(np.round(exp, 9))) == n_bins + 1
