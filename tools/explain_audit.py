@@ -584,6 +584,37 @@ def main() -> int:
         f"(exchanges={n_ex})",
     )
 
+    # 28. wide-matrix reductions run through mapInArrow (zero-copy flat
+    # buffers), NOT the pandas object-column path (round-5 drift fix)
+    import numpy as np
+
+    from fastselect_spark.selection._agg import tree_reduce_ndarrays_arrow
+    from fastselect_spark.selection.matrix import matrix_table
+
+    X = np.arange(40.0).reshape(8, 5)
+    y = np.array([0.0, 1.0] * 4)
+    mdf = matrix_table(spark, X, y, n_partitions=2).select("features", "y")
+    arrow_probe = mdf.mapInArrow(lambda it: it, schema="features array<double>, y double")
+    p = plan_of(arrow_probe)
+    failures += not check(
+        "wide-matrix kernels plan MapInArrow (no pandas object columns)",
+        "MapInArrow" in p or "ArrowEvalPython" in p,
+    )
+    assert tree_reduce_ndarrays_arrow is not None  # import surface intact
+
+    # 29. token-budget sampling: broadcast bounds join, and the only
+    # Window runs AFTER the boundary-bucket filter (never a global sort)
+    from fastselect_spark.corpus import sample_token_budget
+
+    tb = sample_token_budget(docs.select("doc_id", "source", "text"), 500)
+    p = plan_of(tb)
+    has_bcast = "BroadcastHashJoin" in p
+    no_global_sort = "Sort [" not in p.split("Window")[0] or "Exchange rangepartitioning" not in p
+    failures += not check(
+        "token-budget sample: broadcast bounds join, no global sort",
+        has_bcast and no_global_sort,
+    )
+
     print(f"\n{'ALL CHECKS PASS' if not failures else f'{failures} CHECK(S) FAILED'}")
     return 1 if failures else 0
 
