@@ -1543,6 +1543,20 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN top-k (similarity/quantize.py): global
+    symmetric absmax grid (one map-side-combined agg), d-byte binary
+    codes, exact-integer int8 dot-product scores with map-side-combine
+    local top-k. Scores are exact integers and the grid is recomputed by
+    the oracle from the same table, so the oracle is PURE SQL with no
+    trained-state literals (_SQ8_TOPK_ORACLE)."""
+    from fastselect_spark.similarity import sq8_topk
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    return sq8_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
 def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP dedup pipeline, end-to-end: exact dedup (hash-groupBy on
     the normalized-text fingerprint, min-id survivor) -> MinHash LSH
@@ -2989,6 +3003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,  # oracle = exact SQL
         "ann_lsh_topk": _q_ann_lsh_topk,  # oracle = exact top-k SQL
         "ann_ivf_topk": _q_ann_ivf_topk,  # oracle = centroid-literal SQL
+        "ann_sq8_topk": _q_ann_sq8_topk,  # oracle = pure-SQL quantized grid
         "ann_ivf_recall": _q_ann_ivf_recall,  # hash-checked recall claim
         "dedup_pipeline": _q_dedup_pipeline,  # exact -> minhash -> cluster -> keep
         "quality_filter": _q_quality_filter,  # C4-style keep-rule chain
@@ -4520,6 +4535,40 @@ FROM r WHERE rank <= 5
 """
 
 
+_SQ8_TOPK_ORACLE = """
+WITH ex AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+           CAST(UNNEST(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+b AS (SELECT MAX(ABS(x)) AS a FROM ex),
+-- the symmetric SQ8 grid: identical float64 op sequence to
+-- quantize._quantize (global absmax scale; see quantize.py on why a
+-- per-dim affine grid would break inner-product ranking)
+qc AS (
+    SELECT vec_id, pos,
+           CAST(LEAST(GREATEST(FLOOR(x * 127.0 / a + 0.5), -127), 127)
+                AS BIGINT) AS code
+    FROM ex, b
+),
+s AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(SUM(q.code * c.code) AS BIGINT) AS score
+    FROM qc q JOIN qc c USING (pos)
+    WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    GROUP BY 1, 2
+),
+r AS (
+    SELECT query_id, neighbor_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM s
+)
+SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+"""
+
+
 def _ivf_topk_oracle_sql() -> str | None:
     """DuckDB oracle for ``ann_ivf_topk`` — IVF training is deterministic
     (lowest-id seeds, exact-mean Lloyd: similarity/ivf.py), so the trained
@@ -5738,6 +5787,7 @@ def oracle_sql() -> dict[str, str]:
         # seed-deterministic recall 1.0 at its operating point (12x6-bit
         # tables, multiprobe): the exact top-k SQL is the regression oracle
         "ann_lsh_topk": _EMBED_TOPK_ORACLE,
+        "ann_sq8_topk": _SQ8_TOPK_ORACLE,
         # n_exact is genuinely recomputed (exact top-5 per query); the
         # recall>=0.8 claim hash-checks against TRUE — a probe-path recall
         # regression mismatches the row

@@ -18,3 +18,8 @@ from fastselect_spark.similarity.pca import (  # noqa: F401
 )
 from fastselect_spark.similarity.mmr import mmr_rerank, pool_pair_sims  # noqa: F401
 from fastselect_spark.similarity.mmr import embedding_health  # noqa: F401
+from fastselect_spark.similarity.quantize import (  # noqa: F401
+    sq8_topk,
+    sq_encode,
+    train_sq_scale,
+)

@@ -797,3 +797,74 @@ def test_pca_training_parity_and_projection(spark):
     cov = np_.cov(M.T)
     vals = np_.sort(np_.linalg.eigvalsh(cov))[::-1][:4]
     assert np_.allclose(P.var(axis=0, ddof=1), vals, rtol=1e-6)
+
+
+# ---------- SQ8 scalar quantization ----------
+
+def test_sq8_encode_matches_numpy(embeddings):
+    """Distributed scale + encode are bit-identical to the single-process
+    replica (absmax involves no float rounding; the grid is a fixed
+    float64 op sequence)."""
+    from fastselect_spark.similarity import sq_encode, train_sq_scale
+    from fastselect_spark.similarity.quantize import _quantize
+
+    emb8 = embeddings.repartition(8)  # multi-partition scale
+    a = train_sq_scale(emb8)
+    pdf = embeddings.toPandas()
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    assert a == np.abs(M).max()
+    codes = sq_encode(emb8, a).toPandas()
+    got = {r.vec_id: np.frombuffer(r.code, dtype=np.int8) for r in codes.itertuples()}
+    want = _quantize(M, a)
+    ids = pdf["vec_id"].to_numpy()
+    for i, vid in enumerate(ids):
+        np.testing.assert_array_equal(got[vid], want[i])
+    # the grid's extremes are hit (scale is tight)
+    allc = np.stack([got[v] for v in ids])
+    assert allc.max() == 127 or allc.min() == -127
+
+
+def test_sq8_topk_matches_quantized_bruteforce(embeddings):
+    """Exact-integer scores and (score desc, id asc) tie-break match the
+    NumPy brute-force replica row-for-row — including across partitions
+    (the local-topk lexsort tie discipline)."""
+    from fastselect_spark.similarity import sq8_topk
+    from fastselect_spark.similarity.quantize import _quantize
+
+    queries = embeddings.where(F.col("vec_id") < 5)
+    out = sq8_topk(embeddings.repartition(8), queries, k=7).toPandas()
+    pdf = embeddings.toPandas()
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Q = _quantize(M, np.abs(M).max()).astype(np.int64)
+    ids = pdf["vec_id"].to_numpy()
+    for q in range(5):
+        qv = Q[ids == q][0]
+        s = Q @ qv
+        mask = ids != q
+        order = np.lexsort((ids[mask], -s[mask]))[:7]
+        got = out[out.query_id == q].sort_values("rank")
+        assert got["neighbor_id"].tolist() == ids[mask][order].tolist()
+        assert got["score"].tolist() == s[mask][order].tolist()
+
+
+def test_sq8_topk_recall_vs_exact_cosine(embeddings):
+    """On unit-normalized vectors, quantized-IP ranking approximates cosine
+    ranking: recall@10 of the exact top-10 stays high."""
+    from fastselect_spark.similarity import sq8_topk
+
+    norm = embeddings.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)),
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x / F.col("nrm")).alias("embedding"),
+    )
+    queries = norm.where(F.col("vec_id") < 10)
+    approx = sq8_topk(norm, queries, k=10).toPandas()
+    exact = cosine_topk(norm, queries, k=10).toPandas()
+    recalls = []
+    for q in range(10):
+        a = set(approx[approx.query_id == q]["neighbor_id"])
+        e = set(exact[exact.query_id == q]["neighbor_id"])
+        recalls.append(len(a & e) / len(e))
+    assert np.mean(recalls) >= 0.9

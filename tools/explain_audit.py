@@ -615,6 +615,21 @@ def main() -> int:
         has_bcast and no_global_sort,
     )
 
+    # 30. SQ8 ANN: encode + local-topk are row-local Arrow passes — the
+    # corpus/codes side is NEVER shuffled; the only Exchange in the whole
+    # top-k plan is the bounded query_id window merge (queries x k rows)
+    from fastselect_spark.similarity import sq8_topk
+
+    emb30 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sq = sq8_topk(emb30, emb30.where("vec_id < 3"), k=5)
+    p = plan_of(sq)
+    n_ex = p.count("Exchange")
+    failures += not check(
+        "sq8 top-k: codes never shuffled (1 exchange = query_id merge)",
+        n_ex == 1 and p.count("MapInPandas") >= 2,
+        f"(exchanges={n_ex})",
+    )
+
     print(f"\n{'ALL CHECKS PASS' if not failures else f'{failures} CHECK(S) FAILED'}")
     return 1 if failures else 0
 
