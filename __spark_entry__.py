@@ -1557,6 +1557,22 @@ def _q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
 
 
+def _q_ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × SQ8 ANN (similarity/quantize.py sq8_topk_ivf): cell-annotated
+    d-byte codes table (partition-prunable probe filter), driver-side
+    probing, exact-integer int8 rerank within probed cells only — the
+    FAISS IVF,SQ8 serving shape. Oracle: centroid literals from the
+    independent NumPy replica + the pure-SQL symmetric grid + integer
+    rerank (_ivf_sq8_topk_oracle_sql)."""
+    from fastselect_spark.similarity import sq8_topk_ivf
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    return sq8_topk_ivf(
+        emb, emb.where(F.col("vec_id") < 5), k=5, n_cells=8, nprobe=3
+    )
+
+
 def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP dedup pipeline, end-to-end: exact dedup (hash-groupBy on
     the normalized-text fingerprint, min-id survivor) -> MinHash LSH
@@ -3004,6 +3020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,  # oracle = exact top-k SQL
         "ann_ivf_topk": _q_ann_ivf_topk,  # oracle = centroid-literal SQL
         "ann_sq8_topk": _q_ann_sq8_topk,  # oracle = pure-SQL quantized grid
+        "ann_ivf_sq8_topk": _q_ann_ivf_sq8_topk,  # centroid literals + grid SQL
         "ann_ivf_recall": _q_ann_ivf_recall,  # hash-checked recall claim
         "dedup_pipeline": _q_dedup_pipeline,  # exact -> minhash -> cluster -> keep
         "quality_filter": _q_quality_filter,  # C4-style keep-rule chain
@@ -4566,6 +4583,99 @@ r AS (
 )
 SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 10
+"""
+
+
+def _ivf_sq8_topk_oracle_sql() -> str | None:
+    """DuckDB oracle for ``ann_ivf_sq8_topk`` — same centroid-literal
+    assignment + probing as ``_ivf_topk_oracle_sql`` (n_cells=8, nprobe=3,
+    queries vec_id < 5), but the rerank is the exact-INTEGER symmetric-SQ8
+    dot product, with the grid recomputed from the table itself
+    (no grid literals; see _SQ8_TOPK_ORACLE). k=5."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        from fastselect_spark.similarity.ivf import train_ivf_centroids_numpy
+
+        C = train_ivf_centroids_numpy(f"{sf_dir}/embeddings.parquet", n_cells=8)
+    except Exception:
+        return None
+    cent_rows = ",\n    ".join(
+        "({}, [{}])".format(c, ", ".join(repr(float(v)) for v in row))
+        for c, row in enumerate(C)
+    )
+    return f"""
+WITH cent(cell, cw) AS (VALUES
+    {cent_rows}
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+-- cell assignment: argmax dot (|v| constant per row == normalized argmax)
+az AS (
+    SELECT neighbor_id, cell, UNNEST(ce) AS x, UNNEST(cw) AS y FROM c, cent
+),
+adots AS (
+    SELECT neighbor_id, cell, SUM(CAST(x AS DOUBLE) * y) AS dot
+    FROM az GROUP BY 1, 2
+),
+assign AS (
+    SELECT neighbor_id, cell FROM (
+        SELECT neighbor_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                                  ORDER BY dot DESC, cell) AS rn
+        FROM adots
+    ) WHERE rn = 1
+),
+qz AS (
+    SELECT query_id, cell, UNNEST(qe) AS x, UNNEST(cw) AS y FROM q, cent
+),
+qdots AS (
+    SELECT query_id, cell, SUM(CAST(x AS DOUBLE) * y) AS dot
+    FROM qz GROUP BY 1, 2
+),
+probes AS (
+    SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, cell) AS rn
+        FROM qdots
+    ) WHERE rn <= 3
+),
+-- the symmetric SQ8 grid (identical float64 ops to quantize._quantize)
+ex AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+           CAST(UNNEST(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+b AS (SELECT MAX(ABS(x)) AS a FROM ex),
+qc AS (
+    SELECT vec_id, pos,
+           CAST(LEAST(GREATEST(FLOOR(x * 127.0 / a + 0.5), -127), 127)
+                AS BIGINT) AS code
+    FROM ex, b
+),
+cand AS (
+    SELECT p.query_id, a.neighbor_id
+    FROM probes p JOIN assign a USING (cell)
+    WHERE a.neighbor_id <> p.query_id
+),
+s AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           CAST(SUM(qq.code * cc.code) AS BIGINT) AS score
+    FROM cand
+    JOIN qc qq ON qq.vec_id = cand.query_id
+    JOIN qc cc ON cc.vec_id = cand.neighbor_id AND cc.pos = qq.pos
+    GROUP BY 1, 2
+),
+r AS (
+    SELECT query_id, neighbor_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM s
+)
+SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
 """
 
 
@@ -7306,6 +7416,9 @@ FROM ra
     ivf = _ivf_topk_oracle_sql()
     if ivf is not None:
         out["ann_ivf_topk"] = ivf
+    ivfsq = _ivf_sq8_topk_oracle_sql()
+    if ivfsq is not None:
+        out["ann_ivf_sq8_topk"] = ivfsq
     pcorr = _partial_corr_oracle_sql()
     if pcorr is not None:
         out["partial_correlations"] = pcorr

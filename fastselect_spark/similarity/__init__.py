@@ -20,6 +20,7 @@ from fastselect_spark.similarity.mmr import mmr_rerank, pool_pair_sims  # noqa: 
 from fastselect_spark.similarity.mmr import embedding_health  # noqa: F401
 from fastselect_spark.similarity.quantize import (  # noqa: F401
     sq8_topk,
+    sq8_topk_ivf,
     sq_encode,
     train_sq_scale,
 )

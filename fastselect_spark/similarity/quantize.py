@@ -183,3 +183,127 @@ def sq8_topk(
         .where(F.col("rank") <= kk)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def sq8_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+    scale: float | None = None,
+    train_sample: int | None = None,
+) -> DataFrame:
+    """IVF × SQ8 — the FAISS ``IVF,SQ8`` architecture re-expressed
+    Spark-first, and the honest 100 TB serving shape: the stored index is
+    the cell-annotated d-byte codes table (bucket/partition it by ``cell``
+    at rest so the probe filter becomes PARTITION PRUNING at the scan),
+    each query probes its ``nprobe`` nearest centroids driver-side, and
+    only the probed cells' codes are scored — with the same exact-integer
+    int8 dot product as :func:`sq8_topk`. Per-query compute shrinks by
+    ~nprobe/n_cells AND every scored vector costs d bytes instead of 4·d.
+
+    Returns ``(query_id, neighbor_id, score, rank)``; scores are exact
+    integers, so the contract oracle recomputes centroids (NumPy-replica
+    literals), assignment, probing, the symmetric grid and the integer
+    rerank end-to-end in SQL (``__spark_entry__._ivf_sq8_topk_oracle_sql``).
+    """
+    from fastselect_spark.similarity.ivf import ivf_assign, train_ivf_centroids
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_cells, emb_col, id_col, train_sample=train_sample
+        )
+    if scale is None:
+        scale = train_sq_scale(corpus, emb_col)
+    # the stored index: (id, cell, code) — one row-local assign pass and
+    # one row-local encode pass over the same scan, never shuffled
+    assigned = ivf_assign(corpus.select(id_col, emb_col), centroids, emb_col)
+    bc_scale = corpus.sparkSession.sparkContext.broadcast(float(scale))
+    id_t = corpus.schema[id_col].dataType.simpleString()
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a = bc_scale.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": pdf["cell"],
+                    "code": [c.tobytes() for c in _quantize(M, a)],
+                }
+            )
+
+    codes = assigned.mapInPandas(
+        encode, schema=f"`{id_col}` {id_t}, cell int, code binary"
+    )
+
+    # queries are small by contract: quantize + probe driver-side
+    qpdf = queries.select(id_col, emb_col).toPandas()
+    q_ids = qpdf[id_col].to_numpy()
+    Qf = np.stack(qpdf[emb_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(Qf, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sims = (Qf / norms) @ centroids.T
+    probe_sets = [
+        frozenset(int(c) for c in np.argsort(-sims[qi], kind="stable")[:nprobe])
+        for qi in range(len(q_ids))
+    ]
+    all_cells = sorted(set().union(*probe_sets)) if probe_sets else []
+    Qm = _quantize(Qf, float(scale)).astype(np.int64)
+    d = Qm.shape[1]
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, Qm, probe_sets))
+    kk = int(k)
+    idc = id_col
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, Q, probes = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.frombuffer(
+                b"".join(pdf["code"].to_numpy()), dtype=np.int8
+            ).reshape(len(pdf), d).astype(np.int64)
+            c_ids = pdf[idc].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            out = []
+            for qi in range(len(ids_q)):
+                # probe mask BEFORE the matmul — the nprobe/n_cells saving
+                mask = np.isin(cells, list(probes[qi])) & (c_ids != ids_q[qi])
+                if not mask.any():
+                    continue
+                sm = C[mask] @ Q[qi]
+                cm = c_ids[mask]
+                top = np.lexsort((cm, -sm))[:kk]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": ids_q[qi],
+                            "neighbor_id": cm[top],
+                            "score": sm[top],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    # the probed-cells filter sits ON the codes table — stored partitioned
+    # by cell, Catalyst turns it into partition pruning
+    pruned = codes.where(F.col("cell").isin([int(c) for c in all_cells]))
+    partial = pruned.mapInPandas(
+        local_topk,
+        schema=f"query_id {id_t}, neighbor_id {id_t}, score long",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -868,3 +868,39 @@ def test_sq8_topk_recall_vs_exact_cosine(embeddings):
         e = set(exact[exact.query_id == q]["neighbor_id"])
         recalls.append(len(a & e) / len(e))
     assert np.mean(recalls) >= 0.9
+
+
+def test_sq8_topk_ivf_matches_replica(embeddings):
+    """IVF×SQ8 end-to-end (assign → probe → integer rerank within probed
+    cells) matches the NumPy replica row-for-row given the same trained
+    centroids — probing never scores an unprobed cell, and scores stay
+    exact integers."""
+    from fastselect_spark.similarity import sq8_topk_ivf, train_ivf_centroids
+    from fastselect_spark.similarity.quantize import _quantize
+
+    cent = train_ivf_centroids(embeddings, n_cells=6)
+    out = sq8_topk_ivf(
+        embeddings.repartition(8),
+        embeddings.where(F.col("vec_id") < 4),
+        k=5,
+        n_cells=6,
+        nprobe=2,
+        centroids=cent,
+    ).toPandas()
+    pdf = embeddings.toPandas()
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    assign = np.argmax(Mn @ cent.T, axis=1)
+    a = np.abs(M).max()
+    Q = _quantize(M, a).astype(np.int64)
+    for q in range(4):
+        qsims = (Mn[ids == q][0]) @ cent.T
+        probed = set(np.argsort(-qsims, kind="stable")[:2])
+        mask = np.isin(assign, list(probed)) & (ids != q)
+        s = Q[mask] @ Q[ids == q][0]
+        cm = ids[mask]
+        order = np.lexsort((cm, -s))[:5]
+        got = out[out.query_id == q].sort_values("rank")
+        assert got["neighbor_id"].tolist() == cm[order].tolist()
+        assert got["score"].tolist() == s[order].tolist()
