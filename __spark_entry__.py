@@ -1380,6 +1380,80 @@ def _q_categorical_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KENDALL_COLS = _MI_FEATURES + ["y"]
+
+
+def _q_kendall_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b matrix over the ordinal lineitem codes
+    (selection/correlation.py kendall_tau_matrix): ONE
+    groupBy-all-code-columns cube + exact-integer driver concordance
+    marginalization — the shared-cube discipline; the single float op
+    (final quotient) is mirrored term-for-term by the oracle, rounding
+    ENGINE-side (Spark round == DuckDB ROUND, both half-away)."""
+    from fastselect_spark.selection import kendall_tau_matrix
+
+    _register(spark, sf_dir, "lineitem")
+    m = spark.sql(_LINEITEM_CODES_SQL)
+    out = kendall_tau_matrix(m, _KENDALL_COLS)
+    return out.select(
+        "feature_a", "feature_b", F.round("tau_b", 6).alias("tau_b")
+    )
+
+
+def _kendall_oracle_sql() -> str:
+    """Mirror of _q_kendall_correlations: per pair, the contingency from
+    the code cube, concordant/discordant cell-pair sums (exact integers),
+    C(r,2)/C(c,2) tie terms via `//` integer division, and the SAME final
+    quotient `CAST(p−q AS DOUBLE) / SQRT(CAST(da AS DOUBLE) * CAST(db AS
+    DOUBLE))` the driver computes — bit-identical before ROUND(.,6)."""
+    cols = _KENDALL_COLS
+    blocks = ["codes AS (" + _LINEITEM_CODES_SQL + ")"]
+    selects = []
+    i = 0
+    for ai in range(len(cols)):
+        for bi in range(ai + 1, len(cols)):
+            a, b = cols[ai], cols[bi]
+            blocks.append(
+                f"""c_{i} AS (
+            SELECT {a} AS x, {b} AS y, CAST(COUNT(*) AS BIGINT) AS n
+            FROM codes GROUP BY 1, 2
+        )"""
+            )
+            blocks.append(
+                f"""m_{i} AS (
+            SELECT
+              SUM(CASE WHEN c2.x > c1.x AND c2.y > c1.y
+                       THEN c1.n * c2.n ELSE 0 END) AS p,
+              SUM(CASE WHEN c2.x > c1.x AND c2.y < c1.y
+                       THEN c1.n * c2.n ELSE 0 END) AS q
+            FROM c_{i} c1, c_{i} c2
+        )"""
+            )
+            blocks.append(
+                f"""t_{i} AS (
+            SELECT
+              (SELECT SUM(n) FROM c_{i}) AS nn,
+              (SELECT SUM((rn * (rn - 1)) // 2)
+                 FROM (SELECT SUM(n) AS rn FROM c_{i} GROUP BY x)) AS n1,
+              (SELECT SUM((cn * (cn - 1)) // 2)
+                 FROM (SELECT SUM(n) AS cn FROM c_{i} GROUP BY y)) AS n2
+        )"""
+            )
+            selects.append(
+                f"""SELECT '{a}' AS feature_a, '{b}' AS feature_b,
+               ROUND(CAST(p - q AS DOUBLE)
+                     / SQRT(CAST((nn * (nn - 1)) // 2 - n1 AS DOUBLE)
+                            * CAST((nn * (nn - 1)) // 2 - n2 AS DOUBLE)),
+                     6) AS tau_b
+        FROM m_{i}, t_{i}"""
+            )
+            i += 1
+    return (
+        "WITH " + ",\n        ".join(blocks) + "\n        "
+        + "\n        UNION ALL\n        ".join(selects)
+    )
+
+
 def _q_f_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-target univariate F (selection/univariate.py
     f_regression_scores): ONE sufficient-stats agg; integer-valued
@@ -2966,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_target_encoding": _q_kfold_target_encoding,  # CV-consistent TE
         "f_regression_scores": _q_f_regression,  # continuous-target univariate F
         "categorical_associations": _q_categorical_associations,  # Cramér V / Theil U
+        "kendall_correlations": _q_kendall_correlations,  # tau-b from the shared cube
         "partial_correlations": _q_partial_correlations,  # confounder-adjusted r
         "embedding_health": _q_embedding_health,  # vector-table quality gate
         "binned_mi": _q_binned_mi,  # continuous features -> discrete MI
@@ -5590,6 +5665,7 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": _profile_oracle_sql(),
         "profile_drift": _profile_drift_oracle_sql(),
         "categorical_associations": _cat_assoc_oracle_sql(),
+        "kendall_correlations": _kendall_oracle_sql(),
         # thresholds: plain FLOOR truncation of (ratio*min/cnt)*1e6 — the
         # Spark side uses int() truncation on the same IEEE double, so no
         # rounding-mode divergence; hash = the shared 60-bit md5 family

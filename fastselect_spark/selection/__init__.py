@@ -41,6 +41,9 @@ from fastselect_spark.selection.rank import (  # noqa: F401
 from fastselect_spark.selection.categorical import (  # noqa: F401
     categorical_associations,
 )
+from fastselect_spark.selection.correlation import (  # noqa: F401
+    kendall_tau_matrix,
+)
 from fastselect_spark.selection.multivariate import (  # noqa: F401
     close_mahalanobis_stats,
     mahalanobis_distance,

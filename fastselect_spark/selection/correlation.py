@@ -216,3 +216,81 @@ def partial_correlation_matrix(
     out = -prec / np.outer(d, d)
     np.fill_diagonal(out, 1.0)
     return out
+
+
+def kendall_tau_matrix(df: DataFrame, feature_cols: list[str]) -> DataFrame:
+    """Kendall tau-b rank correlation between every pair of DISCRETE
+    (ordinal-coded) features — the concordance-based member of the
+    correlation family (Pearson = linear, Spearman = monotone-rank,
+    Kendall = pairwise concordance), preferred when the features are
+    small-domain ordinal codes because tau-b's tie correction is exact
+    there. Completes the reference's correlation/redundancy toolkit
+    (FastSelect's mRMR/CFS redundancy uses MI; tau-b is the standard
+    nonparametric alternative for ordinal matrices).
+
+    Spark-first shape: ONE ``groupBy(all code columns).count()`` cube and
+    every pairwise concordance table falls out by driver marginalization —
+    the shared-cube discipline (selection/pipeline.py scores_from_cube,
+    selection/categorical.py). NO O(n²) pair pass and NO per-pair jobs:
+    for a K_a × K_b contingency table (counts n_ij, row totals r_i,
+    column totals c_j, n rows):
+
+        P  = Σ_ij n_ij · Σ_{k>i, l>j} n_kl      (concordant pairs)
+        Q  = Σ_ij n_ij · Σ_{k>i, l<j} n_kl      (discordant pairs)
+        n0 = n(n−1)/2,  n1 = Σ_i C(r_i,2),  n2 = Σ_j C(c_j,2)
+        tau_b = (P − Q) / sqrt((n0−n1) · (n0−n2))
+
+    All terms are exact integers (Python ints on the driver — overflow-
+    proof at any n); the single float op is the final quotient, mirrored
+    term-for-term by the SQL oracle, so results are bit-identical
+    cross-engine before engine-side rounding.
+
+    Rows with a NULL in any of ``feature_cols`` are dropped first
+    (listwise-complete, the same population for every pair). Constant
+    columns (n0 == n1) yield NULL tau. Cube size is the product of the
+    alphabets — this is for ordinal CODES, not raw high-cardinality
+    values (discretize first: univariate.quantile_discretize /
+    uniform_discretize)."""
+    import math
+
+    spark = df.sparkSession
+    cube = (
+        df.dropna(subset=feature_cols)
+        .groupBy(*[F.col(c).cast("long").alias(c) for c in feature_cols])
+        .count()
+        .collect()
+    )
+    n = sum(int(r["count"]) for r in cube)
+    n0 = n * (n - 1) // 2
+    out: list[tuple[str, str, float | None]] = []
+    for ai in range(len(feature_cols)):
+        for bi in range(ai + 1, len(feature_cols)):
+            a, b = feature_cols[ai], feature_cols[bi]
+            cells: dict[tuple[int, int], int] = {}
+            for r in cube:
+                k = (r[a], r[b])
+                cells[k] = cells.get(k, 0) + int(r["count"])
+            ra: dict[int, int] = {}
+            cb: dict[int, int] = {}
+            for (va, vb), c in cells.items():
+                ra[va] = ra.get(va, 0) + c
+                cb[vb] = cb.get(vb, 0) + c
+            n1 = sum(v * (v - 1) // 2 for v in ra.values())
+            n2 = sum(v * (v - 1) // 2 for v in cb.values())
+            p_conc = 0
+            q_disc = 0
+            items = list(cells.items())
+            for (x1, y1), c1 in items:
+                for (x2, y2), c2 in items:
+                    if x2 > x1 and y2 > y1:
+                        p_conc += c1 * c2
+                    elif x2 > x1 and y2 < y1:
+                        q_disc += c1 * c2
+            da, db = n0 - n1, n0 - n2
+            tau = None
+            if da > 0 and db > 0:
+                tau = (p_conc - q_disc) / math.sqrt(float(da) * float(db))
+            out.append((a, b, tau))
+    return spark.createDataFrame(
+        out, schema="feature_a string, feature_b string, tau_b double"
+    )
