@@ -255,6 +255,54 @@ def _q_gain_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_oner_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OneR rule accuracy (selection/mi.py oner_scores): per feature, the
+    majority-class one-feature rule's exact-integer n_correct off the SAME
+    shared code cube; the accuracy quotient is the single float op,
+    mirrored by the SQL oracle, rounded ENGINE-side."""
+    from fastselect_spark.selection.mi import oner_scores
+
+    _register(spark, sf_dir, "lineitem")
+    m = spark.sql(_LINEITEM_CODES_SQL)
+    out = oner_scores(m, _MI_FEATURES, "y")
+    return out.select(
+        "feature",
+        "n_correct",
+        "n",
+        F.round("oner_accuracy", 6).alias("oner_accuracy"),
+    )
+
+
+def _oner_oracle_sql() -> str:
+    """Mirror of _q_oner_scores: per feature, GROUP BY (value, y) counts,
+    MAX per value, SUM — all exact integers; the same single accuracy
+    quotient, ROUND(.,6) engine-side."""
+    blocks = ["codes AS (" + _LINEITEM_CODES_SQL + ")"]
+    selects = []
+    for i, f in enumerate(_MI_FEATURES):
+        blocks.append(
+            f"""c_{i} AS (
+            SELECT {f} AS x, y, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM codes GROUP BY 1, 2
+        )"""
+        )
+        blocks.append(
+            f"""b_{i} AS (SELECT x, MAX(cnt) AS mx FROM c_{i} GROUP BY x)"""
+        )
+        selects.append(
+            f"""SELECT '{f}' AS feature,
+               CAST((SELECT SUM(mx) FROM b_{i}) AS BIGINT) AS n_correct,
+               CAST((SELECT SUM(cnt) FROM c_{i}) AS BIGINT) AS n,
+               ROUND(CAST((SELECT SUM(mx) FROM b_{i}) AS DOUBLE)
+                     / CAST((SELECT SUM(cnt) FROM c_{i}) AS DOUBLE),
+                     6) AS oner_accuracy"""
+        )
+    return (
+        "WITH " + ",\n        ".join(blocks) + "\n        "
+        + "\n        UNION ALL\n        ".join(selects)
+    )
+
+
 def _q_mrmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, "lineitem")
     m = spark.sql(_LINEITEM_CODES_SQL)
@@ -3019,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_scores": _q_chi2_scores,
         "mi_relevance": _q_mi_relevance,
         "gain_ratio_scores": _q_gain_ratio,  # C4.5 IG / split-info off one cube
+        "oner_scores": _q_oner_scores,  # Holte 1993 rule accuracy off one cube
         "mrmr_selection": _q_mrmr_selection,  # greedy loop unrolled in SQL CTEs
         "fisher_scores": _q_fisher_scores,
         "jmi_selection": _q_jmi_selection,  # greedy loop unrolled in SQL CTEs
@@ -6424,6 +6473,7 @@ def oracle_sql() -> dict[str, str]:
         "chi2_scores": _CHI2_ORACLE,
         "mi_relevance": _MI_ORACLE,
         "gain_ratio_scores": _GAIN_RATIO_ORACLE,
+        "oner_scores": _oner_oracle_sql(),
         "mrmr_selection": _MRMR_ORACLE,
         "jmi_selection": _JMI_ORACLE,
         "cmim_selection": _CMIM_ORACLE,

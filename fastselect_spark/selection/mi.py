@@ -348,3 +348,52 @@ def gain_ratio(
         si[f] = float(-(px * np.log(px)).sum() / log_base)
     ratio = np.where(si > 0, ig / np.where(si > 0, si, 1.0), 0.0)
     return ig, si, ratio
+
+
+def oner_scores(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+) -> DataFrame:
+    """OneR (Holte 1993) univariate rule accuracy — the simplest honest
+    baseline filter: each feature's score is the training accuracy of the
+    one-feature majority-class rule ``predict(x) = argmax_y n(x, y)``.
+    Classic sanity check next to the information scorers (a feature with
+    high MI but OneR accuracy at the class prior is interaction-only).
+
+    The shared-cube discipline (scores_from_cube / gain_ratio): ONE
+    ``groupBy(all code columns).count()`` cube, marginalized driver-side —
+    per feature, n_correct = Σ_x max_y n(x, y). Counts are exact
+    integers; the single float op is the accuracy quotient
+    ``n_correct / n``, so the SQL oracle (per-feature GROUP BY + MAX +
+    SUM) is bit-identical before engine-side rounding.
+
+    Returns (feature, n_correct:bigint, n:bigint, oner_accuracy:double).
+    NULL codes participate as their own level (cast to string keys
+    driver-side), matching categorical_associations."""
+    spark = df.sparkSession
+    cols = list(feature_cols) + [label_col]
+    cube = (
+        df.groupBy(*[F.col(c).cast("long").alias(c) for c in cols])
+        .count()
+        .collect()
+    )
+    n = sum(int(r["count"]) for r in cube)
+    out = []
+    for f in feature_cols:
+        best: dict = {}
+        for r in cube:
+            k = (r[f], r[label_col])
+            best[k] = best.get(k, 0) + int(r["count"])
+        per_value: dict = {}
+        for (vx, _vy), c in best.items():
+            per_value[vx] = max(per_value.get(vx, 0), c)
+        n_correct = sum(per_value.values())
+        out.append((f, n_correct, n, n_correct / float(n) if n else None))
+    return spark.createDataFrame(
+        out,
+        schema=(
+            "feature string, n_correct bigint, n bigint, "
+            "oner_accuracy double"
+        ),
+    )

@@ -275,3 +275,31 @@ def test_gain_ratio_matches_numpy(spark):
         want = ig[f] / h if h > 0 else 0.0
         assert abs(ratio[f] - want) < 1e-12
     assert si[4] == 0.0 and ratio[4] == 0.0
+
+
+def test_oner_matches_pandas_majority_rule(spark):
+    """OneR: n_correct equals the pandas groupby majority-class count per
+    feature value; a feature that fully determines y scores 1.0; a
+    constant feature scores exactly the class-prior accuracy."""
+    from fastselect_spark.selection.mi import oner_scores
+
+    rng = np.random.default_rng(23)
+    X = rng.integers(0, 4, size=(400, 3))
+    y = X[:, 0] % 3  # f0 fully determines y
+    X[:, 2] = 1  # constant -> majority-class prior
+    cols = ["f0", "f1", "f2"]
+    pdf = pd.DataFrame(X, columns=cols)
+    pdf["label"] = y
+    out = oner_scores(spark.createDataFrame(pdf), cols, "label")
+    got = {r["feature"]: r for r in out.collect()}
+    n = len(pdf)
+    for f in cols:
+        expect = int(
+            pdf.groupby([f, "label"]).size().groupby(level=0).max().sum()
+        )
+        assert got[f]["n_correct"] == expect, f
+        assert got[f]["n"] == n
+        assert got[f]["oner_accuracy"] == expect / float(n)
+    assert got["f0"]["oner_accuracy"] == 1.0
+    prior = int(pdf["label"].value_counts().max())
+    assert got["f2"]["n_correct"] == prior
