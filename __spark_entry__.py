@@ -2017,6 +2017,44 @@ def _q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
 
 
+def _q_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/partitioning-invariant content checksum of the transcripts
+    table per role (corpus/profile.py dataset_checksum): the lineage
+    primitive — per-turn text identity as ONE map-side-combined sum of
+    portable 60-bit md5 row hashes in a decimal(38,0) accumulator; the
+    nullable tool column exercises the chr(1) NULL sentinel."""
+    from fastselect_spark.corpus.profile import dataset_checksum
+
+    tr = _transcripts(spark, sf_dir)
+    return dataset_checksum(
+        tr, cols=["conv_id", "turn_idx", "text", "tool"], group_cols=["role"]
+    )
+
+
+def _dataset_checksum_oracle_sql() -> str:
+    """Mirror of _q_dataset_checksum: same chr(31)-joined, chr(1)-NULL-
+    sentinel canonical row string, same 60-bit md5 prefix, HUGEINT sum
+    cast to STRING (exact at any row count)."""
+    canon = (
+        "CAST(conv_id AS STRING) || chr(31) || "
+        "CAST(turn_idx AS STRING) || chr(31) || "
+        "COALESCE(CAST(text AS STRING), chr(1) || 'NULL') || chr(31) || "
+        "COALESCE(CAST(tool AS STRING), chr(1) || 'NULL')"
+    )
+    return f"""
+        WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+        h AS (
+            SELECT role,
+                   CAST('0x' || substr(md5({canon}), 1, 15) AS BIGINT) AS hv
+            FROM transcripts
+        )
+        SELECT role,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(hv) AS STRING) AS checksum
+        FROM h GROUP BY role
+        """
+
+
 def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data-quality profile of the documents table — one melt,
     one (column, value) exchange for nulls/distincts/min/max/mode
@@ -3166,6 +3204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_test_split": _q_train_val_test_split,  # deterministic 80/10/10
         "corpus_sample": _q_corpus_sample,
         "table_profile": _q_table_profile,
+        "dataset_checksum": _q_dataset_checksum,  # lineage content identity
         "class_rebalance": _q_class_rebalance,
         "corpus_mix_by_source": _q_corpus_mix_by_source,
         "source_quota_cap": _q_source_quota_cap,
@@ -5712,6 +5751,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_correlations": _corr_oracle_sql(),
         "spearman_correlations": _spearman_oracle_sql(),
         "table_profile": _profile_oracle_sql(),
+        "dataset_checksum": _dataset_checksum_oracle_sql(),
         "profile_drift": _profile_drift_oracle_sql(),
         "categorical_associations": _cat_assoc_oracle_sql(),
         "kendall_correlations": _kendall_oracle_sql(),

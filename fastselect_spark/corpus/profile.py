@@ -111,3 +111,60 @@ def profile_drift(
             ~(F.col("top_value_a").eqNullSafe(F.col("top_value_b")))
         ).cast("int").alias("top_changed"),
     )
+
+
+def dataset_checksum(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Order- and partitioning-invariant dataset checksum — the lineage
+    primitive for dataset versioning: two corpus drops (or the same drop
+    before/after a rewrite, repartition, or engine migration) are
+    byte-level equal on ``cols`` iff their (n_rows, checksum) pairs match
+    per group. Complements table_profile (statistical drift) with exact
+    content identity, and the runtime/checkpoint.py lineage manifest with
+    a content address the manifest can embed.
+
+    Shape: ONE map-side-combined aggregation — each row hashes row-locally
+    to the portable 60-bit md5 prefix (the cross-engine hash family:
+    ``conv(substring(md5(x),1,15),16,10)`` == DuckDB
+    ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)`` == hashlib), and the
+    group checksum is the SUM of row hashes in a decimal(38,0)
+    accumulator (commutative => order/partitioning-invariant; ANSI-safe:
+    2^60 per row x 10^12 rows ~ 10^30 < 10^38, no wraparound reliance).
+    Shuffle is bounded by the group alphabet; ungrouped it is one scalar.
+
+    Row canonicalization: each column CAST to string, NULL kept distinct
+    from the string 'NULL' via a chr(1)-prefixed sentinel, fields joined
+    with the chr(31) unit separator (stripped from real text by
+    text/clean.py, and absent from the synthetic corpus). The checksum is
+    returned AS A STRING so it survives any client's integer width.
+
+    Returns (group_cols..., n_rows:bigint, checksum:string)."""
+    group_cols = group_cols or []
+    cols = cols if cols is not None else [
+        c for c in df.columns if c not in group_cols
+    ]
+    sep = chr(31)  # unit separator
+    sentinel = chr(1) + "NULL"  # distinct from a real string 'NULL'
+    canon = []
+    for i, c in enumerate(cols):
+        if i:
+            canon.append(F.lit(sep))
+        canon.append(F.coalesce(F.col(c).cast("string"), F.lit(sentinel)))
+    row_hash = (
+        F.conv(F.substring(F.md5(F.concat(*canon)), 1, 15), 16, 10)
+        .cast("decimal(38,0)")
+    )
+    return (
+        df.select(*group_cols, row_hash.alias("__h"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("__h")
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("checksum"),
+        )
+    )
