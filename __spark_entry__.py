@@ -303,6 +303,133 @@ def _oner_oracle_sql() -> str:
     )
 
 
+# Wider code table for the multiple-testing query: BH over m=4 features is
+# a thin demo; these 10 integer codes give the step-up walk a real mid-table
+# threshold. y = 3 classes -> chi2 dof = 2 -> sf(x) = EXP(-x/2) EXACTLY (the
+# regularized upper gamma Q(1, x/2)), which is why the p-value fixture can be
+# one SQL text run verbatim on both engines: all inputs are exact integers,
+# every float op is a mirrored single expression, so the p-values (and hence
+# the BH boundary) are IEEE-identical cross-engine.
+_FDR_CODES_SQL = """
+SELECT
+    CAST(l_linenumber AS INT)                    AS f_line,
+    CAST(FLOOR(l_quantity / 10) AS INT)          AS f_qty,
+    CAST(ROUND(l_discount * 100) AS INT)         AS f_disc,
+    CAST(ROUND(l_tax * 100) AS INT)              AS f_tax,
+    CAST(l_partkey % 7 AS INT)                   AS f_part,
+    CAST(l_suppkey % 5 AS INT)                   AS f_supp,
+    CAST(l_orderkey % 4 AS INT)                  AS f_ord,
+    CASE l_linestatus WHEN 'F' THEN 0 ELSE 1 END AS f_stat,
+    CAST(EXTRACT(DAY FROM l_shipdate) % 6 AS INT) AS f_ship,
+    CAST(FLOOR(l_quantity) AS INT) % 3           AS f_qmod,
+    CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS f_flag,
+    CASE WHEN l_returnflag = 'A' AND l_linenumber <= 3 THEN 1 ELSE 0 END
+        AS f_mix,
+    CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END AS y
+FROM lineitem
+"""
+
+# f_flag/f_mix are y-associated by construction so the BH step-up threshold
+# lands mid-table (selected=1 rows exist); the other 10 are independent noise.
+_FDR_FEATURES = [
+    "f_line", "f_qty", "f_disc", "f_tax", "f_part", "f_supp",
+    "f_ord", "f_stat", "f_ship", "f_qmod", "f_flag", "f_mix",
+]
+
+
+def _fdr_pvalue_fixture_sql() -> str:
+    """(feature, p_value) fixture shared VERBATIM by Spark and DuckDB:
+    value-weighted chi2 (the chi2.py observed-matrix semantics) pivoted to
+    one fixed-order 3-term sum per feature — obs/count sums are exact
+    integers, the per-class terms use explicit d*d (never POW: libm pow is
+    not bit-stable cross-engine), and EXP(-chi2/2) is the exact dof=2
+    survival function."""
+    longs = " UNION ALL ".join(
+        f"SELECT '{f}' AS feature, CAST({f} AS DOUBLE) AS v, y FROM m"
+        for f in _FDR_FEATURES
+    )
+    terms = []
+    for k in range(3):
+        e = f"(c{k} * (o0 + o1 + o2) / (c0 + c1 + c2))"
+        terms.append(
+            f"(CASE WHEN {e} > 1e-12"
+            f" THEN (o{k} - {e}) * (o{k} - {e}) / {e} ELSE 0.0 END)"
+        )
+    chi2_expr = " + ".join(terms)
+    return f"""
+WITH m AS ({_FDR_CODES_SQL}),
+long AS ({longs}),
+cls AS (SELECT feature, y, SUM(v) AS obs, COUNT(*) AS n_c FROM long GROUP BY 1, 2),
+piv AS (
+    SELECT feature,
+           SUM(CASE WHEN y = 0 THEN obs ELSE 0.0 END) AS o0,
+           SUM(CASE WHEN y = 1 THEN obs ELSE 0.0 END) AS o1,
+           SUM(CASE WHEN y = 2 THEN obs ELSE 0.0 END) AS o2,
+           SUM(CASE WHEN y = 0 THEN n_c ELSE 0 END)   AS c0,
+           SUM(CASE WHEN y = 1 THEN n_c ELSE 0 END)   AS c1,
+           SUM(CASE WHEN y = 2 THEN n_c ELSE 0 END)   AS c2
+    FROM cls GROUP BY 1
+)
+SELECT feature, EXP(-({chi2_expr}) / 2) AS p_value FROM piv
+"""
+
+
+def _q_fdr_bh_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control (selection/fdr.py fdr_bh) over the
+    10-feature chi2 p-value table: two-pass range-partition step-up (no
+    global-window funnel), adjusted p via partition-local suffix min + a
+    driver suffix carry. Graft-added downstream of the reference's
+    Chi2.py p-values (which stop at raw p)."""
+    from fastselect_spark.selection import fdr_bh
+
+    _register(spark, sf_dir, "lineitem")
+    pv = spark.sql(_fdr_pvalue_fixture_sql())
+    out = fdr_bh(pv, alpha=0.05, num_partitions=4)
+    return out.select(
+        "feature",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("p_adj", 10).alias("p_adj"),
+        F.round("p_bonf", 10).alias("p_bonf"),
+        F.col("selected").cast("int").alias("selected"),
+    )
+
+
+def _fdr_oracle_sql() -> str:
+    """Mirror of _q_fdr_bh_selection: the same p-value fixture text, then
+    BH as window SQL — ROW_NUMBER ordered by (p, feature), q = m*p/rank in
+    the kernel's operand order, reverse-cummin for p_adj, filtered-MAX
+    step-up threshold."""
+    return f"""
+WITH pv AS ({_fdr_pvalue_fixture_sql()}),
+r AS (
+    SELECT feature, p_value AS p,
+           ROW_NUMBER() OVER (ORDER BY p_value, feature) AS rnk,
+           COUNT(*) OVER () AS mm
+    FROM pv
+),
+q AS (
+    SELECT feature, p, rnk, mm,
+           CAST(mm AS DOUBLE) * p / rnk AS q_raw
+    FROM r
+),
+adj AS (
+    SELECT feature, p, rnk, mm,
+           MIN(q_raw) OVER (ORDER BY rnk DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sfx
+    FROM q
+),
+thr AS (SELECT MAX(CASE WHEN p <= 0.05 * rnk / mm THEN p END) AS t FROM q)
+SELECT a.feature,
+       CAST(a.rnk AS BIGINT) AS rank,
+       ROUND(LEAST(1.0, a.sfx), 10) AS p_adj,
+       ROUND(LEAST(1.0, CAST(a.mm AS DOUBLE) * a.p), 10) AS p_bonf,
+       CAST(CASE WHEN thr.t IS NOT NULL AND a.p <= thr.t THEN 1 ELSE 0 END
+            AS INT) AS selected
+FROM adj a CROSS JOIN thr
+"""
+
+
 def _q_mrmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, "lineitem")
     m = spark.sql(_LINEITEM_CODES_SQL)
@@ -3106,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mi_relevance": _q_mi_relevance,
         "gain_ratio_scores": _q_gain_ratio,  # C4.5 IG / split-info off one cube
         "oner_scores": _q_oner_scores,  # Holte 1993 rule accuracy off one cube
+        "fdr_bh_selection": _q_fdr_bh_selection,  # BH step-up, no window funnel
         "mrmr_selection": _q_mrmr_selection,  # greedy loop unrolled in SQL CTEs
         "fisher_scores": _q_fisher_scores,
         "jmi_selection": _q_jmi_selection,  # greedy loop unrolled in SQL CTEs
@@ -6514,6 +6642,7 @@ def oracle_sql() -> dict[str, str]:
         "mi_relevance": _MI_ORACLE,
         "gain_ratio_scores": _GAIN_RATIO_ORACLE,
         "oner_scores": _oner_oracle_sql(),
+        "fdr_bh_selection": _fdr_oracle_sql(),
         "mrmr_selection": _MRMR_ORACLE,
         "jmi_selection": _JMI_ORACLE,
         "cmim_selection": _CMIM_ORACLE,

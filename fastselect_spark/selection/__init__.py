@@ -33,6 +33,7 @@ from fastselect_spark.selection.univariate import (  # noqa: F401
     uniform_discretize,
     variance_threshold,
 )
+from fastselect_spark.selection.fdr import fdr_bh  # noqa: F401
 from fastselect_spark.selection.rank import (  # noqa: F401
     auc_scores,
     average_ranks_long,

@@ -207,3 +207,71 @@ def test_variance_threshold(spark):
     np.testing.assert_allclose(var, X.var(axis=0), rtol=1e-9, atol=1e-12)
     assert variance_threshold(df, cols) == [1, 2]
     assert variance_threshold(df, cols, threshold=1.0) == [2]
+
+
+# ---------------------------------------------------------------- BH FDR --
+
+def _bh_oracle(pvals, alpha):
+    """statsmodels multipletests(method='fdr_bh') semantics in NumPy."""
+    p = np.asarray(pvals, dtype=np.float64)
+    m = len(p)
+    order = np.argsort(p, kind="stable")
+    ranked = p[order]
+    q = m * ranked / np.arange(1, m + 1)
+    adj = np.minimum(1.0, np.minimum.accumulate(q[::-1])[::-1])
+    crit = alpha * np.arange(1, m + 1) / m
+    below = np.nonzero(ranked <= crit)[0]
+    thr = ranked[below[-1]] if len(below) else None
+    sel = (p <= thr) if thr is not None else np.zeros(m, dtype=bool)
+    p_adj = np.empty(m)
+    p_adj[order] = adj
+    return p_adj, sel.astype(int)
+
+
+def test_fdr_bh_matches_oracle(spark):
+    from fastselect_spark.selection import fdr_bh
+
+    rng = np.random.default_rng(7)
+    # a mix of strong signals and uniform nulls so the step-up threshold
+    # lands mid-table
+    pv = np.concatenate([rng.uniform(0, 1e-4, 20), rng.uniform(0, 1, 180)])
+    feats = [f"f{i:04d}" for i in range(len(pv))]
+    df = spark.createDataFrame(
+        list(zip(feats, pv.tolist())), schema="feature string, p_value double"
+    ).repartition(6)
+    out = fdr_bh(df, alpha=0.05, num_partitions=5)
+    rows = {r["feature"]: r for r in out.collect()}
+    assert len(rows) == len(pv)
+    p_adj, sel = _bh_oracle(pv, 0.05)
+    m = len(pv)
+    ranks = {}
+    for f, r in rows.items():
+        i = int(f[1:])
+        assert rows[f]["p_adj"] == pytest.approx(p_adj[i], abs=0, rel=1e-12)
+        assert rows[f]["selected"] == sel[i]
+        assert rows[f]["p_bonf"] == min(1.0, m * pv[i])
+        ranks[r["rank"]] = f
+    assert sorted(ranks) == list(range(1, m + 1))  # a permutation of 1..m
+
+
+def test_fdr_bh_none_selected(spark):
+    from fastselect_spark.selection import fdr_bh
+
+    df = spark.createDataFrame(
+        [("a", 0.9), ("b", 0.95), ("c", 0.99)], "feature string, p_value double"
+    )
+    out = fdr_bh(df, alpha=0.05).collect()
+    assert all(r["selected"] == 0 for r in out)
+    assert all(r["p_adj"] >= 0.95 for r in out)
+
+
+def test_fdr_bh_all_selected_and_empty(spark):
+    from fastselect_spark.selection import fdr_bh
+
+    df = spark.createDataFrame(
+        [("a", 1e-9), ("b", 2e-9), ("c", 3e-9)], "feature string, p_value double"
+    )
+    out = fdr_bh(df, alpha=0.05).collect()
+    assert all(r["selected"] == 1 for r in out)
+    empty = spark.createDataFrame([], "feature string, p_value double")
+    assert fdr_bh(empty).count() == 0
