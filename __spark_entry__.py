@@ -2070,6 +2070,40 @@ def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_tfidf_terms(spark.table("documents"), k=3)
 
 
+def _q_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (text/hashing.py hashed_term_vectors):
+    HashingVectorizer semantics — bucket = portable-md5(term) mod 64,
+    sign from an independent md5 bit, one scan + one map-side-combining
+    aggregation, NO vocabulary pass. Signed sums are exact integers."""
+    from fastselect_spark.text import hashed_term_vectors
+
+    _register(spark, sf_dir, "documents")
+    return hashed_term_vectors(
+        spark.table("documents"), n_features=64, seed=0, alternate_sign=True
+    )
+
+
+_HASHED_VECTORS_ORACLE = """
+WITH norm AS (
+    SELECT doc_id,
+           LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')) AS nrm
+    FROM documents
+),
+tk AS (SELECT doc_id, UNNEST(STRING_SPLIT(nrm, ' ')) AS term FROM norm),
+tk2 AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+h AS (
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5('fh0:' || term), 1, 15) AS BIGINT)
+                % 64 AS INT) AS bucket,
+           1 - 2 * CAST(CAST('0x' || substr(md5('fs0:' || term), 1, 15)
+                             AS BIGINT) % 2 AS INT) AS sign
+    FROM tk2
+)
+SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS value
+FROM h GROUP BY 1, 2
+"""
+
+
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics: top-50 terms with Zipf rank and
     cumulative corpus coverage — one (term, doc_id) aggregation + one
@@ -3325,6 +3359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _q_pq_topk,  # oracle = codebook-literal ADC rank
         "pack_sequences": _q_pack_sequences,  # concat-and-chunk packing manifest
         "tfidf_keywords": _q_tfidf_keywords,  # top-3 tf-idf terms per doc
+        "hashed_term_vectors": _q_hashed_vectors,  # vocabulary-free encoder
         "vocab_topk": _q_vocab_topk,  # Zipf rank + cumulative corpus coverage
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,  # pairs -> CC -> clusters
         "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
@@ -6402,6 +6437,7 @@ def oracle_sql() -> dict[str, str]:
                    AS end_chunk
         FROM cum
         """,
+        "hashed_term_vectors": _HASHED_VECTORS_ORACLE,
         "tfidf_keywords": """
         -- NB: score ordering is double-precision; distinct (tf, df) pairs
         -- on this corpus are separated far beyond the 1-ulp LN() skew

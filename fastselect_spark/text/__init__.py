@@ -18,3 +18,4 @@ from fastselect_spark.text.vocab import (  # noqa: F401
 from fastselect_spark.text.pii import detect_pii, redact_pii  # noqa: F401
 from fastselect_spark.text.bm25 import bm25_topk  # noqa: F401
 from fastselect_spark.text.clean import clean_text, clean_text_kernel  # noqa: F401
+from fastselect_spark.text.hashing import hashed_term_vectors  # noqa: F401

@@ -904,3 +904,53 @@ def test_sq8_topk_ivf_matches_replica(embeddings):
         got = out[out.query_id == q].sort_values("rank")
         assert got["neighbor_id"].tolist() == cm[order].tolist()
         assert got["score"].tolist() == s[order].tolist()
+
+
+# ------------------------------------------------------- feature hashing --
+
+def test_hashed_term_vectors_matches_hashlib(spark):
+    """HashingVectorizer semantics vs a pure-Python hashlib oracle:
+    bucket = md5-60bit('fh0:'+term) % k, sign from an independent bit."""
+    import hashlib
+    from collections import defaultdict
+
+    from fastselect_spark.text import hashed_term_vectors
+
+    docs = [
+        (1, "  The  quick Brown fox\tjumps over the LAZY dog the fox "),
+        (2, "spark spark spark duckdb"),
+        (3, ""),
+        (4, "solo"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(3)
+    out = hashed_term_vectors(df, n_features=16, seed=0).collect()
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    exp = defaultdict(int)
+    for did, text in docs:
+        toks = [t for t in " ".join(text.split()).lower().split(" ") if t]
+        for t in toks:
+            exp[(did, h60(f"fh0:{t}") % 16)] += 1 - 2 * (h60(f"fs0:{t}") % 2)
+    got = {(r["doc_id"], r["bucket"]): r["value"] for r in out}
+    assert got == dict(exp)
+    # doc 3 (empty) contributes no rows; doc 4 exactly one
+    assert not any(k[0] == 3 for k in got)
+    assert sum(1 for k in got if k[0] == 4) == 1
+
+
+def test_hashed_term_vectors_binary_and_unsigned(spark):
+    from fastselect_spark.text import hashed_term_vectors
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b")], "doc_id long, text string"
+    )
+    uns = hashed_term_vectors(df, n_features=8, alternate_sign=False)
+    tot = {r["doc_id"]: r for r in uns.groupBy("doc_id").sum("value").collect()}
+    assert tot[1]["sum(value)"] == 4 and tot[2]["sum(value)"] == 2
+    binr = hashed_term_vectors(
+        df, n_features=8, alternate_sign=False, binary=True
+    )
+    tot2 = {r["doc_id"]: r for r in binr.groupBy("doc_id").sum("value").collect()}
+    assert tot2[1]["sum(value)"] == 2 and tot2[2]["sum(value)"] == 2
