@@ -856,6 +856,65 @@ FROM m
 """
 
 
+def _q_conversation_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation OLS trends (featurize/convagg.py
+    conversation_trends): token-count and turn-gap slope/intercept/r over
+    turn_idx from ONE sufficient-statistics groupBy — exact-integer sums,
+    closures mirrored by the oracle."""
+    from fastselect_spark.featurize import conversation_trends
+
+    feat = featurize_transcripts(_transcripts(spark, sf_dir))
+    out = conversation_trends(feat)
+    cols = [F.col("conv_id"), F.col("n_turns")]
+    for yc in ("n_tokens", "turn_gap_s"):
+        for part in ("slope", "intercept", "r"):
+            cols.append(F.round(f"{yc}_{part}", 6).alias(f"{yc}_{part}"))
+    return out.select(*cols)
+
+
+def _conv_trends_oracle_sql() -> str:
+    # deferred: _FEATURIZE_BASE is defined later in this module
+    return (
+        _FEATURIZE_BASE
+        + """
+, st AS (
+    SELECT conv_id,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           SUM(CAST(turn_idx AS DOUBLE)) AS sx,
+           SUM(CAST(turn_idx AS DOUBLE) * CAST(turn_idx AS DOUBLE)) AS sxx,
+           SUM(n_tokens) AS sy_t, SUM(n_tokens * n_tokens) AS syy_t,
+           SUM(CAST(turn_idx AS DOUBLE) * n_tokens) AS sxy_t,
+           SUM(turn_gap_s) AS sy_g, SUM(turn_gap_s * turn_gap_s) AS syy_g,
+           SUM(CAST(turn_idx AS DOUBLE) * turn_gap_s) AS sxy_g
+    FROM feat GROUP BY 1
+)
+SELECT conv_id,
+       CAST(n AS BIGINT) AS n_turns,
+       ROUND(CASE WHEN n * sxx - sx * sx > 0
+             THEN (n * sxy_t - sx * sy_t) / (n * sxx - sx * sx) END, 6)
+           AS n_tokens_slope,
+       ROUND(CASE WHEN n * sxx - sx * sx > 0
+             THEN (sy_t - ((n * sxy_t - sx * sy_t) / (n * sxx - sx * sx)) * sx)
+                  / n END, 6) AS n_tokens_intercept,
+       ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy_t - sy_t * sy_t > 0
+             THEN (n * sxy_t - sx * sy_t)
+                  / SQRT((n * sxx - sx * sx) * (n * syy_t - sy_t * sy_t)) END,
+             6) AS n_tokens_r,
+       ROUND(CASE WHEN n * sxx - sx * sx > 0
+             THEN (n * sxy_g - sx * sy_g) / (n * sxx - sx * sx) END, 6)
+           AS turn_gap_s_slope,
+       ROUND(CASE WHEN n * sxx - sx * sx > 0
+             THEN (sy_g - ((n * sxy_g - sx * sy_g) / (n * sxx - sx * sx)) * sx)
+                  / n END, 6) AS turn_gap_s_intercept,
+       ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy_g - sy_g * sy_g > 0
+             THEN (n * sxy_g - sx * sy_g)
+                  / SQRT((n * sxx - sx * sx) * (n * syy_g - sy_g * sy_g)) END,
+             6) AS turn_gap_s_r
+FROM st
+"""
+    )
+
+
 def _q_conversation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation summary matrix (featurize/convagg.py): ONE
     groupBy(conv_id) agg on the featurized frame — length, duration,
@@ -3308,6 +3367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": _q_ks_drift,  # exact two-sample KS statistic
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
+        "conversation_trends": _q_conversation_trends,  # per-entity OLS drift
         "quantile_prep": _q_quantile_prep,  # winsorize + robust scale
         "resample_grid": _q_resample_grid,  # time-grid resample via as-of
         "psi_drift": _q_psi_drift,  # population-stability drift monitor
@@ -7463,6 +7523,7 @@ def oracle_sql() -> dict[str, str]:
         # one groupBy(conv_id) agg; duration via FLOOR(EPOCH()) whole
         # seconds (the engine's unix_timestamp convention); entropy summed
         # in the fixed user/assistant/tool order
+        "conversation_trends": _conv_trends_oracle_sql(),
         "conversation_features": _FEATURIZE_BASE
         + """
 , ra AS (

@@ -178,3 +178,60 @@ def session_features(
         .alias("n_tool_calls"),
         F.sum(F.col("n_tokens").cast("long")).cast("long").alias("tokens"),
     )
+
+
+def conversation_trends(
+    feat: DataFrame,
+    conv_col: str = "conv_id",
+    x_col: str = "turn_idx",
+    y_cols: tuple[str, ...] = ("n_tokens", "turn_gap_s"),
+) -> DataFrame:
+    """Per-conversation linear trend of each ``y_col`` over ``x_col`` —
+    OLS slope/intercept/Pearson-r from closed-form sufficient statistics
+    (does the assistant get wordier as the conversation runs? do gaps
+    stretch?). The per-entity drift signal conversation_features' static
+    summary can't see.
+
+    ONE groupBy(conv) aggregation carrying (n, Σx, Σx², Σxy, Σy, Σy²) for
+    every y — map-side partial combine, no window, no second scan. All
+    inputs are exact integers (turn_idx, token counts, whole-second gaps),
+    so the sums are exact and the slope/intercept/r closures — spelled in
+    the oracle's operand order — are IEEE-identical cross-engine.
+    Conversations with a single turn (or constant x) yield NULL trends;
+    a constant y yields r = NULL (0/0) with slope 0.
+    """
+    x = F.col(x_col).cast("double")
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(x * x).alias("__sxx"),
+    ]
+    for yc in y_cols:
+        y = F.col(yc).cast("double")
+        aggs += [
+            F.sum(y).alias(f"__sy_{yc}"),
+            F.sum(y * y).alias(f"__syy_{yc}"),
+            F.sum(x * y).alias(f"__sxy_{yc}"),
+        ]
+    agg = feat.groupBy(conv_col).agg(*aggs)
+    n = F.col("__n")
+    sx, sxx = F.col("__sx"), F.col("__sxx")
+    den_x = n * sxx - sx * sx
+    out_cols = [F.col(conv_col), n.cast("long").alias("n_turns")]
+    for yc in y_cols:
+        sy = F.col(f"__sy_{yc}")
+        syy = F.col(f"__syy_{yc}")
+        sxy = F.col(f"__sxy_{yc}")
+        num = n * sxy - sx * sy
+        den_y = n * syy - sy * sy
+        slope = F.when(den_x > 0, num / den_x)
+        out_cols += [
+            slope.alias(f"{yc}_slope"),
+            F.when(den_x > 0, (sy - (num / den_x) * sx) / n).alias(
+                f"{yc}_intercept"
+            ),
+            F.when(
+                (den_x > 0) & (den_y > 0), num / F.sqrt(den_x * den_y)
+            ).alias(f"{yc}_r"),
+        ]
+    return agg.select(*out_cols)

@@ -196,3 +196,46 @@ def test_multi_horizon_stats(spark, transcripts_pdf):
         assert abs(row.n_tokens_per_min_60s - cnt / 1.0) < 1e-9
         mask6 = (win[:, 0] >= row.epoch - 600) & (win[:, 0] <= row.epoch)
         assert row.n_tokens_cnt_600s == int(mask6.sum())
+
+
+def test_conversation_trends_matches_numpy(spark, transcripts_pdf):
+    """OLS slope/intercept/r per conversation vs NumPy lstsq/corrcoef."""
+    import numpy as np
+
+    from fastselect_spark.featurize import conversation_trends
+
+    feat = featurize_transcripts(
+        spark.createDataFrame(transcripts_pdf).repartition(4)
+    )
+    got = {r["conv_id"]: r for r in conversation_trends(feat).collect()}
+    fp = feat.select("conv_id", "turn_idx", "n_tokens", "turn_gap_s").toPandas()
+    for cid, g in fp.groupby("conv_id"):
+        x = g["turn_idx"].to_numpy(dtype=float)
+        r = got[cid]
+        assert r["n_turns"] == len(g)
+        for yc in ("n_tokens", "turn_gap_s"):
+            y = g[yc].to_numpy(dtype=float)
+            if len(g) < 2 or np.ptp(x) == 0:
+                assert r[f"{yc}_slope"] is None
+                continue
+            slope, intercept = np.polyfit(x, y, 1)
+            assert r[f"{yc}_slope"] == pytest.approx(slope, abs=1e-9)
+            assert r[f"{yc}_intercept"] == pytest.approx(intercept, abs=1e-9)
+            if np.ptp(y) == 0:
+                assert r[f"{yc}_r"] is None
+            else:
+                assert r[f"{yc}_r"] == pytest.approx(
+                    np.corrcoef(x, y)[0, 1], abs=1e-9
+                )
+
+
+def test_conversation_trends_degenerate(spark):
+    from fastselect_spark.featurize import conversation_trends
+
+    df = spark.createDataFrame(
+        [("c1", 0, 5.0, 0.0)],
+        "conv_id string, turn_idx int, n_tokens double, turn_gap_s double",
+    )
+    r = conversation_trends(df).collect()[0]
+    assert r["n_turns"] == 1
+    assert r["n_tokens_slope"] is None and r["n_tokens_r"] is None
