@@ -430,6 +430,104 @@ FROM adj a CROSS JOIN thr
 """
 
 
+_STAB_K = 5
+_STAB_FOLDS = 4
+_STAB_CODES_SQL = _FDR_CODES_SQL.replace(
+    "FROM lineitem", ", l_orderkey\nFROM lineitem"
+)
+
+
+def _q_selection_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-selection stability (selection/stability.py): chi2 per
+    hash fold in ONE groupBy(fold, label) pass, then pairwise top-k
+    Jaccard + Kuncheva consistency. chi2_stats_from_observed is
+    IEEE-identical to the oracle's fixed-order pivot (exact-integer obs,
+    ((t0+t1)+t2) class order), so the per-fold rankings agree exactly."""
+    from fastselect_spark.featurize.encoding import hash_bucket
+    from fastselect_spark.selection import chi2_fold_scores, stability_topk
+
+    _register(spark, sf_dir, "lineitem")
+    m = spark.sql(_STAB_CODES_SQL).withColumn(
+        "fold", hash_bucket("l_orderkey", _STAB_FOLDS, seed=7)
+    )
+    scores = chi2_fold_scores(m, _FDR_FEATURES, "y", "fold")
+    out = stability_topk(scores, k=_STAB_K)
+    return out.select(
+        "fold_a",
+        "fold_b",
+        "n_common",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("kuncheva", 6).alias("kuncheva"),
+    )
+
+
+def _stability_oracle_sql() -> str:
+    """Mirror of _q_selection_stability: per-(fold, feature) fixed-order
+    pivot chi2, ROW_NUMBER top-k per fold, pair self-join; the Kuncheva
+    chance terms are injected as repr() of the SAME Python doubles the
+    operator computes (CLAUDE.md literal-injection rule)."""
+    longs = " UNION ALL ".join(
+        f"SELECT fold, '{f}' AS feature, CAST({f} AS DOUBLE) AS v, y FROM m"
+        for f in _FDR_FEATURES
+    )
+    terms = []
+    for k in range(3):
+        e = f"(c{k} * (o0 + o1 + o2) / (c0 + c1 + c2))"
+        terms.append(
+            f"(CASE WHEN {e} > 1e-12"
+            f" THEN (o{k} - {e}) * (o{k} - {e}) / {e} ELSE 0.0 END)"
+        )
+    chi2_expr = " + ".join(terms)
+    kk = float(_STAB_K)
+    exp = kk * kk / len(_FDR_FEATURES)
+    return f"""
+WITH base AS ({_STAB_CODES_SQL}),
+m AS (
+    SELECT *, CAST(CAST('0x' || substr(md5('7:' || CAST(l_orderkey AS STRING)),
+                        1, 15) AS BIGINT) % {_STAB_FOLDS} AS INT) AS fold
+    FROM base
+),
+long AS ({longs}),
+cls AS (SELECT fold, feature, y, SUM(v) AS obs, COUNT(*) AS n_c
+        FROM long GROUP BY 1, 2, 3),
+piv AS (
+    SELECT fold, feature,
+           SUM(CASE WHEN y = 0 THEN obs ELSE 0.0 END) AS o0,
+           SUM(CASE WHEN y = 1 THEN obs ELSE 0.0 END) AS o1,
+           SUM(CASE WHEN y = 2 THEN obs ELSE 0.0 END) AS o2,
+           SUM(CASE WHEN y = 0 THEN n_c ELSE 0 END)   AS c0,
+           SUM(CASE WHEN y = 1 THEN n_c ELSE 0 END)   AS c1,
+           SUM(CASE WHEN y = 2 THEN n_c ELSE 0 END)   AS c2
+    FROM cls GROUP BY 1, 2
+),
+sc AS (SELECT fold, feature, ({chi2_expr}) AS score FROM piv),
+rk AS (
+    SELECT fold, feature,
+           ROW_NUMBER() OVER (PARTITION BY fold
+                              ORDER BY score DESC, feature ASC) AS rnk
+    FROM sc
+),
+top AS (SELECT fold, feature FROM rk WHERE rnk <= {_STAB_K}),
+fg AS (SELECT DISTINCT fold FROM top),
+pairs AS (SELECT a.fold AS fold_a, b.fold AS fold_b
+          FROM fg a, fg b WHERE a.fold < b.fold),
+inter AS (
+    SELECT a.fold AS fold_a, b.fold AS fold_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM top a JOIN top b ON a.feature = b.feature AND a.fold < b.fold
+    GROUP BY 1, 2
+)
+SELECT p.fold_a, p.fold_b,
+       COALESCE(i.n_common, 0) AS n_common,
+       ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+             / ({2.0 * kk!r} - CAST(COALESCE(i.n_common, 0) AS DOUBLE)), 6)
+           AS jaccard,
+       ROUND((CAST(COALESCE(i.n_common, 0) AS DOUBLE) - {exp!r})
+             / {kk - exp!r}, 6) AS kuncheva
+FROM pairs p LEFT JOIN inter i USING (fold_a, fold_b)
+"""
+
+
 def _q_mrmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, "lineitem")
     m = spark.sql(_LINEITEM_CODES_SQL)
@@ -3327,6 +3425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gain_ratio_scores": _q_gain_ratio,  # C4.5 IG / split-info off one cube
         "oner_scores": _q_oner_scores,  # Holte 1993 rule accuracy off one cube
         "fdr_bh_selection": _q_fdr_bh_selection,  # BH step-up, no window funnel
+        "selection_stability": _q_selection_stability,  # top-k fold agreement
         "mrmr_selection": _q_mrmr_selection,  # greedy loop unrolled in SQL CTEs
         "fisher_scores": _q_fisher_scores,
         "jmi_selection": _q_jmi_selection,  # greedy loop unrolled in SQL CTEs
@@ -6739,6 +6838,7 @@ def oracle_sql() -> dict[str, str]:
         "gain_ratio_scores": _GAIN_RATIO_ORACLE,
         "oner_scores": _oner_oracle_sql(),
         "fdr_bh_selection": _fdr_oracle_sql(),
+        "selection_stability": _stability_oracle_sql(),
         "mrmr_selection": _MRMR_ORACLE,
         "jmi_selection": _JMI_ORACLE,
         "cmim_selection": _CMIM_ORACLE,

@@ -63,3 +63,7 @@ from fastselect_spark.selection.matrix import (  # noqa: F401
     mi_relevance_matrix,
     mrmr_select_matrix,
 )
+from fastselect_spark.selection.stability import (  # noqa: F401
+    chi2_fold_scores,
+    stability_topk,
+)

@@ -1,0 +1,139 @@
+"""Feature-selection stability analysis — how much do the top-k features
+agree across CV folds? (Kuncheva 2007 "A stability index for feature
+selection"; Nogueira et al. 2018 JMLR survey.) An unstable selector's
+ranking is an artifact of the sample, not the signal; a selection
+pipeline at scale gates on this before trusting any top-k.
+
+Graft-added: the reference scores one matrix and stops; this closes the
+loop over the fold dimension its CV utilities (O17) already provide.
+
+Two pieces:
+
+- :func:`chi2_fold_scores` — per-fold chi2 in ONE ``groupBy(fold, label)``
+  sufficient-statistics pass (the chi2.py observed-matrix semantics with
+  a fold axis; a (F·K, p) matrix reaches the driver, never rows).
+- :func:`stability_topk` — scorer-agnostic: takes any long-form
+  ``(fold, feature, score)`` table, ranks per fold (score desc, feature
+  asc — deterministic tie-break), keeps top-k, and emits every fold pair's
+  overlap: ``n_common``, Jaccard ``|A∩B| / |A∪B|``, and Kuncheva's
+  chance-corrected consistency ``(r - k²/p) / (k - k²/p)``.
+
+Scale shape: the per-fold ranking is a Window partitioned BY FOLD — each
+fold's score column sorts in one task, which is exactly right here
+because folds (not features) are the parallelism axis and a fold's score
+table is p rows of (feature, double). The pair grid is F² (tiny) and the
+overlap join runs on the k·F surviving rows only. All overlap counts are
+exact integers; Jaccard/Kuncheva are single-expression quotients —
+IEEE-identical cross-engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fastselect_spark.selection._stats import chi2_stats_from_observed
+
+
+def chi2_fold_scores(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """(fold, feature, score): value-weighted chi2 per feature WITHIN each
+    fold — one groupBy(fold, label) aggregation, driver finalize."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    aggs += [
+        F.sum(F.col(c).cast("double")).alias(f"__s_{c}") for c in feature_cols
+    ]
+    rows = (
+        df.groupBy(F.col(fold_col).alias("__f"), F.col(label_col).alias("__y"))
+        .agg(*aggs)
+        .collect()
+    )
+    by_fold: dict[object, list] = {}
+    for r in rows:
+        by_fold.setdefault(r["__f"], []).append(r)
+    out = []
+    for fold, frs in sorted(by_fold.items(), key=lambda kv: str(kv[0])):
+        frs.sort(key=lambda r: r["__y"])
+        freqs = np.array([r["__n"] for r in frs], dtype=np.float64)
+        obs = np.array(
+            [[r[f"__s_{c}"] or 0.0 for c in feature_cols] for r in frs]
+        )
+        if len(frs) < 2:
+            stats = np.zeros(len(feature_cols))
+        else:
+            stats = chi2_stats_from_observed(obs, freqs, float(freqs.sum()))
+        out += [(fold, c, float(s)) for c, s in zip(feature_cols, stats)]
+    return df.sparkSession.createDataFrame(
+        out, schema=f"{fold_col} int, feature string, score double"
+    )
+
+
+def stability_topk(
+    scores: DataFrame,
+    k: int,
+    fold_col: str = "fold",
+    feature_col: str = "feature",
+    score_col: str = "score",
+) -> DataFrame:
+    """Pairwise top-k agreement between folds of a (fold, feature, score)
+    table: (fold_a, fold_b, n_common, jaccard, kuncheva) for every
+    unordered fold pair (fold_a < fold_b). ``p`` (the feature-universe
+    size for Kuncheva's chance correction) is the table's distinct
+    feature count; ``k == p`` makes Kuncheva undefined (NULL)."""
+    p_cnt = scores.select(feature_col).distinct().count()
+    w = Window.partitionBy(fold_col).orderBy(
+        F.desc(score_col), F.asc(feature_col)
+    )
+    top = (
+        scores.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select(F.col(fold_col).alias("__fold"), F.col(feature_col).alias("__feat"))
+        .persist()
+    )
+    # the fold-pair grid is F² (tiny): build it driver-side rather than
+    # planning a nested-loop join
+    fold_vals = sorted(
+        r["__fold"] for r in top.select("__fold").distinct().collect()
+    )
+    pairs = scores.sparkSession.createDataFrame(
+        [(a, b) for i, a in enumerate(fold_vals) for b in fold_vals[i + 1 :]],
+        schema="fold_a int, fold_b int",
+    )
+    inter = (
+        top.alias("a")
+        .join(
+            top.alias("b"),
+            (F.col("a.__feat") == F.col("b.__feat"))
+            & (F.col("a.__fold") < F.col("b.__fold")),
+        )
+        .groupBy(
+            F.col("a.__fold").alias("fold_a"), F.col("b.__fold").alias("fold_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    kk = float(k)
+    exp = kk * kk / p_cnt  # Kuncheva chance term k²/p
+    r = F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+    kunch = (
+        (r - F.lit(exp)) / F.lit(kk - exp)
+        if kk - exp != 0.0
+        else F.lit(None).cast("double")
+    )
+    out = (
+        pairs.join(F.broadcast(inter), ["fold_a", "fold_b"], "left")
+        .select(
+            "fold_a",
+            "fold_b",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+            (r / (F.lit(2.0 * kk) - r)).alias("jaccard"),
+            kunch.alias("kuncheva"),
+        )
+    )
+    out = out.localCheckpoint()
+    top.unpersist()
+    return out

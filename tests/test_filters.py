@@ -6,6 +6,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from fastselect_spark.selection import (
     CMIMSelector,
@@ -275,3 +276,73 @@ def test_fdr_bh_all_selected_and_empty(spark):
     assert all(r["selected"] == 1 for r in out)
     empty = spark.createDataFrame([], "feature string, p_value double")
     assert fdr_bh(empty).count() == 0
+
+
+# ------------------------------------------------- selection stability --
+
+def test_stability_topk_matches_bruteforce(spark):
+    """Pairwise top-k Jaccard/Kuncheva vs a set-based Python oracle."""
+    from fastselect_spark.selection import stability_topk
+
+    rng = np.random.default_rng(11)
+    folds, feats, k = 4, 10, 3
+    rows = [
+        (f, f"x{j}", float(rng.normal()))
+        for f in range(folds)
+        for j in range(feats)
+    ]
+    df = spark.createDataFrame(rows, "fold int, feature string, score double")
+    out = {
+        (r["fold_a"], r["fold_b"]): r
+        for r in stability_topk(df, k=k).collect()
+    }
+    by_fold = {}
+    for f, feat, s in rows:
+        by_fold.setdefault(f, []).append((-s, feat))
+    tops = {
+        f: {t[1] for t in sorted(v)[:k]} for f, v in by_fold.items()
+    }
+    exp_term = k * k / feats
+    assert len(out) == folds * (folds - 1) // 2
+    for a in range(folds):
+        for b in range(a + 1, folds):
+            inter = len(tops[a] & tops[b])
+            r = out[(a, b)]
+            assert r["n_common"] == inter
+            assert r["jaccard"] == pytest.approx(inter / (2 * k - inter))
+            assert r["kuncheva"] == pytest.approx(
+                (inter - exp_term) / (k - exp_term)
+            )
+
+
+def test_chi2_fold_scores_matches_per_fold_chi2(spark):
+    from fastselect_spark.selection import chi2_fold_scores
+    from fastselect_spark.selection.chi2 import chi2
+
+    rng = np.random.default_rng(3)
+    X = rng.integers(0, 4, (400, 5))
+    y = rng.integers(0, 3, 400)
+    fold = rng.integers(0, 3, 400)
+    pdf = pd.DataFrame(X, columns=[f"f{i}" for i in range(5)])
+    pdf["label"], pdf["fold"] = y, fold
+    df = spark.createDataFrame(pdf).repartition(4)
+    got = {
+        (r["fold"], r["feature"]): r["score"]
+        for r in chi2_fold_scores(df, [f"f{i}" for i in range(5)]).collect()
+    }
+    for f in range(3):
+        sub = df.where(F.col("fold") == f)
+        stats, _ = chi2(sub, [f"f{i}" for i in range(5)], "label")
+        for i, s in enumerate(stats):
+            assert got[(f, f"f{i}")] == pytest.approx(float(s), rel=1e-12)
+
+
+def test_stability_kuncheva_k_equals_p_is_null(spark):
+    from fastselect_spark.selection import stability_topk
+
+    df = spark.createDataFrame(
+        [(0, "a", 1.0), (0, "b", 2.0), (1, "a", 3.0), (1, "b", 0.5)],
+        "fold int, feature string, score double",
+    )
+    rows = stability_topk(df, k=2).collect()
+    assert rows[0]["kuncheva"] is None and rows[0]["jaccard"] == 1.0
