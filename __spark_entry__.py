@@ -430,6 +430,47 @@ FROM adj a CROSS JOIN thr
 """
 
 
+def _q_dispersion_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised AM/GM dispersion filter (selection/univariate.py
+    dispersion_ratios): one melt + vocabulary-bounded (feature, value)
+    aggregation; the log-sum accumulates in value-ascending order on both
+    engines (driver loop vs ordered running window)."""
+    from fastselect_spark.selection import dispersion_ratios
+
+    _register(spark, sf_dir, "lineitem")
+    m = spark.sql(_FDR_CODES_SQL)
+    out = dispersion_ratios(m, _FDR_FEATURES)
+    return out.select("feature", F.round("dispersion", 6).alias("dispersion"))
+
+
+def _dispersion_oracle_sql() -> str:
+    longs = " UNION ALL ".join(
+        f"SELECT '{f}' AS feature, CAST({f} AS DOUBLE) AS v FROM m"
+        for f in _FDR_FEATURES
+    )
+    return f"""
+WITH m AS ({_FDR_CODES_SQL}),
+long AS ({longs}),
+c AS (SELECT feature, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM long WHERE v IS NOT NULL GROUP BY 1, 2),
+am AS (SELECT feature, SUM(cnt * (v + 1.0)) AS am_num, SUM(cnt) AS n
+       FROM c GROUP BY 1),
+ws AS (
+    SELECT feature, v,
+           SUM(cnt * LN(v + 1.0)) OVER (PARTITION BY feature ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+    FROM c
+),
+ls AS (
+    SELECT feature, rs FROM ws
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY feature ORDER BY v DESC) = 1
+)
+SELECT a.feature,
+       ROUND((a.am_num / a.n) / EXP(l.rs / a.n), 6) AS dispersion
+FROM am a JOIN ls l USING (feature)
+"""
+
+
 _STAB_K = 5
 _STAB_FOLDS = 4
 _STAB_CODES_SQL = _FDR_CODES_SQL.replace(
@@ -3426,6 +3467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oner_scores": _q_oner_scores,  # Holte 1993 rule accuracy off one cube
         "fdr_bh_selection": _q_fdr_bh_selection,  # BH step-up, no window funnel
         "selection_stability": _q_selection_stability,  # top-k fold agreement
+        "dispersion_ratios": _q_dispersion_ratios,  # unsupervised AM/GM filter
         "mrmr_selection": _q_mrmr_selection,  # greedy loop unrolled in SQL CTEs
         "fisher_scores": _q_fisher_scores,
         "jmi_selection": _q_jmi_selection,  # greedy loop unrolled in SQL CTEs
@@ -6839,6 +6881,7 @@ def oracle_sql() -> dict[str, str]:
         "oner_scores": _oner_oracle_sql(),
         "fdr_bh_selection": _fdr_oracle_sql(),
         "selection_stability": _stability_oracle_sql(),
+        "dispersion_ratios": _dispersion_oracle_sql(),
         "mrmr_selection": _MRMR_ORACLE,
         "jmi_selection": _JMI_ORACLE,
         "cmim_selection": _CMIM_ORACLE,

@@ -30,6 +30,7 @@ from fastselect_spark.selection.univariate import (  # noqa: F401
     robust_scaler_stats,
     standard_scale,
     standard_scaler_stats,
+    dispersion_ratios,
     uniform_discretize,
     variance_threshold,
 )

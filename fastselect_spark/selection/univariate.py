@@ -342,3 +342,56 @@ def uniform_discretize(
         code = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
         df = df.withColumn(f"{c}{suffix}", code)
     return df, fit
+
+
+def dispersion_ratios(
+    df: DataFrame, feature_cols: list[str], shift: float = 1.0
+) -> DataFrame:
+    """Unsupervised dispersion ratio per feature — arithmetic mean over
+    geometric mean of the shifted values (Ferreira & Figueiredo 2012 use
+    AM/GM as a label-free relevance filter: constants score exactly 1,
+    spread-out features score higher). ``shift`` (default +1) keeps code
+    features (0-based integers) strictly positive for the log.
+
+    ONE melt + (feature, value) hash aggregation — output is bounded by
+    total vocabulary size, never rows; the driver finalizes per feature,
+    accumulating the log-sum in VALUE-ASCENDING order (the same ordered
+    accumulation the SQL oracle's running window pins, per the
+    cross-engine float-reduction rule). AM is an exact-rational quotient.
+    Returns (feature, dispersion) rows; all-null features are omitted.
+    """
+    import math
+
+    p = len(feature_cols)
+    stack_expr = ", ".join(
+        f"'{c}', CAST({c} AS DOUBLE)" for c in feature_cols
+    )
+    long = df.selectExpr(
+        f"stack({p}, {stack_expr}) AS (feature, v)"
+    ).where(F.col("v").isNotNull())
+    counts = (
+        long.groupBy("feature", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    )
+    by_feat: dict[str, list] = {}
+    for r in counts:
+        by_feat.setdefault(r["feature"], []).append((r["v"], r["cnt"]))
+    out = []
+    for c in feature_cols:
+        vals = by_feat.get(c)
+        if not vals:
+            continue
+        vals.sort()
+        n = sum(cnt for _, cnt in vals)
+        am_num = 0.0  # exact while integer-valued (sum of cnt*(v+shift))
+        logsum = 0.0
+        for v, cnt in vals:
+            am_num += cnt * (v + shift)
+            logsum += cnt * math.log(v + shift)
+        am = am_num / n
+        gm = math.exp(logsum / n)
+        out.append((c, am / gm))
+    return df.sparkSession.createDataFrame(
+        out, schema="feature string, dispersion double"
+    )

@@ -346,3 +346,27 @@ def test_stability_kuncheva_k_equals_p_is_null(spark):
     )
     rows = stability_topk(df, k=2).collect()
     assert rows[0]["kuncheva"] is None and rows[0]["jaccard"] == 1.0
+
+
+# --------------------------------------------------- dispersion ratio --
+
+def test_dispersion_ratio_matches_numpy(spark):
+    from fastselect_spark.selection import dispersion_ratios
+
+    rng = np.random.default_rng(5)
+    X = rng.integers(0, 6, (300, 4))
+    pdf = pd.DataFrame(X, columns=[f"f{i}" for i in range(4)])
+    df = spark.createDataFrame(pdf).repartition(3)
+    got = {
+        r["feature"]: r["dispersion"]
+        for r in dispersion_ratios(df, [f"f{i}" for i in range(4)]).collect()
+    }
+    for i in range(4):
+        x = X[:, i] + 1.0
+        am = x.mean()
+        gm = np.exp(np.log(x).mean())
+        assert got[f"f{i}"] == pytest.approx(am / gm, rel=1e-9)
+    # constant feature scores exactly 1
+    cdf = spark.createDataFrame([(2,)] * 10, "c int")
+    one = dispersion_ratios(cdf, ["c"]).collect()[0]
+    assert one["dispersion"] == pytest.approx(1.0, abs=1e-15)
