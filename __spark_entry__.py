@@ -1054,6 +1054,62 @@ FROM st
     )
 
 
+def _q_conversation_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation per conversation (featurize/convagg.py
+    conversation_leadlag): r between n_tokens(t) and turn_gap_s(t+lag)
+    for lag in -2..2 — one window pass sharing the conv_id partitioning +
+    one sufficient-statistics groupBy."""
+    from fastselect_spark.featurize import conversation_leadlag
+
+    feat = featurize_transcripts(_transcripts(spark, sf_dir))
+    out = conversation_leadlag(feat)
+    return out.select(
+        "conv_id", "lag", "n_pairs", F.round("r", 6).alias("r")
+    )
+
+
+def _conv_leadlag_oracle_sql() -> str:
+    # deferred: _FEATURIZE_BASE is defined later in this module
+    shifts = {
+        -2: "LAG(turn_gap_s, 2) OVER w",
+        -1: "LAG(turn_gap_s, 1) OVER w",
+        0: "turn_gap_s",
+        1: "LEAD(turn_gap_s, 1) OVER w",
+        2: "LEAD(turn_gap_s, 2) OVER w",
+    }
+    longs = " UNION ALL ".join(
+        f"SELECT conv_id, {lag} AS lag, n_tokens AS x, y_{lag + 2} AS y FROM sh"
+        for lag in shifts
+    )
+    sel = ", ".join(f"{expr} AS y_{lag + 2}" for lag, expr in shifts.items())
+    return (
+        _FEATURIZE_BASE
+        + f"""
+, sh AS (
+    SELECT conv_id, n_tokens, {sel}
+    FROM feat WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+long AS ({longs}),
+st AS (
+    SELECT conv_id, lag,
+           SUM(CASE WHEN y IS NOT NULL THEN 1.0 ELSE 0.0 END) AS n,
+           SUM(CASE WHEN y IS NOT NULL THEN x ELSE 0.0 END) AS sx,
+           SUM(CASE WHEN y IS NOT NULL THEN x * x ELSE 0.0 END) AS sxx,
+           SUM(CASE WHEN y IS NOT NULL THEN y ELSE 0.0 END) AS sy,
+           SUM(CASE WHEN y IS NOT NULL THEN y * y ELSE 0.0 END) AS syy,
+           SUM(CASE WHEN y IS NOT NULL THEN x * y ELSE 0.0 END) AS sxy
+    FROM long GROUP BY 1, 2
+)
+SELECT conv_id, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN (n * sxy - sx * sy)
+                  / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+           AS r
+FROM st
+"""
+    )
+
+
 def _q_conversation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation summary matrix (featurize/convagg.py): ONE
     groupBy(conv_id) agg on the featurized frame — length, duration,
@@ -3509,6 +3565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_pmi": _q_tool_pmi,  # tool co-occurrence PMI
         "conversation_features": _q_conversation_features,  # per-entity summary
         "conversation_trends": _q_conversation_trends,  # per-entity OLS drift
+        "conversation_leadlag": _q_conversation_leadlag,  # temporal coupling
         "quantile_prep": _q_quantile_prep,  # winsorize + robust scale
         "resample_grid": _q_resample_grid,  # time-grid resample via as-of
         "psi_drift": _q_psi_drift,  # population-stability drift monitor
@@ -7667,6 +7724,7 @@ def oracle_sql() -> dict[str, str]:
         # seconds (the engine's unix_timestamp convention); entropy summed
         # in the fixed user/assistant/tool order
         "conversation_trends": _conv_trends_oracle_sql(),
+        "conversation_leadlag": _conv_leadlag_oracle_sql(),
         "conversation_features": _FEATURIZE_BASE
         + """
 , ra AS (

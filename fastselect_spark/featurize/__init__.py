@@ -31,6 +31,7 @@ from fastselect_spark.featurize.resample import resample_grid  # noqa: F401
 from fastselect_spark.featurize.convagg import (  # noqa: F401
     conversation_features,
     session_features,
+    conversation_leadlag,
     conversation_trends,
     role_transition_matrix,
     tool_cooccurrence_pmi,

@@ -235,3 +235,80 @@ def conversation_trends(
             ).alias(f"{yc}_r"),
         ]
     return agg.select(*out_cols)
+
+
+def conversation_leadlag(
+    feat: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    x_col: str = "n_tokens",
+    y_col: str = "turn_gap_s",
+    lags: tuple[int, ...] = (-2, -1, 0, 1, 2),
+) -> DataFrame:
+    """Lead-lag cross-correlation per conversation: Pearson r between
+    ``x_t`` and ``y_{t+lag}`` for each lag (does a long turn precede a
+    long pause? does a pause predict the next turn's length?) — the
+    temporal-coupling signal a same-row correlation matrix can't see.
+
+    One conv-ordered window pass materializes the shifted y columns
+    (sharing the featurize stack's conv_id partitioning — no extra
+    exchange), then ONE groupBy(conv) carries per-lag sufficient
+    statistics restricted to rows where the shifted value exists (the
+    aligned-pairs population, exactly mirroring the SQL LEAD/LAG
+    semantics). Exact-integer sums; the r closure is spelled in the
+    oracle's operand order. Pairs with n < 2 or a constant side yield
+    NULL. Output is long-form (conv_id, lag, n_pairs, r).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    x = F.col(x_col).cast("double")
+    shifted = {}
+    for lag in lags:
+        if lag > 0:
+            shifted[lag] = F.lead(F.col(y_col), lag).over(w)
+        elif lag < 0:
+            shifted[lag] = F.lag(F.col(y_col), -lag).over(w)
+        else:
+            shifted[lag] = F.col(y_col)
+    df = feat
+    for lag in lags:
+        df = df.withColumn(f"__y_{lag}", shifted[lag].cast("double"))
+    aggs = []
+    for lag in lags:
+        y = F.col(f"__y_{lag}")
+        ok = y.isNotNull()
+        z = F.lit(0.0)
+        aggs += [
+            F.sum(F.when(ok, 1.0).otherwise(z)).alias(f"__n_{lag}"),
+            F.sum(F.when(ok, x).otherwise(z)).alias(f"__sx_{lag}"),
+            F.sum(F.when(ok, x * x).otherwise(z)).alias(f"__sxx_{lag}"),
+            F.sum(F.when(ok, y).otherwise(z)).alias(f"__sy_{lag}"),
+            F.sum(F.when(ok, y * y).otherwise(z)).alias(f"__syy_{lag}"),
+            F.sum(F.when(ok, x * y).otherwise(z)).alias(f"__sxy_{lag}"),
+        ]
+    agg = df.groupBy(conv_col).agg(*aggs)
+    parts = []
+    for lag in lags:
+        n = F.col(f"__n_{lag}")
+        sx, sxx = F.col(f"__sx_{lag}"), F.col(f"__sxx_{lag}")
+        sy, syy = F.col(f"__sy_{lag}"), F.col(f"__syy_{lag}")
+        sxy = F.col(f"__sxy_{lag}")
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        parts.append(
+            F.struct(
+                F.lit(lag).cast("int").alias("lag"),
+                n.cast("long").alias("n_pairs"),
+                F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)).alias("r"),
+            )
+        )
+    return agg.select(
+        F.col(conv_col), F.explode(F.array(*parts)).alias("__s")
+    ).select(
+        conv_col,
+        F.col("__s.lag").alias("lag"),
+        F.col("__s.n_pairs").alias("n_pairs"),
+        F.col("__s.r").alias("r"),
+    )

@@ -239,3 +239,40 @@ def test_conversation_trends_degenerate(spark):
     r = conversation_trends(df).collect()[0]
     assert r["n_turns"] == 1
     assert r["n_tokens_slope"] is None and r["n_tokens_r"] is None
+
+
+def test_conversation_leadlag_matches_numpy(spark, transcripts_pdf):
+    """r(x_t, y_{t+lag}) per conversation vs NumPy corrcoef on the
+    explicitly shifted series."""
+    import numpy as np
+
+    from fastselect_spark.featurize import conversation_leadlag
+
+    feat = featurize_transcripts(
+        spark.createDataFrame(transcripts_pdf).repartition(4)
+    )
+    got = {
+        (r["conv_id"], r["lag"]): r
+        for r in conversation_leadlag(feat).collect()
+    }
+    fp = (
+        feat.select("conv_id", "turn_idx", "n_tokens", "turn_gap_s")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+    )
+    for cid, g in fp.groupby("conv_id"):
+        x = g["n_tokens"].to_numpy(dtype=float)
+        y = g["turn_gap_s"].to_numpy(dtype=float)
+        for lag in (-2, -1, 0, 1, 2):
+            if lag >= 0:
+                xs, ys = x[: len(x) - lag or None], y[lag:]
+            else:
+                xs, ys = x[-lag:], y[: len(y) + lag]
+            r = got[(cid, lag)]
+            assert r["n_pairs"] == len(xs)
+            if len(xs) < 2 or np.ptp(xs) == 0 or np.ptp(ys) == 0:
+                assert r["r"] is None
+            else:
+                assert r["r"] == pytest.approx(
+                    np.corrcoef(xs, ys)[0, 1], abs=1e-9
+                )
