@@ -471,6 +471,87 @@ FROM am a JOIN ls l USING (feature)
 """
 
 
+def _q_stump_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split gain (selection/stump.py stump_gain_scores):
+    best x<=v information gain per feature off ONE vocabulary-bounded
+    (feature, value, class) contingency; entropies in fixed class order
+    so exact-count candidates yield cross-engine-identical gains."""
+    from fastselect_spark.selection import stump_gain_scores
+
+    _register(spark, sf_dir, "lineitem")
+    m = spark.sql(_FDR_CODES_SQL)
+    out = stump_gain_scores(m, _FDR_FEATURES, "y")
+    return out.select("feature", "threshold", F.round("gain", 6).alias("gain"))
+
+
+def _stump_oracle_sql() -> str:
+    """Mirror of _q_stump_gains: value-ordered prefix class counts, the
+    same fixed-order entropy terms, (gain DESC, v ASC) argmax per feature.
+    (Constant features — absent at this fixture — would differ: the Spark
+    side emits a NULL-threshold row, this SQL has no candidate row.)"""
+    longs = " UNION ALL ".join(
+        f"SELECT '{f}' AS feature, CAST({f} AS DOUBLE) AS v, y FROM m"
+        for f in _FDR_FEATURES
+    )
+
+    def ent(c0: str, c1: str, c2: str, nn: str) -> str:
+        terms = [
+            f"(CASE WHEN {c} > 0 THEN -(CAST({c} AS DOUBLE) / {nn})"
+            f" * LN(CAST({c} AS DOUBLE) / {nn}) ELSE 0.0 END)"
+            for c in (c0, c1, c2)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+WITH m AS ({_FDR_CODES_SQL}),
+long AS ({longs}),
+c AS (SELECT feature, v, y, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM long GROUP BY 1, 2, 3),
+piv AS (
+    SELECT feature, v,
+           SUM(CASE WHEN y = 0 THEN cnt ELSE 0 END) AS n0,
+           SUM(CASE WHEN y = 1 THEN cnt ELSE 0 END) AS n1,
+           SUM(CASE WHEN y = 2 THEN cnt ELSE 0 END) AS n2
+    FROM c GROUP BY 1, 2
+),
+pre AS (
+    SELECT feature, v,
+           SUM(n0) OVER (PARTITION BY feature ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l0,
+           SUM(n1) OVER (PARTITION BY feature ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l1,
+           SUM(n2) OVER (PARTITION BY feature ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l2,
+           SUM(n0) OVER (PARTITION BY feature) AS t0,
+           SUM(n1) OVER (PARTITION BY feature) AS t1,
+           SUM(n2) OVER (PARTITION BY feature) AS t2
+    FROM piv
+),
+cand AS (
+    SELECT feature, v, l0, l1, l2,
+           t0 - l0 AS r0, t1 - l1 AS r1, t2 - l2 AS r2,
+           l0 + l1 + l2 AS nl,
+           (t0 - l0) + (t1 - l1) + (t2 - l2) AS nr,
+           t0 + t1 + t2 AS n, t0, t1, t2
+    FROM pre
+    WHERE (t0 - l0) + (t1 - l1) + (t2 - l2) > 0
+),
+g AS (
+    SELECT feature, v,
+           (({ent('t0', 't1', 't2', 'CAST(n AS DOUBLE)')}
+             - (CAST(nl AS DOUBLE) / CAST(n AS DOUBLE))
+               * {ent('l0', 'l1', 'l2', 'CAST(nl AS DOUBLE)')})
+            - (CAST(nr AS DOUBLE) / CAST(n AS DOUBLE))
+              * {ent('r0', 'r1', 'r2', 'CAST(nr AS DOUBLE)')}) AS gain
+    FROM cand
+)
+SELECT feature, v AS threshold, ROUND(gain, 6) AS gain
+FROM g
+QUALIFY ROW_NUMBER() OVER (PARTITION BY feature
+                           ORDER BY gain DESC, v ASC) = 1
+"""
+
+
 _STAB_K = 5
 _STAB_FOLDS = 4
 _STAB_CODES_SQL = _FDR_CODES_SQL.replace(
@@ -3524,6 +3605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fdr_bh_selection": _q_fdr_bh_selection,  # BH step-up, no window funnel
         "selection_stability": _q_selection_stability,  # top-k fold agreement
         "dispersion_ratios": _q_dispersion_ratios,  # unsupervised AM/GM filter
+        "stump_gains": _q_stump_gains,  # best binary-split IG per feature
         "mrmr_selection": _q_mrmr_selection,  # greedy loop unrolled in SQL CTEs
         "fisher_scores": _q_fisher_scores,
         "jmi_selection": _q_jmi_selection,  # greedy loop unrolled in SQL CTEs
@@ -6939,6 +7021,7 @@ def oracle_sql() -> dict[str, str]:
         "fdr_bh_selection": _fdr_oracle_sql(),
         "selection_stability": _stability_oracle_sql(),
         "dispersion_ratios": _dispersion_oracle_sql(),
+        "stump_gains": _stump_oracle_sql(),
         "mrmr_selection": _MRMR_ORACLE,
         "jmi_selection": _JMI_ORACLE,
         "cmim_selection": _CMIM_ORACLE,

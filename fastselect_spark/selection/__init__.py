@@ -68,3 +68,4 @@ from fastselect_spark.selection.stability import (  # noqa: F401
     chi2_fold_scores,
     stability_topk,
 )
+from fastselect_spark.selection.stump import stump_gain_scores  # noqa: F401

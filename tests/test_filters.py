@@ -370,3 +370,63 @@ def test_dispersion_ratio_matches_numpy(spark):
     cdf = spark.createDataFrame([(2,)] * 10, "c int")
     one = dispersion_ratios(cdf, ["c"]).collect()[0]
     assert one["dispersion"] == pytest.approx(1.0, abs=1e-15)
+
+
+# ------------------------------------------------------- stump gain --
+
+def _stump_oracle(X, y):
+    """Brute-force best-split IG per feature."""
+    def H(labels):
+        if len(labels) == 0:
+            return 0.0
+        h = 0.0
+        for c in sorted(set(labels)):
+            p = (labels == c).mean()
+            h -= p * np.log(p)
+        return h
+
+    n = len(y)
+    hp = H(y)
+    out = []
+    for j in range(X.shape[1]):
+        vals = np.unique(X[:, j])
+        best = (0.0, None)
+        for v in vals[:-1]:
+            m = X[:, j] <= v
+            gain = hp - m.mean() * H(y[m]) - (~m).mean() * H(y[~m])
+            if gain > best[0] + 1e-12:
+                best = (gain, float(v))
+        out.append(best)
+    return out
+
+
+def test_stump_gain_matches_bruteforce(spark):
+    from fastselect_spark.selection import stump_gain_scores
+
+    rng = np.random.default_rng(17)
+    X = rng.integers(0, 5, (300, 6))
+    y = ((X[:, 2] >= 3).astype(int) + rng.integers(0, 2, 300)).clip(0, 1)
+    pdf = pd.DataFrame(X, columns=[f"f{i}" for i in range(6)])
+    pdf["label"] = y
+    df = spark.createDataFrame(pdf).repartition(4)
+    got = {
+        r["feature"]: r
+        for r in stump_gain_scores(df, [f"f{i}" for i in range(6)]).collect()
+    }
+    for j, (gain, thr) in enumerate(_stump_oracle(X, y)):
+        r = got[f"f{j}"]
+        assert r["gain"] == pytest.approx(gain, abs=1e-9)
+        if thr is not None:
+            assert r["threshold"] == thr
+    # the planted feature dominates
+    assert max(got.values(), key=lambda r: r["gain"])["feature"] == "f2"
+
+
+def test_stump_gain_constant_feature(spark):
+    from fastselect_spark.selection import stump_gain_scores
+
+    df = spark.createDataFrame(
+        [(1, 0), (1, 1), (1, 0)], "c int, label int"
+    )
+    r = stump_gain_scores(df, ["c"]).collect()[0]
+    assert r["threshold"] is None and r["gain"] == 0.0
