@@ -3174,6 +3174,31 @@ def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental OLS (streaming/trends.py): per-conversation
+    keyed state carries exact-integer (n, Σx, Σx², Σy, Σy², Σxy); every
+    arriving turn emits the running token slope/r — equal to the batch
+    expanding-window closure at every prefix."""
+    from fastselect_spark.streaming import (
+        read_transcripts_stream,
+        streaming_conversation_trends,
+    )
+
+    path = _staged_transcripts_path(spark, sf_dir)
+    stream = read_transcripts_stream(spark, path)
+    out = _run_available_now(
+        spark, streaming_conversation_trends(stream), "fs_conv_trends",
+        mode="append",
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "n_so_far",
+        F.round("token_slope", 6).alias("token_slope"),
+        F.round("token_r", 6).alias("token_r"),
+    )
+
+
 def _q_streaming_token_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregation over the transcript stream."""
     from fastselect_spark.streaming import (
@@ -3724,6 +3749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "streaming_dedup_within_watermark": _q_streaming_dedup_wm,
         "streaming_stateful_progress": _q_streaming_stateful,
+        "streaming_conversation_trends": _q_streaming_trends,  # running OLS state
         "streaming_minhash_near_dups": _q_streaming_minhash_near_dups,  # oracle = batch minhash SQL
         "streaming_dedup_consolidation": _q_streaming_dedup_consolidation,  # pair stream -> checkpointed clusters
         "streaming_quality_filter": _q_streaming_quality_filter,  # oracle = batch filter SQL
@@ -5142,6 +5168,45 @@ SELECT window_start,
        CAST(COUNT(*) AS BIGINT) AS n_turns,
        ROUND(SUM(toks), 6) AS total_tokens
 FROM w GROUP BY 1, 3
+"""
+
+# Streaming incremental OLS: the batch mirror is the expanding-window
+# closure over (ts, turn_idx)-ordered turns — the state sums are exact
+# integers, so every per-turn emission matches bit for bit (the double
+# conversions are spelled CAST(... AS DOUBLE) * bigint exactly as the
+# kernel's float(n)*sxy - float(sx)*sy operand order).
+_STREAM_TRENDS_ORACLE = f"""
+WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+o AS (
+    SELECT conv_id, turn_idx, ts,
+        CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+             ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS y
+    FROM transcripts
+),
+e AS (
+    SELECT conv_id, turn_idx,
+        CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        SUM(CAST(turn_idx AS BIGINT)) OVER w AS sx,
+        SUM(CAST(turn_idx AS BIGINT) * turn_idx) OVER w AS sxx,
+        SUM(CAST(y AS BIGINT)) OVER w AS sy,
+        SUM(CAST(y AS BIGINT) * y) OVER w AS syy,
+        SUM(CAST(turn_idx AS BIGINT) * y) OVER w AS sxy
+    FROM o
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT conv_id, turn_idx, n AS n_so_far,
+       ROUND(CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+             THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) END, 6)
+           AS token_slope,
+       ROUND(CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                   AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+             THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             END, 6) AS token_r
+FROM e
 """
 
 _STREAM_STATEFUL_ORACLE = f"""
@@ -7014,6 +7079,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sessions": _STREAM_SESSIONS_ORACLE,
         "streaming_token_rates": _STREAM_RATES_ORACLE,
         "streaming_stateful_progress": _STREAM_STATEFUL_ORACLE,
+        "streaming_conversation_trends": _STREAM_TRENDS_ORACLE,
         "chi2_scores": _CHI2_ORACLE,
         "mi_relevance": _MI_ORACLE,
         "gain_ratio_scores": _GAIN_RATIO_ORACLE,

@@ -26,3 +26,6 @@ from fastselect_spark.streaming.drift import (  # noqa: F401
     streaming_psi,
     streaming_window_quantiles,
 )
+from fastselect_spark.streaming.trends import (  # noqa: F401
+    streaming_conversation_trends,
+)

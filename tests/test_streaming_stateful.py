@@ -140,3 +140,56 @@ def test_stateful_beyond_watermark_rows_still_reach_state(spark, tmp_path):
     assert len(late) == 1 and (late["session_id"] == 0).all()
     # ...and in-order rows are unaffected
     assert len(got[got["conv_id"] == "a"]) == 3
+
+
+def test_streaming_trends_matches_expanding_numpy(spark, tmp_path):
+    """Running slope/r per turn across micro-batch boundaries equals the
+    expanding-window OLS closure on the full ordered series."""
+    from fastselect_spark.streaming import streaming_conversation_trends
+
+    pdf = generate_transcripts_pandas(n_convs=12, seed=7)
+    cutoff = pdf["ts"].median()
+    src = str(tmp_path / "in_tr")
+    spark.createDataFrame(pdf[pdf.ts <= cutoff], schema=TRANSCRIPT_SCHEMA).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(pdf[pdf.ts > cutoff], schema=TRANSCRIPT_SCHEMA).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = read_transcripts_stream(spark, src, max_files_per_trigger=4)
+    q = (
+        streaming_conversation_trends(stream)
+        .writeStream.format("memory")
+        .queryName("conv_trends")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.table("conv_trends")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(pdf)
+    pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    for cid, grp in pdf.groupby("conv_id"):
+        x = grp["turn_idx"].to_numpy(dtype=float)
+        y = np.array([len(t.split()) for t in grp["text"]], dtype=float)
+        sub = got[got.conv_id == cid].sort_values("turn_idx")
+        for i in range(len(x)):
+            row = sub.iloc[i]
+            assert row["n_so_far"] == i + 1
+            xs, ys = x[: i + 1], y[: i + 1]
+            if i == 0 or np.ptp(xs) == 0:
+                assert row["token_slope"] is None or np.isnan(row["token_slope"])
+                continue
+            slope = np.polyfit(xs, ys, 1)[0]
+            assert row["token_slope"] == pytest.approx(slope, abs=1e-9)
+            if np.ptp(ys) > 0:
+                assert row["token_r"] == pytest.approx(
+                    np.corrcoef(xs, ys)[0, 1], abs=1e-9
+                )
