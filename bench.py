@@ -503,6 +503,62 @@ def default_mode() -> None:
         t0 = time.perf_counter()
         ops["conv_fp_rows"] = conversation_fingerprints(tr_fp).count()
         ops["conv_fingerprints_sec"] = round(time.perf_counter() - t0, 3)
+        # round-5 additions: BH-FDR, feature hashing, trends/lead-lag,
+        # stability, dispersion, stump gain
+        from fastselect_spark.featurize import (
+            conversation_leadlag,
+            conversation_trends,
+        )
+        from fastselect_spark.selection import (
+            chi2_fold_scores,
+            dispersion_ratios,
+            fdr_bh,
+            stability_topk,
+            stump_gain_scores,
+        )
+        from fastselect_spark.text import hashed_term_vectors
+
+        pv = spark.range(100_000).selectExpr(
+            "CAST(id AS STRING) AS feature",
+            "((id * 2654435761) % 1000003) / 1000003.0 AS p_value",
+        )
+        t0 = time.perf_counter()
+        ops["fdr_bh_rows"] = fdr_bh(pv, num_partitions=int(CPUS)).count()
+        ops["fdr_bh_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        ops["hashed_vectors_rows"] = hashed_term_vectors(docs).count()
+        ops["hashed_vectors_sec"] = round(time.perf_counter() - t0, 3)
+        tr_tr = spark.read.parquet(
+            os.path.join(SF_DIR, "events.parquet")
+        ).selectExpr(
+            "CAST(user_id AS STRING) AS conv_id",
+            "CAST(event_id AS INT) AS turn_idx",
+            "CAST(LENGTH(event_type) AS DOUBLE) AS n_tokens",
+            "CAST(event_id % 7 AS DOUBLE) AS turn_gap_s",
+        )
+        t0 = time.perf_counter()
+        ops["conv_trends_rows"] = conversation_trends(tr_tr).count()
+        ops["conv_trends_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        ops["conv_leadlag_rows"] = conversation_leadlag(tr_tr).count()
+        ops["conv_leadlag_sec"] = round(time.perf_counter() - t0, 3)
+        codes = dd.selectExpr(
+            "CAST(FLOOR(n_chars / 400) AS INT) AS c_len",
+            "CAST(n_toks AS INT) % 7 AS c_tok",
+            "CAST(doc_id % 5 AS INT) AS c_id",
+            "CAST(doc_id % 3 AS INT) AS y",
+            "CAST(doc_id % 4 AS INT) AS fold",
+        )
+        feats3 = ["c_len", "c_tok", "c_id"]
+        t0 = time.perf_counter()
+        stability_topk(chi2_fold_scores(codes, feats3, "y", "fold"), k=2).count()
+        ops["selection_stability_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        dispersion_ratios(codes, feats3).count()
+        ops["dispersion_ratios_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        stump_gain_scores(codes, feats3, "y").count()
+        ops["stump_gains_sec"] = round(time.perf_counter() - t0, 3)
         docs.unpersist()
         out["corpus_ops"] = ops
     except Exception as exc:  # surface the regression in the bench output

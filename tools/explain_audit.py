@@ -630,6 +630,48 @@ def main() -> int:
         f"(exchanges={n_ex})",
     )
 
+    # 31. BH-FDR: the step-up never plans a global single-partition Window
+    # funnel — one range exchange, partition-local suffix mins, and the
+    # carry join is a broadcast
+    from fastselect_spark.selection import fdr_bh
+
+    pv31 = spark.range(5000).selectExpr(
+        "CAST(id AS STRING) AS feature",
+        "((id * 37) % 101) / 101.0 AS p_value",
+    )
+    fd = fdr_bh(pv31, num_partitions=4)
+    p = plan_of(fd)
+    failures += not check(
+        "fdr_bh: no global-window funnel, broadcast carry join",
+        "Window" not in p and "BroadcastHashJoin" in p,
+    )
+
+    # 32. conversation trends + lead-lag: the whole stack (window shifts +
+    # sufficient-stats groupBy) shares ONE conv_id exchange on top of the
+    # transcripts derivation
+    from fastselect_spark.featurize import conversation_leadlag
+
+    ll = conversation_leadlag(feat)
+    p = plan_of(ll)
+    n_conv_ex = len(re.findall(r"Exchange hashpartitioning\(conv_id", p))
+    failures += not check(
+        "lead-lag shares one conv_id exchange with the featurize stack",
+        n_conv_ex <= 1,
+        f"(conv_id exchanges={n_conv_ex})",
+    )
+
+    # 33. hashed term vectors: one map-side-combining aggregation, all-JVM
+    # expressions (no Python eval in the plan)
+    from fastselect_spark.text import hashed_term_vectors
+
+    hv = hashed_term_vectors(docs.select("doc_id", "text"))
+    p = plan_of(hv)
+    failures += not check(
+        "hashed vectors: JVM-only, partial-aggregated",
+        "EvalPython" not in p and "MapInPandas" not in p
+        and p.count("HashAggregate") >= 2,
+    )
+
     print(f"\n{'ALL CHECKS PASS' if not failures else f'{failures} CHECK(S) FAILED'}")
     return 1 if failures else 0
 
