@@ -1191,6 +1191,48 @@ FROM st
     )
 
 
+def _q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build (featurize/scd2.py scd2_intervals): per-user
+    event_type change stream -> [valid_from, valid_to) validity intervals
+    with consecutive no-change collapse — ONE key exchange shared by both
+    windows; the point-in-time companion of the as-of join."""
+    from fastselect_spark.featurize import scd2_intervals
+
+    _register(spark, sf_dir, "events")
+    ch = spark.sql(
+        """
+        SELECT CAST(user_id AS STRING) AS k, ts, event_id,
+               event_type AS v
+        FROM events
+        """
+    )
+    out = scd2_intervals(
+        ch, ["k"], "ts", ["v"], order_cols=["event_id"], collapse=True
+    )
+    return out.select("k", "v", "valid_from", "valid_to", "is_current")
+
+
+_SCD2_ORACLE = """
+WITH e AS (
+    SELECT CAST(user_id AS STRING) AS k, ts, event_id, event_type AS v
+    FROM events
+),
+l AS (
+    SELECT *, LAG(v) OVER w AS pv, LAG(ts) OVER w AS pts
+    FROM e WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)
+),
+kept AS (SELECT * FROM l WHERE pts IS NULL OR (v IS DISTINCT FROM pv)),
+o AS (
+    SELECT k, v, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY k ORDER BY ts, event_id) AS valid_to
+    FROM kept
+)
+SELECT k, v, valid_from, valid_to,
+       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+FROM o
+"""
+
+
 def _q_conversation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation summary matrix (featurize/convagg.py): ONE
     groupBy(conv_id) agg on the featurized frame — length, duration,
@@ -3673,6 +3715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_features": _q_conversation_features,  # per-entity summary
         "conversation_trends": _q_conversation_trends,  # per-entity OLS drift
         "conversation_leadlag": _q_conversation_leadlag,  # temporal coupling
+        "scd2_intervals": _q_scd2_intervals,  # point-in-time dimension build
         "quantile_prep": _q_quantile_prep,  # winsorize + robust scale
         "resample_grid": _q_resample_grid,  # time-grid resample via as-of
         "psi_drift": _q_psi_drift,  # population-stability drift monitor
@@ -7874,6 +7917,7 @@ def oracle_sql() -> dict[str, str]:
         # in the fixed user/assistant/tool order
         "conversation_trends": _conv_trends_oracle_sql(),
         "conversation_leadlag": _conv_leadlag_oracle_sql(),
+        "scd2_intervals": _SCD2_ORACLE,
         "conversation_features": _FEATURIZE_BASE
         + """
 , ra AS (

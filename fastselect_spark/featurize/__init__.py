@@ -36,3 +36,4 @@ from fastselect_spark.featurize.convagg import (  # noqa: F401
     role_transition_matrix,
     tool_cooccurrence_pmi,
 )
+from fastselect_spark.featurize.scd2 import scd2_intervals  # noqa: F401

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from fastselect_spark.data.transcripts import (
     TRANSCRIPT_SCHEMA,
@@ -276,3 +277,56 @@ def test_conversation_leadlag_matches_numpy(spark, transcripts_pdf):
                 assert r["r"] == pytest.approx(
                     np.corrcoef(xs, ys)[0, 1], abs=1e-9
                 )
+
+
+def test_scd2_intervals_collapse_and_validity(spark):
+    from fastselect_spark.featurize import scd2_intervals
+
+    rows = [
+        ("u1", 100, "A"),
+        ("u1", 200, "A"),   # no change -> collapsed
+        ("u1", 300, "B"),
+        ("u1", 400, None),  # change to NULL kept (null-safe compare)
+        ("u1", 500, None),  # no change -> collapsed
+        ("u2", 150, "X"),
+    ]
+    df = (
+        spark.createDataFrame(rows, "k string, ts long, v string")
+        .repartition(3)
+    )
+    out = (
+        scd2_intervals(df, ["k"], "ts", ["v"])
+        .orderBy("k", "valid_from")
+        .collect()
+    )
+    got = [(r["k"], r["valid_from"], r["valid_to"], r["v"], r["is_current"]) for r in out]
+    assert got == [
+        ("u1", 100, 300, "A", 0),
+        ("u1", 300, 400, "B", 0),
+        ("u1", 400, None, None, 1),
+        ("u2", 150, None, "X", 1),
+    ]
+    # collapse=False keeps every event, intervals still chain
+    raw = scd2_intervals(df, ["k"], "ts", ["v"], collapse=False).collect()
+    assert len(raw) == len(rows)
+
+
+def test_scd2_asof_lookup_no_leakage(spark):
+    """A point-in-time probe against the SCD2 table must see exactly the
+    version valid at its timestamp."""
+    from fastselect_spark.featurize import scd2_intervals
+
+    df = spark.createDataFrame(
+        [("u1", 100, "A"), ("u1", 300, "B")], "k string, ts long, v string"
+    )
+    dim = scd2_intervals(df, ["k"], "ts", ["v"])
+    probes = spark.createDataFrame(
+        [("u1", 99), ("u1", 100), ("u1", 299), ("u1", 300), ("u1", 999)],
+        "k string, at long",
+    )
+    j = probes.join(dim, "k").where(
+        (F.col("at") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("at") < F.col("valid_to")))
+    )
+    got = {r["at"]: r["v"] for r in j.collect()}
+    assert got == {100: "A", 299: "A", 300: "B", 999: "B"}  # 99 -> no row
