@@ -559,6 +559,21 @@ def default_mode() -> None:
         t0 = time.perf_counter()
         stump_gain_scores(codes, feats3, "y").count()
         ops["stump_gains_sec"] = round(time.perf_counter() - t0, 3)
+        from fastselect_spark.featurize import scd2_intervals
+
+        ch = spark.read.parquet(
+            os.path.join(SF_DIR, "events.parquet")
+        ).selectExpr(
+            "CAST(user_id AS STRING) AS k",
+            "ts",
+            "CAST(event_id AS LONG) AS eid",
+            "event_type AS v",
+        )
+        t0 = time.perf_counter()
+        ops["scd2_rows"] = scd2_intervals(
+            ch, ["k"], "ts", ["v"], order_cols=["eid"]
+        ).count()
+        ops["scd2_sec"] = round(time.perf_counter() - t0, 3)
         docs.unpersist()
         out["corpus_ops"] = ops
     except Exception as exc:  # surface the regression in the bench output
@@ -596,7 +611,59 @@ def default_mode() -> None:
             }
     except Exception as exc:
         out["scorers_evidence"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
-    print(json.dumps(out))
+    _emit(out)
+
+
+# The driver keeps only the last ~2000 chars of stdout and parses the final
+# JSON line out of that tail: a line longer than the window is truncated at
+# its START and recorded as parsed=null (this is exactly what happened to
+# BENCH_r04.json). Budget below the window so the whole line always fits.
+TAIL_BUDGET = 1850
+
+
+def _emit(out: dict) -> None:
+    """Write the full result to BENCH/LAST_RUN.json and print ONE compact
+    JSON line guaranteed to fit inside the driver's stdout-tail window."""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    detail_path = os.path.join(REPO, "BENCH", "LAST_RUN.json")
+    with open(detail_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "turns": out.get("turns"),
+        "turns_per_sec": out.get("turns_per_sec"),
+        "dedup_pipeline_sec": out.get("dedup_pipeline_sec"),
+        "dedup_docs_per_sec": out.get("dedup_docs_per_sec"),
+        "scaling": out.get("scaling_40M_turns"),
+        "detail": "BENCH/LAST_RUN.json",
+    }
+    if "dedup_pipeline_error" in out:
+        compact["dedup_pipeline_error"] = out["dedup_pipeline_error"][:200]
+    sc = out.get("scorers_at_reference_configs_sec")
+    if isinstance(sc, dict):
+        compact["scorers_headline_sec"] = {
+            k: sc[k]
+            for k in (
+                "chi2_n2000_p200000_K5",
+                "fisher_n2000_p200000_K5",
+                "mrmr_n1000_p5000_K10",
+                "mdr_n500_p1000_k2",
+                "relieff_n10000_p100_select10",
+            )
+            if k in sc
+        }
+    line = json.dumps(compact)
+    if len(line) > TAIL_BUDGET:  # belt-and-braces: shed optional blocks
+        for k in ("scorers_headline_sec", "scaling", "queries"):
+            compact.pop(k, None)
+            line = json.dumps(compact)
+            if len(line) <= TAIL_BUDGET:
+                break
+    print(line)
 
 
 def _subprocess_run(master: str, sf_dir: str, transcripts_parquet: str | None) -> dict:

@@ -672,6 +672,25 @@ def main() -> int:
         and p.count("HashAggregate") >= 2,
     )
 
+    # 34. SCD2 interval build: the change-collapse lag pass and the
+    # valid_to lead pass share ONE key exchange (a second exchange would
+    # double the dominant shuffle of a dimension build at ingest scale)
+    from fastselect_spark.featurize import scd2_intervals
+
+    ch = docs.selectExpr(
+        "CAST(doc_id % 50 AS STRING) AS k",
+        "CAST(doc_id AS TIMESTAMP) AS ts",
+        "source AS v",
+    )
+    sc2 = scd2_intervals(ch, ["k"], "ts", ["v"])
+    p = plan_of(sc2)
+    n_k_ex = len(re.findall(r"Exchange hashpartitioning\(k#", p))
+    failures += not check(
+        "scd2: lag-collapse and lead-interval windows share one key exchange",
+        n_k_ex == 1,
+        f"(key exchanges={n_k_ex})",
+    )
+
     print(f"\n{'ALL CHECKS PASS' if not failures else f'{failures} CHECK(S) FAILED'}")
     return 1 if failures else 0
 
