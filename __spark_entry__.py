@@ -2593,6 +2593,161 @@ def _dataset_checksum_oracle_sql() -> str:
         """
 
 
+def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language HyperLogLog distinct-text estimate next to the exact
+    count (corpus/sketches.py hll_distinct): 2^8 registers of bounded
+    state per group — the COUNT DISTINCT that survives 100 TB. All
+    register math is exact-integer (dyadic DECIMAL(38,0) sums over the
+    portable 60-bit md5 hash) with ONE mirrored float quotient; the
+    estimate is rounded engine-side."""
+    from fastselect_spark.corpus import hll_distinct
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    est = hll_distinct(docs, ["lang"], "text", p=8)
+    exact = (
+        docs.where(F.col("text").isNotNull())
+        .groupBy("lang")
+        .agg(F.countDistinct("text").alias("exact_distinct"))
+    )
+    return est.join(exact, "lang").select(
+        "lang",
+        "registers_hit",
+        F.round("hll_estimate", 6).alias("hll_estimate"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    )
+
+
+def _hll_oracle_sql() -> str:
+    from fastselect_spark.corpus import hll_distinct_sql
+
+    inner = hll_distinct_sql(
+        "SELECT lang, text FROM documents", ["lang"], "text", p=8
+    )
+    return f"""
+        WITH est AS ({inner}),
+        ex AS (
+            SELECT lang, CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct
+            FROM documents WHERE text IS NOT NULL GROUP BY lang
+        )
+        SELECT e.lang, e.registers_hit,
+               ROUND(e.hll_estimate, 6) AS hll_estimate, ex.exact_distinct
+        FROM est e JOIN ex USING (lang)
+        """
+
+
+def _q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates for the corpus's top-15 tokens next
+    to their exact counts (corpus/sketches.py countmin_sketch/lookup):
+    4x2048 integer counters summarize ANY token stream in fixed state;
+    lookups broadcast the sketch so the probe side never shuffles. Pure
+    integer end to end (estimates can only over-count)."""
+    from fastselect_spark.corpus import countmin_lookup, countmin_sketch
+
+    _register(spark, sf_dir, "documents")
+    toks = (
+        spark.table("documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    sk = countmin_sketch(toks, "token", depth=4, width=2048)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.col("exact_cnt").desc(), F.col("token")).limit(15)
+    est = countmin_lookup(sk, top.select("token"), "token", depth=4, width=2048)
+    return top.join(est, "token").select("token", "exact_cnt", "cm_estimate")
+
+
+_COUNTMIN_ORACLE = """
+WITH toks AS (
+    SELECT t.token FROM documents d,
+         UNNEST(STRING_SPLIT(d.text, ' ')) AS t(token)
+    WHERE t.token <> ''
+),
+cells AS (
+    SELECT row_j AS row,
+           CAST('0x' || substr(md5(CAST(row_j AS STRING) || ':' || token), 1, 15)
+                AS BIGINT) % 2048 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks, (SELECT UNNEST([0, 1, 2, 3]) AS row_j) js
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+    FROM toks GROUP BY token
+),
+top AS (
+    SELECT token, exact_cnt FROM exact
+    ORDER BY exact_cnt DESC, token LIMIT 15
+),
+probe AS (
+    SELECT t.token, t.exact_cnt, js.row_j AS row,
+           CAST('0x' || substr(md5(CAST(js.row_j AS STRING) || ':' || t.token), 1, 15)
+                AS BIGINT) % 2048 AS bucket
+    FROM top t, (SELECT UNNEST([0, 1, 2, 3]) AS row_j) js
+)
+SELECT p.token, p.exact_cnt,
+       CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cm_estimate
+FROM probe p LEFT JOIN cells c ON p.row = c.row AND p.bucket = c.bucket
+GROUP BY p.token, p.exact_cnt
+"""
+
+
+def _q_decayed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency features (featurize/decay.py): per-conversation
+    exponentially-decayed token accumulator (closed-form ordered window,
+    decay 0.5 -> exact powers of two) and the wall-clock last-k decayed
+    sum with half-life-QUANTIZED weights (floor(age/300s) halvings), both
+    sharing one conv_id exchange. Bit-exact across engines by
+    construction; rounded engine-side anyway."""
+    from fastselect_spark.featurize import time_decayed_lastk, turn_decayed_sum
+
+    tr = _transcripts(spark, sf_dir).withColumn(
+        "n_tokens",
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+            + F.lit(1)
+        ).cast("double"),
+    )
+    d1 = turn_decayed_sum(tr, "n_tokens", 0.5, out_col="ntok_decay")
+    d2 = time_decayed_lastk(
+        d1, "n_tokens", halflife_s=300.0, k=3, out_col="ntok_tdecay"
+    )
+    return d2.select(
+        "conv_id",
+        "turn_idx",
+        F.round("ntok_decay", 6).alias("ntok_decay"),
+        F.round("ntok_tdecay", 6).alias("ntok_tdecay"),
+    )
+
+
+def _decayed_oracle_sql() -> str:
+    lag_terms = " + ".join(
+        "COALESCE(LAG(n_tokens, {d}) OVER w * power(0.5, CAST(FLOOR("
+        "(FLOOR(EPOCH(ts)) - FLOOR(EPOCH(LAG(ts, {d}) OVER w))) / 300.0"
+        ") AS DOUBLE)), 0.0)".format(d=d)
+        for d in range(0, 4)
+    )
+    return f"""
+        WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+        tr AS (
+            SELECT conv_id, turn_idx, ts,
+                   CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                        AS DOUBLE) AS n_tokens
+            FROM transcripts
+        )
+        SELECT conv_id, turn_idx,
+               ROUND(power(0.5, CAST(turn_idx AS DOUBLE))
+                     * SUM(COALESCE(n_tokens, 0.0)
+                           * power(0.5, -CAST(turn_idx AS DOUBLE)))
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     6) AS ntok_decay,
+               ROUND({lag_terms}, 6) AS ntok_tdecay
+        FROM tr WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        """
+
+
 def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data-quality profile of the documents table — one melt,
     one (column, value) exchange for nulls/distincts/min/max/mode
@@ -3776,6 +3931,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": _q_corpus_sample,
         "table_profile": _q_table_profile,
         "dataset_checksum": _q_dataset_checksum,  # lineage content identity
+        "hll_distinct_by_lang": _q_hll_distinct,  # bounded-state COUNT DISTINCT
+        "countmin_token_counts": _q_countmin_tokens,  # fixed-state frequency sketch
+        "decayed_features": _q_decayed_features,  # recency-weighted accumulators
         "class_rebalance": _q_class_rebalance,
         "corpus_mix_by_source": _q_corpus_mix_by_source,
         "source_quota_cap": _q_source_quota_cap,
@@ -7918,6 +8076,11 @@ def oracle_sql() -> dict[str, str]:
         "conversation_trends": _conv_trends_oracle_sql(),
         "conversation_leadlag": _conv_leadlag_oracle_sql(),
         "scd2_intervals": _SCD2_ORACLE,
+        # sketch family: exact-integer register/counter math on the portable
+        # 60-bit md5 hash; one mirrored float quotient (HLL) / all-int (CM)
+        "hll_distinct_by_lang": _hll_oracle_sql(),
+        "countmin_token_counts": _COUNTMIN_ORACLE,
+        "decayed_features": _decayed_oracle_sql(),
         "conversation_features": _FEATURIZE_BASE
         + """
 , ra AS (

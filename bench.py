@@ -574,6 +574,37 @@ def default_mode() -> None:
             ch, ["k"], "ts", ["v"], order_cols=["eid"]
         ).count()
         ops["scd2_sec"] = round(time.perf_counter() - t0, 3)
+        from fastselect_spark.corpus import countmin_lookup, countmin_sketch, hll_distinct
+        from fastselect_spark.featurize import time_decayed_lastk, turn_decayed_sum
+
+        t0 = time.perf_counter()
+        ops["hll_rows"] = hll_distinct(docs, ["lang"], "text", p=10).count()
+        ops["hll_distinct_sec"] = round(time.perf_counter() - t0, 3)
+        toks = docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("token")
+        ).where(F.col("token") != "")
+        t0 = time.perf_counter()
+        sk = countmin_sketch(toks, "token", depth=4, width=4096)
+        keys = toks.groupBy("token").count().orderBy(
+            F.col("count").desc(), "token"
+        ).limit(50).select("token")
+        ops["countmin_rows"] = countmin_lookup(
+            sk, keys, "token", depth=4, width=4096
+        ).count()
+        ops["countmin_sec"] = round(time.perf_counter() - t0, 3)
+        tr_dec = spark.read.parquet(
+            os.path.join(SF_DIR, "events.parquet")
+        ).selectExpr(
+            "CAST(user_id AS STRING) AS conv_id",
+            "CAST(event_id AS INT) AS turn_idx",
+            "CAST(LENGTH(event_type) AS DOUBLE) AS n_tokens",
+            "ts",
+        )
+        t0 = time.perf_counter()
+        turn_decayed_sum(
+            time_decayed_lastk(tr_dec, "n_tokens", 300.0, k=3), "n_tokens", 0.5
+        ).count()
+        ops["decay_features_sec"] = round(time.perf_counter() - t0, 3)
         docs.unpersist()
         out["corpus_ops"] = ops
     except Exception as exc:  # surface the regression in the bench output

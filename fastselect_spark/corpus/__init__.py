@@ -19,6 +19,12 @@ from fastselect_spark.corpus.lm import lm_perplexity, perplexity_tertiles
 from fastselect_spark.corpus.packing import pack_sequences, truncate_to_token_budget
 from fastselect_spark.corpus.pairs import contrastive_pairs, sft_pairs
 from fastselect_spark.corpus.profile import profile_drift, table_profile
+from fastselect_spark.corpus.sketches import (
+    countmin_lookup,
+    countmin_sketch,
+    hll_distinct,
+    hll_distinct_sql,
+)
 from fastselect_spark.corpus.sampling import (
     cap_per_source,
     deterministic_sample,
@@ -32,6 +38,10 @@ from fastselect_spark.corpus.sampling import (
 __all__ = [
     "calibration_report",
     "cap_per_source",
+    "countmin_lookup",
+    "countmin_sketch",
+    "hll_distinct",
+    "hll_distinct_sql",
     "contrastive_pairs",
     "contamination_hits",
     "decontaminate",

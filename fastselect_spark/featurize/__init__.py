@@ -37,3 +37,7 @@ from fastselect_spark.featurize.convagg import (  # noqa: F401
     tool_cooccurrence_pmi,
 )
 from fastselect_spark.featurize.scd2 import scd2_intervals  # noqa: F401
+from fastselect_spark.featurize.decay import (  # noqa: F401
+    time_decayed_lastk,
+    turn_decayed_sum,
+)

@@ -468,3 +468,80 @@ def test_rebalance_classes(spark):
     assert set(out2.toPandas()["doc_id"]) == expect
     with pytest.raises(ValueError, match="target_ratio"):
         rebalance_classes(df, "label", "doc_id", target_ratio=0.0)
+
+
+# ---------------------------------------------------------------------------
+# sketches: HyperLogLog distinct + count-min frequency
+
+
+def _py_hll(vals, p):
+    """Pure-python replica of corpus/sketches.py hll_distinct."""
+    import math
+
+    from fastselect_spark.corpus.sketches import hll_alpha
+
+    m = 1 << p
+    wb = 60 - p
+    q = wb + 1
+    regs: dict[int, int] = {}
+    for v in set(vals):
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        idx, w = h % m, h // m
+        rho = q if w == 0 else wb + 1 - w.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    s = sum(1 << (q - r) for r in regs.values()) + (m - len(regs)) * (1 << q)
+    raw = (hll_alpha(m) * m * m * float(2**q)) / float(s)
+    v0 = m - len(regs)
+    if raw <= 2.5 * m and v0 > 0:
+        return len(regs), m * math.log(m / v0)
+    return len(regs), raw
+
+
+def test_hll_distinct_python_parity_and_accuracy(spark):
+    from fastselect_spark.corpus import hll_distinct
+
+    rows = [(g, f"v{g}{i % n}") for g, n in (("a", 40), ("b", 2500)) for i in range(2 * n)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r.g: (r.registers_hit, r.hll_estimate) for r in hll_distinct(df, ["g"], "v", p=8).collect()}
+    for g, n in (("a", 40), ("b", 2500)):
+        hit, est = _py_hll([f"v{g}{i}" for i in range(n)], 8)
+        assert got[g][0] == hit
+        assert got[g][1] == est  # bit-identical to the replica
+        assert abs(est - n) / n < 0.15  # ~1.04/sqrt(256) standard error
+
+
+def test_hll_ignores_nulls_and_duplicates(spark):
+    from fastselect_spark.corpus import hll_distinct
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", None), ("b", None)], "g string, v string"
+    )
+    out = {r.g: r.registers_hit for r in hll_distinct(df, ["g"], "v", p=4).collect()}
+    assert out == {"a": 1}  # all-null group absent; dup collapses to one register
+
+
+def test_countmin_exact_when_sparse_and_overestimates(spark):
+    from fastselect_spark.corpus import countmin_lookup, countmin_sketch
+
+    rows = [(f"k{i % 20}",) for i in range(400)]  # each key appears 20x
+    df = spark.createDataFrame(rows, "k string")
+    # wide sketch: collisions vanish -> estimates exact
+    sk = countmin_sketch(df, "k", depth=4, width=4096)
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(20)] + [("absent",)], "k string")
+    got = {r.k: r.cm_estimate for r in countmin_lookup(sk, keys, "k", depth=4, width=4096).collect()}
+    assert all(got[f"k{i}"] == 20 for i in range(20))
+    assert got["absent"] >= 0
+    # narrow sketch: estimates never UNDER-estimate
+    sk2 = countmin_sketch(df, "k", depth=2, width=8)
+    got2 = {r.k: r.cm_estimate for r in countmin_lookup(sk2, keys, "k", depth=2, width=8).collect()}
+    assert all(got2[f"k{i}"] >= 20 for i in range(20))
+
+
+def test_countmin_weighted(spark):
+    from fastselect_spark.corpus import countmin_lookup, countmin_sketch
+
+    df = spark.createDataFrame([("a", 5), ("a", 7), ("b", 1)], "k string, w int")
+    sk = countmin_sketch(df, "k", depth=3, width=1024, weight_col="w")
+    keys = spark.createDataFrame([("a",), ("b",)], "k string")
+    got = {r.k: r.cm_estimate for r in countmin_lookup(sk, keys, "k", depth=3, width=1024).collect()}
+    assert got == {"a": 12, "b": 1}

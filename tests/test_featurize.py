@@ -330,3 +330,73 @@ def test_scd2_asof_lookup_no_leakage(spark):
     )
     got = {r["at"]: r["v"] for r in j.collect()}
     assert got == {100: "A", 299: "A", 300: "B", 999: "B"}  # 99 -> no row
+
+
+def test_turn_decayed_sum_recurrence_parity(spark):
+    """Closed-form window decay == the per-row recurrence s_i = x_i + d*s_{i-1}."""
+    import numpy as np
+
+    from fastselect_spark.featurize import turn_decayed_sum
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (f"c{c}", i, float(rng.integers(0, 40)))
+        for c in range(4)
+        for i in range(60)
+    ]
+    tr = spark.createDataFrame(rows, "conv_id string, turn_idx int, x double")
+    got = {
+        (r.conv_id, r.turn_idx): r.x_decay
+        for r in turn_decayed_sum(tr, "x", 0.5).collect()
+    }
+    byconv: dict[str, list] = {}
+    for c, i, x in rows:
+        byconv.setdefault(c, []).append((i, x))
+    for c, seq in byconv.items():
+        acc = 0.0
+        for i, x in sorted(seq):
+            acc = x + 0.5 * acc
+            assert got[(c, i)] == pytest.approx(acc, rel=1e-12)
+
+
+def test_turn_decayed_sum_strictly_past_and_nulls(spark):
+    from fastselect_spark.featurize import turn_decayed_sum
+
+    tr = spark.createDataFrame(
+        [("c", 0, 8.0), ("c", 1, None), ("c", 2, 4.0)],
+        "conv_id string, turn_idx int, x double",
+    )
+    got = {
+        r.turn_idx: r.x_decay
+        for r in turn_decayed_sum(tr, "x", 0.5, strictly_past=True).collect()
+    }
+    # row 0 sees nothing; NULL contributes 0 without resetting the state
+    assert got == {0: 0.0, 1: 4.0, 2: 2.0}
+
+
+def test_time_decayed_lastk_quantized_weights(spark):
+    from fastselect_spark.featurize import time_decayed_lastk
+
+    base = 1_767_225_600  # 2026-01-01 UTC epoch seconds
+    rows = [
+        ("c", 0, 10.0, base),
+        ("c", 1, 6.0, base + 100),   # age 100 from turn 2 -> 0 halflives
+        ("c", 2, 2.0, base + 650),   # ages: 0, 550 (1 hl), 650 (2 hl)
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, x double, es long"
+    ).withColumn("ts", F.timestamp_seconds(F.col("es")))
+    out = {
+        r.turn_idx: r.x_tdecay
+        for r in time_decayed_lastk(tr, "x", halflife_s=300.0, k=2).collect()
+    }
+    assert out[0] == 10.0
+    assert out[1] == 6.0 + 10.0  # age 100 -> floor(100/300)=0 -> weight 1
+    assert out[2] == 2.0 + 6.0 * 0.5 + 10.0 * 0.25
+    past = {
+        r.turn_idx: r.x_tdecay
+        for r in time_decayed_lastk(
+            tr, "x", halflife_s=300.0, k=2, strictly_past=True
+        ).collect()
+    }
+    assert past[2] == 6.0 * 0.5 + 10.0 * 0.25

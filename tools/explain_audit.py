@@ -691,6 +691,53 @@ def main() -> int:
         f"(key exchanges={n_k_ex})",
     )
 
+    # 35. HLL distinct: two aggregation levels (register max, then the
+    # per-group fold), all-JVM expressions — a distinct sketch that plans
+    # a Python eval or more than two exchanges is not the bounded-state
+    # scale path it claims to be
+    from fastselect_spark.corpus import hll_distinct
+
+    hd = hll_distinct(docs, ["lang"], "text", p=8)
+    p = plan_of(hd)
+    n_ex = p.count("Exchange")
+    failures += not check(
+        "hll_distinct: all-JVM, <=2 exchanges (register agg + group fold)",
+        "EvalPython" not in p and "MapInPandas" not in p and n_ex <= 2,
+        f"(exchanges={n_ex})",
+    )
+
+    # 36. count-min lookup: the sketch side is BROADCAST (it is depth*width
+    # cells by construction) so the probe stream never shuffles for the join
+    from fastselect_spark.corpus import countmin_lookup, countmin_sketch
+
+    toks = docs.selectExpr("explode(split(text, ' ')) AS token").where(
+        F.col("token") != ""
+    )
+    sk = countmin_sketch(toks, "token", depth=4, width=1024)
+    keys = docs.selectExpr("source AS token").distinct()
+    cl = countmin_lookup(sk, keys, "token", depth=4, width=1024)
+    p = plan_of(cl)
+    failures += not check(
+        "countmin lookup: sketch broadcast, probe side join-shuffle-free",
+        "BroadcastHashJoin" in p,
+    )
+
+    # 37. decay features: the turn-decay running window and all k+1
+    # time-decay lag windows share ONE conv_id exchange on top of the
+    # already-partitioned featurize stack
+    from fastselect_spark.featurize import time_decayed_lastk, turn_decayed_sum
+
+    dec = turn_decayed_sum(
+        time_decayed_lastk(feat, "n_tokens", 300.0, k=3), "n_tokens", 0.5
+    )
+    p = plan_of(dec)
+    n_conv_ex = len(re.findall(r"Exchange hashpartitioning\(conv_id", p))
+    failures += not check(
+        "decay features share one conv_id exchange with the featurize stack",
+        n_conv_ex <= 1,
+        f"(conv_id exchanges={n_conv_ex})",
+    )
+
     print(f"\n{'ALL CHECKS PASS' if not failures else f'{failures} CHECK(S) FAILED'}")
     return 1 if failures else 0
 
