@@ -1233,6 +1233,67 @@ FROM o
 """
 
 
+def _q_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup (featurize/scd2.py scd2_lookup): probes
+    at ts-120s resolve the dimension version valid at that instant via an
+    AS-OF join on valid_from + residual valid_to null-out — never the
+    BroadcastNestedLoopJoin a raw BETWEEN interval join would plan.
+    Zero-width intervals (equal-ts change pairs) are dropped so valid_from
+    is unique per key; probes that precede every change resolve to NULL."""
+    from fastselect_spark.featurize import scd2_intervals, scd2_lookup
+
+    _register(spark, sf_dir, "events")
+    ch = spark.sql(
+        """
+        SELECT CAST(user_id AS STRING) AS k, ts, event_id, event_type AS v
+        FROM events
+        """
+    )
+    dim = scd2_intervals(
+        ch, ["k"], "ts", ["v"], order_cols=["event_id"], collapse=True
+    ).where(
+        F.col("valid_to").isNull() | (F.col("valid_from") < F.col("valid_to"))
+    )
+    probes = spark.sql(
+        """
+        SELECT DISTINCT CAST(user_id AS STRING) AS k,
+               ts - INTERVAL 120 SECONDS AS at
+        FROM events
+        """
+    )
+    out = scd2_lookup(probes, dim, ["k"], "at", value_cols=["v"])
+    return out.select("k", "at", "v_dim")
+
+
+_SCD2_LOOKUP_ORACLE = """
+WITH e AS (
+    SELECT CAST(user_id AS STRING) AS k, ts, event_id, event_type AS v
+    FROM events
+),
+l AS (
+    SELECT *, LAG(v) OVER w AS pv, LAG(ts) OVER w AS pts
+    FROM e WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)
+),
+kept AS (SELECT * FROM l WHERE pts IS NULL OR (v IS DISTINCT FROM pv)),
+dim AS (
+    SELECT k, v, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY k ORDER BY ts, event_id) AS valid_to
+    FROM kept
+),
+dimf AS (
+    SELECT * FROM dim WHERE valid_to IS NULL OR valid_from < valid_to
+),
+probes AS (
+    SELECT DISTINCT k, ts - INTERVAL 120 SECOND AS at FROM e
+)
+SELECT p.k, p.at, d.v AS v_dim
+FROM probes p
+LEFT JOIN dimf d
+  ON p.k = d.k AND p.at >= d.valid_from
+ AND (d.valid_to IS NULL OR p.at < d.valid_to)
+"""
+
+
 def _q_conversation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation summary matrix (featurize/convagg.py): ONE
     groupBy(conv_id) agg on the featurized frame — length, duration,
@@ -2692,6 +2753,46 @@ GROUP BY p.token, p.exact_cnt
 """
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (corpus/
+    sampling.py weighted_sample): per-language Efraimidis-Spirakis
+    exponential races keyed by the stable 60-bit md5 hash with weight =
+    LENGTH(text) — reproducible, repartition-stable, and recomputable by
+    the oracle (exact dyadic uniform, one mirrored ln per row)."""
+    from fastselect_spark.corpus import weighted_sample
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "doc_id", "lang", F.length("text").alias("w")
+    )
+    out = weighted_sample(
+        docs, 25, "w", key_col="doc_id", group_cols=["lang"], seed=7
+    )
+    return out.select("lang", "doc_id")
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH cand AS (
+    SELECT lang, doc_id, CAST(LENGTH(text) AS DOUBLE) AS w,
+           CAST('0x' || substr(md5('7:' || CAST(doc_id AS STRING)), 1, 15)
+                AS BIGINT) AS h
+    FROM documents
+    WHERE LENGTH(text) IS NOT NULL AND LENGTH(text) > 0
+),
+raced AS (
+    SELECT lang, doc_id,
+           -ln(CAST(h + 1 AS DOUBLE) / 1152921504606846976.0) / w AS race
+    FROM cand
+),
+ranked AS (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY race, doc_id) AS rn
+    FROM raced
+)
+SELECT lang, doc_id FROM ranked WHERE rn <= 25
+"""
+
+
 def _q_decayed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency features (featurize/decay.py): per-conversation
     exponentially-decayed token accumulator (closed-form ordered window,
@@ -3871,6 +3972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_trends": _q_conversation_trends,  # per-entity OLS drift
         "conversation_leadlag": _q_conversation_leadlag,  # temporal coupling
         "scd2_intervals": _q_scd2_intervals,  # point-in-time dimension build
+        "scd2_pointintime_lookup": _q_scd2_pointintime,  # as-of interval resolve
         "quantile_prep": _q_quantile_prep,  # winsorize + robust scale
         "resample_grid": _q_resample_grid,  # time-grid resample via as-of
         "psi_drift": _q_psi_drift,  # population-stability drift monitor
@@ -3934,6 +4036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_by_lang": _q_hll_distinct,  # bounded-state COUNT DISTINCT
         "countmin_token_counts": _q_countmin_tokens,  # fixed-state frequency sketch
         "decayed_features": _q_decayed_features,  # recency-weighted accumulators
+        "weighted_sample_by_lang": _q_weighted_sample,  # E-S races, no rand()
         "class_rebalance": _q_class_rebalance,
         "corpus_mix_by_source": _q_corpus_mix_by_source,
         "source_quota_cap": _q_source_quota_cap,
@@ -8076,11 +8179,13 @@ def oracle_sql() -> dict[str, str]:
         "conversation_trends": _conv_trends_oracle_sql(),
         "conversation_leadlag": _conv_leadlag_oracle_sql(),
         "scd2_intervals": _SCD2_ORACLE,
+        "scd2_pointintime_lookup": _SCD2_LOOKUP_ORACLE,
         # sketch family: exact-integer register/counter math on the portable
         # 60-bit md5 hash; one mirrored float quotient (HLL) / all-int (CM)
         "hll_distinct_by_lang": _hll_oracle_sql(),
         "countmin_token_counts": _COUNTMIN_ORACLE,
         "decayed_features": _decayed_oracle_sql(),
+        "weighted_sample_by_lang": _WEIGHTED_SAMPLE_ORACLE,
         "conversation_features": _FEATURIZE_BASE
         + """
 , ra AS (

@@ -574,12 +574,33 @@ def default_mode() -> None:
             ch, ["k"], "ts", ["v"], order_cols=["eid"]
         ).count()
         ops["scd2_sec"] = round(time.perf_counter() - t0, 3)
+        from fastselect_spark.featurize import scd2_intervals as _scd2i
+        from fastselect_spark.featurize import scd2_lookup
+
+        dim = _scd2i(ch, ["k"], "ts", ["v"], order_cols=["eid"]).where(
+            F.col("valid_to").isNull()
+            | (F.col("valid_from") < F.col("valid_to"))
+        )
+        probes = ch.selectExpr("k", "ts - INTERVAL 120 SECONDS AS at").distinct()
+        t0 = time.perf_counter()
+        ops["scd2_lookup_rows"] = scd2_lookup(
+            probes, dim, ["k"], "at", value_cols=["v"]
+        ).count()
+        ops["scd2_lookup_sec"] = round(time.perf_counter() - t0, 3)
         from fastselect_spark.corpus import countmin_lookup, countmin_sketch, hll_distinct
         from fastselect_spark.featurize import time_decayed_lastk, turn_decayed_sum
 
         t0 = time.perf_counter()
         ops["hll_rows"] = hll_distinct(docs, ["lang"], "text", p=10).count()
         ops["hll_distinct_sec"] = round(time.perf_counter() - t0, 3)
+        from fastselect_spark.corpus import weighted_sample
+
+        wdocs = docs.select("doc_id", "lang", F.length("text").alias("w"))
+        t0 = time.perf_counter()
+        ops["weighted_sample_rows"] = weighted_sample(
+            wdocs, 100, "w", group_cols=["lang"], seed=7
+        ).count()
+        ops["weighted_sample_sec"] = round(time.perf_counter() - t0, 3)
         toks = docs.select(
             F.explode(F.split(F.col("text"), " ")).alias("token")
         ).where(F.col("token") != "")

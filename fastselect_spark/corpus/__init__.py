@@ -33,6 +33,7 @@ from fastselect_spark.corpus.sampling import (
     sample_token_budget,
     source_mixture_report,
     train_val_test_split,
+    weighted_sample,
 )
 
 __all__ = [
@@ -61,4 +62,5 @@ __all__ = [
     "train_quality_classifier",
     "train_quality_classifier_numpy",
     "train_val_test_split",
+    "weighted_sample",
 ]

@@ -306,3 +306,60 @@ def sample_token_budget(
     ).where(F.col("__before") < F.col("__rem"))
     out = below.unionByName(boundary.drop("__before"))
     return out.drop("__h", "__nt", "__b", "__src", "__bstar", "__rem")
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    group_cols: list[str] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep ``n`` rows
+    (per group, if ``group_cols``) with inclusion probability proportional
+    to ``weight_col`` — Efraimidis & Spirakis (2006) exponential races on
+    the repo's stable 60-bit md5 hash instead of rand(), so the sample is
+    reproducible, repartition-stable, and recomputable by the DuckDB gate.
+
+    Each row draws the deterministic uniform ``u = (h + 1) / 2^60`` from
+    hash(seed, key) and races with key ``-ln(u) / w``; the ``n`` smallest
+    race keys win — exactly weighted sampling without replacement. ``u``
+    is an exact dyadic rational and the race key is one mirrored ln + one
+    division, so both engines order identically (md5 ties are broken by
+    the key column anyway).
+
+    Rows with NULL, zero, or negative weight never win (excluded — the
+    standard convention). NULL sampling keys hash to NULL and are dropped,
+    matching deterministic_sample.
+
+    Scale shape: one window rank per group (single hash exchange) — or,
+    ungrouped, a TakeOrdered top-n that never materializes a global sort.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**60))
+    race = -F.log(u) / F.col(weight_col).cast("double")
+    cand = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col).cast("double") > 0)
+    ).withColumn("__race", race)
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy("__race", key_col)
+        return (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n)
+            .drop("__rn", "__race")
+        )
+    # ungrouped: orderBy().limit() is a distributed TakeOrdered when it
+    # feeds a collect/write; callers chaining further distributed work
+    # should pass a dummy group instead (GlobalLimit funnel, CLAUDE.md r4)
+    return cand.orderBy("__race", key_col).limit(n).drop("__race")

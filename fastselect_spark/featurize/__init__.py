@@ -36,7 +36,10 @@ from fastselect_spark.featurize.convagg import (  # noqa: F401
     role_transition_matrix,
     tool_cooccurrence_pmi,
 )
-from fastselect_spark.featurize.scd2 import scd2_intervals  # noqa: F401
+from fastselect_spark.featurize.scd2 import (  # noqa: F401
+    scd2_intervals,
+    scd2_lookup,
+)
 from fastselect_spark.featurize.decay import (  # noqa: F401
     time_decayed_lastk,
     turn_decayed_sum,

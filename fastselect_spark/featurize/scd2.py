@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+_SEP = "\x1f"  # multi-column key separator (the repo's canonical-row sep)
+
 
 def scd2_intervals(
     df: DataFrame,
@@ -56,3 +58,77 @@ def scd2_intervals(
         F.lead(ts_col).over(w2).alias("valid_to"),
     )
     return out.withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+
+
+def scd2_lookup(
+    probes: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    at_col: str = "ts",
+    value_cols: list[str] | None = None,
+    strategy: str = "window",
+    suffix: str = "_dim",
+) -> DataFrame:
+    """Point-in-time dimension lookup: for each probe row, attach the
+    ``value_cols`` of the interval covering ``at_col`` (``valid_from <=
+    at < valid_to``, NULL ``valid_to`` = open), or NULLs when no interval
+    covers it (probe before the first change, or inside a gap of a
+    filtered/TTL'd dimension).
+
+    Scale shape: Spark plans a raw ``BETWEEN``-style interval join as a
+    BroadcastNestedLoopJoin — quadratic per key and a non-starter at
+    dimension scale. Because SCD2 intervals are non-overlapping and
+    sorted per key, the lookup is instead an AS-OF join on ``valid_from``
+    (featurize/asof.py — one key exchange, window codegen, salted
+    variant for hot keys) plus a residual ``at < valid_to`` null-out.
+    Multi-column keys are joined on a chr(31)-canonical concat (the
+    dataset-checksum convention); NULL key components follow SQL join
+    semantics (never match)."""
+    if value_cols is None:
+        drop = set(key_cols) | {"valid_from", "valid_to", "is_current"}
+        value_cols = [c for c in dim.columns if c not in drop]
+    from fastselect_spark.featurize.asof import asof_join
+
+    if len(key_cols) == 1:
+        key = key_cols[0]
+        p, d = probes, dim
+        drop_key = []
+    else:
+        key = "__scd2_key"
+        canon = F.concat_ws(_SEP, *[F.col(c).cast("string") for c in key_cols])
+        null_any = None
+        for c in key_cols:
+            cond = F.col(c).isNull()
+            null_any = cond if null_any is None else (null_any | cond)
+        p = probes.withColumn(key, F.when(~null_any, canon))
+        d = dim.withColumn(key, F.when(~null_any, canon))
+        drop_key = [key]
+    # Carry the WHOLE interval row as one struct: the as-of window carries
+    # each value column independently with last(..., ignorenulls=True), so a
+    # legitimately-NULL field (the open interval's valid_to, or a NULL
+    # attribute) would otherwise be back-filled from an OLDER interval —
+    # the struct keeps the matched interval atomic.
+    d = d.withColumn(
+        "__scd2_row",
+        F.struct(
+            *[F.col(c) for c in value_cols], F.col("valid_to").alias("__vt")
+        ),
+    )
+    joined = asof_join(
+        p,
+        d,
+        on=key,
+        left_ts=at_col,
+        right_ts="valid_from",
+        value_cols=["__scd2_row"],
+        strategy=strategy,
+        suffix=suffix,
+    )
+    row = f"__scd2_row{suffix}"
+    covered = F.col(f"{row}.__vt").isNull() | (
+        F.col(at_col) < F.col(f"{row}.__vt")
+    )
+    out = joined
+    for c in value_cols:
+        out = out.withColumn(f"{c}{suffix}", F.when(covered, F.col(f"{row}.{c}")))
+    return out.drop(row, *drop_key)

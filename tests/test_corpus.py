@@ -545,3 +545,65 @@ def test_countmin_weighted(spark):
     keys = spark.createDataFrame([("a",), ("b",)], "k string")
     got = {r.k: r.cm_estimate for r in countmin_lookup(sk, keys, "k", depth=3, width=1024).collect()}
     assert got == {"a": 12, "b": 1}
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling (Efraimidis-Spirakis races)
+
+
+def _py_race(seed, key, w):
+    import math
+
+    h = int(hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:15], 16)
+    return -math.log((h + 1) / 2.0**60) / w
+
+
+def test_weighted_sample_python_replica_parity(spark):
+    from fastselect_spark.corpus import weighted_sample
+
+    rows = [(i, "g" if i % 2 else "h", float(1 + i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    got = sorted(
+        (r.grp, r.doc_id)
+        for r in weighted_sample(df, 10, "w", group_cols=["grp"], seed=5).collect()
+    )
+    expect = []
+    for g in ("g", "h"):
+        cand = [(i, w) for i, gg, w in rows if gg == g]
+        cand.sort(key=lambda t: (_py_race(5, t[0], t[1]), t[0]))
+        expect += [(g, i) for i, _ in cand[:10]]
+    assert got == sorted(expect)
+    # repartition-stable
+    again = sorted(
+        (r.grp, r.doc_id)
+        for r in weighted_sample(
+            df.repartition(13), 10, "w", group_cols=["grp"], seed=5
+        ).collect()
+    )
+    assert again == got
+
+
+def test_weighted_sample_proportional_inclusion(spark):
+    """n=1 inclusion frequency across seeds tracks the weights (the
+    Efraimidis-Spirakis guarantee P(win) = w_i / sum w)."""
+    from fastselect_spark.corpus import weighted_sample
+
+    df = spark.createDataFrame(
+        [(0, 8.0), (1, 1.0), (2, 1.0)], "doc_id long, w double"
+    )
+    wins = {0: 0, 1: 0, 2: 0}
+    for seed in range(120):
+        (r,) = weighted_sample(df, 1, "w", seed=seed).collect()
+        wins[r.doc_id] += 1
+    assert wins[0] > 70  # expectation 96 of 120
+    assert wins[1] + wins[2] < 50
+
+
+def test_weighted_sample_excludes_bad_weights(spark):
+    from fastselect_spark.corpus import weighted_sample
+
+    df = spark.createDataFrame(
+        [(0, 5.0), (1, 0.0), (2, -3.0), (3, None)], "doc_id long, w double"
+    )
+    got = [r.doc_id for r in weighted_sample(df, 4, "w").collect()]
+    assert got == [0]

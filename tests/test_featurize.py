@@ -400,3 +400,62 @@ def test_time_decayed_lastk_quantized_weights(spark):
         ).collect()
     }
     assert past[2] == 6.0 * 0.5 + 10.0 * 0.25
+
+
+def test_scd2_lookup_matches_naive_interval_join(spark):
+    """scd2_lookup (as-of + residual filter) == the naive BETWEEN join."""
+    import numpy as np
+
+    from fastselect_spark.featurize import scd2_intervals, scd2_lookup
+
+    rng = np.random.default_rng(11)
+    changes = [
+        (f"u{k}", int(t), f"s{v}")
+        for k in range(6)
+        for t, v in zip(
+            np.cumsum(rng.integers(1, 50, size=8)), rng.integers(0, 3, size=8)
+        )
+    ]
+    ch = spark.createDataFrame(changes, "k string, ts long, v string")
+    dim = scd2_intervals(ch, ["k"], "ts", ["v"])
+    probes = spark.createDataFrame(
+        [(f"u{k}", int(t)) for k in range(6) for t in rng.integers(0, 300, size=20)],
+        "k string, at long",
+    ).distinct()
+    got = {
+        (r.k, r.at): r.v_dim
+        for r in scd2_lookup(probes, dim, ["k"], "at").collect()
+    }
+    naive = probes.join(dim, "k", "left").where(
+        (F.col("at") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("at") < F.col("valid_to")))
+    )
+    expect = {(r.k, r.at): r.v for r in naive.collect()}
+    for key, v in got.items():
+        assert v == expect.get(key)  # uncovered probes -> NULL on both sides
+    assert len(got) == probes.count()  # lookup never drops probe rows
+
+
+def test_scd2_lookup_multi_key_and_gap(spark):
+    from fastselect_spark.featurize import scd2_lookup
+
+    dim = spark.createDataFrame(
+        [("a", "x", 10, 20, "v1", 0), ("a", "x", 30, None, "v2", 1)],
+        "k1 string, k2 string, valid_from long, valid_to long, v string, is_current int",
+    )
+    probes = spark.createDataFrame(
+        [("a", "x", 5), ("a", "x", 15), ("a", "x", 25), ("a", "x", 30), ("b", "x", 15)],
+        "k1 string, k2 string, at long",
+    )
+    got = {
+        (r.k1, r.at): r.v_dim
+        for r in scd2_lookup(probes, dim, ["k1", "k2"], "at").collect()
+    }
+    # 5: before first; 15: v1; 25: inside the gap -> NULL; 30: v2; b: no key
+    assert got == {
+        ("a", 5): None,
+        ("a", 15): "v1",
+        ("a", 25): None,
+        ("a", 30): "v2",
+        ("b", 15): None,
+    }

@@ -738,6 +738,23 @@ def main() -> int:
         f"(conv_id exchanges={n_conv_ex})",
     )
 
+    # 38. SCD2 point-in-time lookup: resolved as an as-of window join —
+    # a raw BETWEEN interval join would plan BroadcastNestedLoopJoin
+    # (quadratic per key); the lookup plan must contain none
+    from fastselect_spark.featurize import scd2_lookup
+
+    dim38 = scd2_intervals(ch, ["k"], "ts", ["v"])
+    probes38 = docs.selectExpr(
+        "CAST(doc_id % 50 AS STRING) AS k",
+        "CAST(doc_id + 7 AS TIMESTAMP) AS at",
+    )
+    lk = scd2_lookup(probes38, dim38, ["k"], "at", value_cols=["v"])
+    p = plan_of(lk)
+    failures += not check(
+        "scd2 lookup: as-of window plan, no nested-loop interval join",
+        "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p,
+    )
+
     print(f"\n{'ALL CHECKS PASS' if not failures else f'{failures} CHECK(S) FAILED'}")
     return 1 if failures else 0
 
