@@ -3148,6 +3148,50 @@ def _streamable_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bounded-state distinct: the HLL register table per
+    2-minute window is maintained by ONE streaming max-aggregation
+    (streaming/sketches.py — state = windows x 2^8 ints, never the value
+    set), then finalized with the SAME fold the batch hll_distinct uses,
+    so stream + finalize == batch per-window HLL (the oracle)."""
+    from fastselect_spark.streaming import (
+        hll_estimate_from_window_registers,
+        streaming_hll_registers,
+    )
+
+    path = _staged_documents_stream_path(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("ts", "text")
+    )
+    regs = streaming_hll_registers(stream, [], "text", p=8, window="2 minutes")
+    res = _run_available_now(spark, regs, "fs_stream_hll", mode="complete")
+    est = hll_estimate_from_window_registers(res, [], p=8)
+    return est.select(
+        "window_start",
+        "registers_hit",
+        F.round("hll_estimate", 6).alias("hll_estimate"),
+    )
+
+
+def _streaming_hll_oracle_sql() -> str:
+    from fastselect_spark.corpus import hll_distinct_sql
+
+    src = (
+        "SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(TIMESTAMP '2026-01-01 00:00:00'"
+        " + doc_id * INTERVAL '1 second') / 120) * 120) AS TIMESTAMP)"
+        " AS window_start, text FROM documents"
+    )
+    inner = hll_distinct_sql(src, ["window_start"], "text", p=8)
+    return (
+        "SELECT window_start, registers_hit,"
+        " ROUND(hll_estimate, 6) AS hll_estimate"
+        f" FROM ({inner}) t"
+    )
+
+
 def _q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time quality filtering: the C4/Gopher keep-rule chain
     (corpus/filtering.py) is a stateless JVM projection + predicate, so
@@ -4047,6 +4091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_psi_drift": _q_streaming_psi_drift,  # oracle = batch window PSI
         "streaming_category_drift": _q_streaming_category_drift,  # chi2 mix drift
         "streaming_quantiles": _q_streaming_quantiles,  # oracle = batch quantile_cont
+        "streaming_hll_distinct": _q_streaming_hll,  # bounded-state windowed distinct
         "role_transitions": _q_role_transitions,  # corpus role Markov matrix
         "streaming_token_rates": _q_streaming_token_rates,
         "streaming_sliding_rates": _q_streaming_sliding_rates,
@@ -8623,6 +8668,9 @@ FROM ra
     # streaming quantiles == batch per-window quantile_cont (complete
     # mode; Spark exact percentile == DuckDB quantile_cont, proven by the
     # batch winsorize/RobustScaler family)
+    # stream registers + batch fold == batch per-window HLL (identical
+    # register projection by construction, corpus/sketches.py)
+    out["streaming_hll_distinct"] = _streaming_hll_oracle_sql()
     out["streaming_quantiles"] = r"""
     WITH base AS (
         SELECT doc_id,

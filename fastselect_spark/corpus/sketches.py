@@ -66,16 +66,25 @@ def hll_distinct(
     Small-range correction (linear counting) applies below ``2.5*m`` when
     empty registers remain, per the original paper.
     """
+    rows = hll_register_rows(df, group_cols, value_col, p)
+    regs = rows.groupBy(*group_cols, "__idx").agg(F.max("__rho").alias("__m"))
+    return hll_estimate_from_registers(regs, group_cols, p)
+
+
+def hll_register_rows(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int
+) -> DataFrame:
+    """The per-row ``group_cols + (__idx, __rho)`` register projection —
+    shared by the batch fold and the streaming register maintenance
+    (streaming/sketches.py), so their register tables are identical by
+    construction."""
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
     m = 1 << p
     w_bits = HASH_BITS - p
     q = w_bits + 1  # max rho (all remaining bits zero)
-    alpha = hll_alpha(m)
-    numer = alpha * m * m * float(2**q)  # one literal, injected via repr
-
     h = F.expr(_hash60(value_col))
-    rows = (
+    return (
         df.where(F.col(value_col).isNotNull())
         .select(*group_cols, h.alias("__h"))
         .select(
@@ -87,7 +96,19 @@ def hll_distinct(
             ).alias("__rho"),
         )
     )
-    regs = rows.groupBy(*group_cols, "__idx").agg(F.max("__rho").alias("__m"))
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str], p: int
+) -> DataFrame:
+    """Fold a register table ``group_cols + (__idx, __m)`` into the HLL
+    estimate — the finalize step shared by :func:`hll_distinct` and the
+    streaming register maintenance (streaming/sketches.py), so batch and
+    stream agree bit-for-bit on identical registers."""
+    m = 1 << p
+    q = HASH_BITS - p + 1
+    alpha = hll_alpha(m)
+    numer = alpha * m * m * float(2**q)
     agg = regs.groupBy(*group_cols).agg(
         F.sum(
             F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {q} - __m) AS DECIMAL(38,0))")

@@ -29,3 +29,7 @@ from fastselect_spark.streaming.drift import (  # noqa: F401
 from fastselect_spark.streaming.trends import (  # noqa: F401
     streaming_conversation_trends,
 )
+from fastselect_spark.streaming.sketches import (  # noqa: F401
+    hll_estimate_from_window_registers,
+    streaming_hll_registers,
+)

@@ -1,0 +1,67 @@
+"""Streaming HyperLogLog: bounded-state windowed distinct counting.
+
+Graft-added. A streaming ``COUNT(DISTINCT ...)`` keeps every value seen
+in state — unbounded on a 100 TB ingest. The HLL register table is the
+bounded replacement: per (event-time window, group) the state is exactly
+2^p register maxima, maintained by ONE streaming aggregation
+(``max`` per register merges monotonically, so late in-window rows fold
+in correctly and the state never grows past windows x groups x 2^p).
+
+Two-level folds (register max -> harmonic estimate) can't run as chained
+streaming aggregations in complete/update mode, so the design splits at
+the natural merge boundary:
+
+- :func:`streaming_hll_registers` — the streaming query: maintains the
+  register table (this IS the mergeable sketch — what a 1000-executor
+  ingest would checkpoint and ship).
+- :func:`hll_estimate_from_window_registers` — the batch finalize over
+  the sink: REUSES corpus/sketches.py ``hll_estimate_from_registers``,
+  so stream + finalize is bit-identical to running the batch
+  ``hll_distinct`` over each window's slice (that equality is the
+  contract oracle).
+
+With a watermark the sink can run append (windows finalize and evict);
+without one, run complete/update — the monitoring configuration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastselect_spark.corpus.sketches import (
+    hll_estimate_from_registers,
+    hll_register_rows,
+)
+
+
+def streaming_hll_registers(
+    stream: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 10,
+    window: str = "5 minutes",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """(window_start, group_cols..., __idx, __m): the per-window HLL
+    register table, maintained by one streaming max-aggregation."""
+    if watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
+    rows = hll_register_rows(stream, [ts_col, *group_cols], value_col, p)
+    return (
+        rows.groupBy(F.window(ts_col, window), *group_cols, "__idx")
+        .agg(F.max("__rho").alias("__m"))
+        .select(
+            F.col("window.start").alias("window_start"), *group_cols,
+            "__idx", "__m",
+        )
+    )
+
+
+def hll_estimate_from_window_registers(
+    regs: DataFrame, group_cols: list[str], p: int = 10
+) -> DataFrame:
+    """Finalize a (window_start, group...) register table into per-window
+    distinct estimates — the same fold the batch path uses."""
+    return hll_estimate_from_registers(regs, ["window_start", *group_cols], p)

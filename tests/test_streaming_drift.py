@@ -145,3 +145,70 @@ def test_streaming_window_quantiles_equals_numpy(spark):
         assert r["n"] == n_exp
         lo_v, hi_v = rows["v"].min(), rows["v"].max()
         assert lo_v <= r["q50"] <= r["q90"] <= hi_v
+
+
+def test_streaming_hll_registers_equal_batch(spark):
+    """Two-wave availableNow register maintenance + the shared batch fold
+    == batch hll_distinct over each window's slice, bit for bit (the
+    register projection is literally shared code)."""
+    from pyspark.sql import functions as F
+
+    from fastselect_spark.corpus import hll_distinct
+    from fastselect_spark.streaming import (
+        hll_estimate_from_window_registers,
+        streaming_hll_registers,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 600
+    rows = pd.DataFrame(
+        {
+            "ts": (
+                pd.to_datetime("2024-03-01")
+                + pd.to_timedelta(rng.choice(1200, n, replace=False), unit="s")
+            ).astype("datetime64[us]"),
+            # duplicates on purpose: distinct < row count per window
+            "v": [f"u{int(x)}" for x in rng.integers(0, 150, n)],
+        }
+    )
+    root = tempfile.mkdtemp(prefix="hll_stream_")
+    for w in (0, 1):
+        rows[rows.index % 2 == w].to_parquet(f"{root}/wave{w}.parquet", index=False)
+        os.utime(f"{root}/wave{w}.parquet", (1e9 + w, 1e9 + w))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    regs = streaming_hll_registers(stream, [], "v", p=6, window="5 minutes")
+    ckpt = tempfile.mkdtemp(prefix="hll_ckpt_")
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_stream_regs")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = hll_estimate_from_window_registers(
+        spark.table("hll_stream_regs"), [], p=6
+    ).toPandas()
+
+    batch = spark.createDataFrame(rows)
+    batch = batch.withColumn(
+        "window_start",
+        F.timestamp_seconds((F.unix_timestamp("ts") / 300).cast("long") * 300),
+    )
+    exp = {
+        r["window_start"]: (r["registers_hit"], r["hll_estimate"])
+        for _, r in hll_distinct(batch, ["window_start"], "v", p=6)
+        .toPandas()
+        .iterrows()
+    }
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        hit, est = exp[r["window_start"]]
+        assert r["registers_hit"] == hit
+        assert r["hll_estimate"] == est  # bit-identical
