@@ -1614,6 +1614,20 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard self-join via AllPairs/PPJoin prefix filtering
+    (dedup/ngram.py prefix_filter_jaccard_pairs): each doc indexes only
+    its rarest n - ceil(t*n) + 1 shingles, so hot shingles never become
+    join keys AND no qualifying pair is dropped — same oracle as
+    ngram_jaccard (the result is the exact threshold join)."""
+    from fastselect_spark.dedup import prefix_filter_jaccard_pairs
+
+    _register(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        spark.table("documents"), shingle_k=3, threshold=0.12
+    )
+
+
 def _q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style duplicate-span removal (dedup/spans.py): global
     first-occurrence-wins dedup of 8-token spans, docs rebuilt from their
@@ -4042,6 +4056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,  # Okapi BM25 ranked retrieval, full SQL oracle
         "dedup_exact_groups": _q_dedup_exact_groups,
         "ngram_jaccard": _q_ngram_jaccard,
+        "prefix_jaccard": _q_prefix_jaccard,  # exact, capless prefix filtering
         "dedup_spans": _q_dedup_spans,  # C4-style duplicate-span removal
         "corpus_prep_pipeline": _q_corpus_prep_pipeline,  # scrub→span→exact→report
         "dedup_components": _q_dedup_components,
@@ -6944,6 +6959,8 @@ def oracle_sql() -> dict[str, str]:
         FROM fp GROUP BY 1 HAVING COUNT(*) > 1
         """,
         "ngram_jaccard": _NGRAM_ORACLE,
+        # prefix filtering is exact: same brute-force threshold-join oracle
+        "prefix_jaccard": _NGRAM_ORACLE,
         "dedup_spans": r"""
         WITH toks AS (
             SELECT doc_id,

@@ -493,6 +493,13 @@ def default_mode() -> None:
             planted, threshold=0.8, max_doc_freq=None
         ).count()
         ops["containment_sec"] = round(time.perf_counter() - t0, 3)
+        from fastselect_spark.dedup import prefix_filter_jaccard_pairs
+
+        t0 = time.perf_counter()
+        ops["prefix_jaccard_pairs"] = prefix_filter_jaccard_pairs(
+            planted, threshold=0.5
+        ).count()
+        ops["prefix_jaccard_sec"] = round(time.perf_counter() - t0, 3)
         tr_fp = spark.read.parquet(
             os.path.join(SF_DIR, "events.parquet")
         ).selectExpr(

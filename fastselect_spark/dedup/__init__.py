@@ -13,6 +13,7 @@ from fastselect_spark.dedup.simhash import add_simhash, simhash_near_duplicates 
 from fastselect_spark.dedup.ngram import (  # noqa: F401
     ngram_containment_pairs,
     ngram_jaccard_pairs,
+    prefix_filter_jaccard_pairs,
 )
 from fastselect_spark.dedup.spans import (  # noqa: F401
     explode_spans,

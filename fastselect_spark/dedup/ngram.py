@@ -17,7 +17,7 @@ Pass ``max_doc_freq=None`` to opt out when such pairs must be found.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fastselect_spark.dedup.minhash import _shingles
@@ -139,6 +139,76 @@ def ngram_containment_pairs(
             F.round("c_b_in_a", 6).alias("c_b_in_a"),
             F.round(inter / union, 6).alias("jaccard"),
         )
+    )
+    result = result.localCheckpoint()
+    docs.unpersist()
+    return result
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard self-join via AllPairs/PPJoin prefix filtering
+    (Bayardo et al. 2007, Xiao et al. 2008): no df cap and NO dropped
+    pairs. Each document indexes only its globally-RAREST
+    ``n - ceil(threshold*n) + 1`` shingles (global order = df asc,
+    shingle); the prefix-filter lemma guarantees every pair with
+    J >= threshold shares an indexed shingle, because
+    J >= t implies |X∩Y| >= t*max(|X|,|Y|) >= ceil(t*|X|), and two sets
+    sorted by one total order whose overlap is at least alpha must share
+    a token in their first (size - alpha + 1) elements.
+
+    vs ngram_jaccard_pairs: the df cap bounds hot join keys by DROPPING
+    corpus-common shingles (documented recall trade-off); prefix
+    filtering bounds them structurally — common shingles land at the END
+    of every document's ordering and rarely enter any prefix — while
+    keeping the result exact. Cost: one extra df-count aggregation and a
+    per-doc rank window.
+
+    Scale shape: persist-once shingle frame (FIVE consumers), bare
+    id-pair dedup BEFORE the verification array fetch, exact
+    verification only on candidates."""
+    from fastselect_spark.dedup.minhash import ensure_parallelism
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    docs = ensure_parallelism(df).select(
+        F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("shingles")
+    ).persist()
+    inv = docs.select(id_col, F.explode("shingles").alias("shingle"))
+    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    pre = (
+        inv.join(dfreq, "shingle")
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .where(
+            F.col("__rk")
+            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+        )
+        .select(id_col, "shingle")
+    )
+    a = pre.select(F.col(id_col).alias("id_a"), "shingle")
+    b = pre.select(F.col(id_col).alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    da = docs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    db = docs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    pairs = cand.join(da, "id_a").join(db, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    result = (
+        pairs.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     result = result.localCheckpoint()
     docs.unpersist()

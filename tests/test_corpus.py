@@ -607,3 +607,41 @@ def test_weighted_sample_excludes_bad_weights(spark):
     )
     got = [r.doc_id for r in weighted_sample(df, 4, "w").collect()]
     assert got == [0]
+
+
+def test_prefix_filter_jaccard_equals_uncapped_exact(spark):
+    """Prefix filtering returns EXACTLY the uncapped inverted-index result
+    (no df cap, no dropped pairs) on a corpus with hot + rare shingles."""
+    from fastselect_spark.dedup import ngram_jaccard_pairs, prefix_filter_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    rows = [(i, base + f" tail{i} suffix{i % 3}") for i in range(40)]
+    rows += [(100 + i, f"completely different text number {i} with unique words w{i}a w{i}b w{i}c w{i}d") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.5, max_doc_freq=None
+        ).collect()
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_filter_jaccard_pairs(df, threshold=0.5).collect()
+    )
+    assert got == exact
+    assert len(got) > 0  # non-vacuous: the planted near-dups are found
+
+
+def test_prefix_filter_finds_pairs_the_df_cap_drops(spark):
+    """A pair whose every shared shingle is corpus-common is invisible to
+    the capped index but found (exactly) by prefix filtering."""
+    from fastselect_spark.dedup import ngram_jaccard_pairs, prefix_filter_jaccard_pairs
+
+    common = "alpha beta gamma delta epsilon zeta"
+    rows = [(i, common) for i in range(30)]  # every shingle has df=30
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ngram_jaccard_pairs(df, threshold=0.9, max_doc_freq=5).collect()
+    assert capped == []  # the documented cap trade-off
+    got = prefix_filter_jaccard_pairs(df, threshold=0.9).collect()
+    assert len(got) == 30 * 29 // 2  # all identical pairs found, J = 1.0
+    assert all(r.jaccard == 1.0 for r in got)
