@@ -2767,6 +2767,59 @@ GROUP BY p.token, p.exact_cnt
 """
 
 
+def _q_theilsen_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-conversation token trend (featurize/convagg.py
+    theilsen_trends): median-of-pair-slopes + median residual intercept —
+    the ~29%-breakdown companion of the OLS conversation_trends (a few
+    pasted-log outlier turns drag OLS, not the median). conv_id-
+    co-partitioned pair join (max_lag bounds it at corpus scale); both
+    medians are the exact interpolated percentile == quantile_cont."""
+    from fastselect_spark.featurize import theilsen_trends
+
+    tr = _transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+            + F.lit(1)
+        ).cast("double").alias("n_tokens"),
+    )
+    out = theilsen_trends(tr)
+    return out.select(
+        "conv_id",
+        "n_pairs",
+        F.round("ts_slope", 6).alias("ts_slope"),
+        F.round("ts_intercept", 6).alias("ts_intercept"),
+    )
+
+
+def _theilsen_oracle_sql() -> str:
+    return f"""
+        WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+        tr AS (
+            SELECT conv_id, CAST(turn_idx AS DOUBLE) AS x,
+                   CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                        AS DOUBLE) AS y
+            FROM transcripts
+        ),
+        p AS (
+            SELECT a.conv_id, (b.y - a.y) / (b.x - a.x) AS slope
+            FROM tr a JOIN tr b
+              ON a.conv_id = b.conv_id AND b.x > a.x
+        ),
+        s AS (
+            SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   QUANTILE_CONT(slope, 0.5) AS m
+            FROM p GROUP BY 1
+        )
+        SELECT t.conv_id, s.n_pairs, ROUND(s.m, 6) AS ts_slope,
+               ROUND(QUANTILE_CONT(t.y - s.m * t.x, 0.5), 6) AS ts_intercept
+        FROM tr t JOIN s USING (conv_id)
+        GROUP BY t.conv_id, s.n_pairs, s.m
+        """
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement (corpus/
     sampling.py weighted_sample): per-language Efraimidis-Spirakis
@@ -4096,6 +4149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_token_counts": _q_countmin_tokens,  # fixed-state frequency sketch
         "decayed_features": _q_decayed_features,  # recency-weighted accumulators
         "weighted_sample_by_lang": _q_weighted_sample,  # E-S races, no rand()
+        "theilsen_trends": _q_theilsen_trends,  # robust median-of-slopes trend
         "class_rebalance": _q_class_rebalance,
         "corpus_mix_by_source": _q_corpus_mix_by_source,
         "source_quota_cap": _q_source_quota_cap,
@@ -8248,6 +8302,7 @@ def oracle_sql() -> dict[str, str]:
         "countmin_token_counts": _COUNTMIN_ORACLE,
         "decayed_features": _decayed_oracle_sql(),
         "weighted_sample_by_lang": _WEIGHTED_SAMPLE_ORACLE,
+        "theilsen_trends": _theilsen_oracle_sql(),
         "conversation_features": _FEATURIZE_BASE
         + """
 , ra AS (

@@ -546,6 +546,11 @@ def default_mode() -> None:
         t0 = time.perf_counter()
         ops["conv_trends_rows"] = conversation_trends(tr_tr).count()
         ops["conv_trends_sec"] = round(time.perf_counter() - t0, 3)
+        from fastselect_spark.featurize import theilsen_trends
+
+        t0 = time.perf_counter()
+        ops["theilsen_rows"] = theilsen_trends(tr_tr, max_lag=64).count()
+        ops["theilsen_sec"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         ops["conv_leadlag_rows"] = conversation_leadlag(tr_tr).count()
         ops["conv_leadlag_sec"] = round(time.perf_counter() - t0, 3)

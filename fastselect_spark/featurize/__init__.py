@@ -33,6 +33,7 @@ from fastselect_spark.featurize.convagg import (  # noqa: F401
     session_features,
     conversation_leadlag,
     conversation_trends,
+    theilsen_trends,
     role_transition_matrix,
     tool_cooccurrence_pmi,
 )

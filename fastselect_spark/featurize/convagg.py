@@ -312,3 +312,73 @@ def conversation_leadlag(
         F.col("__s.n_pairs").alias("n_pairs"),
         F.col("__s.r").alias("r"),
     )
+
+
+def theilsen_trends(
+    tr: DataFrame,
+    value_col: str = "n_tokens",
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    max_lag: int | None = None,
+) -> DataFrame:
+    """Robust per-conversation trend: the Theil-Sen estimator — slope =
+    median over all turn pairs of (y_j - y_i)/(j - i), intercept =
+    median over turns of (y_i - slope * i). Breakdown point ~29%: a few
+    wild outlier turns (pasted logs, tool dumps) that drag the OLS slope
+    (conversation_trends) leave the median-of-slopes untouched.
+
+    Scale shape: the pair join is conv_id-co-partitioned (one exchange
+    each side, never a cross join), but pairs are O(L^2) per
+    conversation — ``max_lag`` bounds them to O(L * max_lag) for
+    long-conversation corpora (lag-restricted Theil-Sen stays consistent;
+    at 100 TB pass e.g. max_lag=64). Both medians are Spark's exact
+    interpolated percentile == DuckDB quantile_cont (the repo's
+    cross-engine quantile family).
+
+    Returns (conv_col, n_pairs long, ts_slope double, ts_intercept
+    double); conversations with < 2 turns have no pairs and are absent.
+    """
+    a = tr.select(
+        F.col(conv_col).alias("__c"),
+        F.col(order_col).cast("double").alias("__xa"),
+        F.col(value_col).cast("double").alias("__ya"),
+    )
+    b = tr.select(
+        F.col(conv_col).alias("__c"),
+        F.col(order_col).cast("double").alias("__xb"),
+        F.col(value_col).cast("double").alias("__yb"),
+    )
+    cond = F.col("__xb") > F.col("__xa")
+    if max_lag is not None:
+        cond = cond & (F.col("__xb") - F.col("__xa") <= F.lit(float(max_lag)))
+    slopes = (
+        a.join(b, "__c")
+        .where(cond)
+        .select(
+            "__c",
+            ((F.col("__yb") - F.col("__ya")) / (F.col("__xb") - F.col("__xa"))).alias(
+                "__slope"
+            ),
+        )
+    )
+    med = slopes.groupBy("__c").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile(F.col("__slope"), F.lit(0.5)).alias("ts_slope"),
+    )
+    resid = (
+        tr.select(
+            F.col(conv_col).alias("__c"),
+            F.col(order_col).cast("double").alias("__x"),
+            F.col(value_col).cast("double").alias("__y"),
+        )
+        .join(med, "__c")
+        .groupBy("__c", "n_pairs", "ts_slope")
+        .agg(
+            F.percentile(
+                F.col("__y") - F.col("ts_slope") * F.col("__x"), F.lit(0.5)
+            ).alias("ts_intercept")
+        )
+    )
+    return resid.select(
+        F.col("__c").alias(conv_col), "n_pairs", "ts_slope", "ts_intercept"
+    )

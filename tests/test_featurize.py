@@ -459,3 +459,62 @@ def test_scd2_lookup_multi_key_and_gap(spark):
         ("a", 30): "v2",
         ("b", 15): None,
     }
+
+
+def test_theilsen_trends_numpy_parity_and_robustness(spark):
+    import numpy as np
+
+    from fastselect_spark.featurize import theilsen_trends
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for c in range(5):
+        slope = float(rng.uniform(-2, 2))
+        for i in range(30):
+            y = 10.0 + slope * i + float(rng.normal(0, 0.3))
+            if c == 4 and i in (7, 19):  # planted wild outliers
+                y += 500.0
+            rows.append((f"c{c}", i, round(y, 6)))
+    tr = spark.createDataFrame(rows, "conv_id string, turn_idx int, n_tokens double")
+    got = {
+        r.conv_id: (r.n_pairs, r.ts_slope, r.ts_intercept)
+        for r in theilsen_trends(tr).collect()
+    }
+    for c in range(5):
+        pts = [(i, y) for cc, i, y in rows if cc == f"c{c}"]
+        slopes = [
+            (y2 - y1) / (i2 - i1)
+            for a, (i1, y1) in enumerate(pts)
+            for (i2, y2) in pts[a + 1:]
+        ]
+        m = float(np.median(slopes))
+        b = float(np.median([y - m * i for i, y in pts]))
+        n_pairs, gs, gb = got[f"c{c}"]
+        assert n_pairs == len(slopes) == 30 * 29 // 2
+        assert gs == pytest.approx(m, abs=1e-12)
+        assert gb == pytest.approx(b, abs=1e-9)
+    # robustness: the outlier conversation's TS slope stays near truth
+    # while OLS is dragged (breakdown demonstration)
+    from fastselect_spark.featurize import conversation_trends
+
+    ols = {
+        r.conv_id: r.n_tokens_slope for r in conversation_trends(
+            tr.withColumn("turn_gap_s", F.lit(1.0))
+        ).collect()
+    }
+    clean_pts = [(i, y) for cc, i, y in rows if cc == "c4" and i not in (7, 19)]
+    true_m = np.polyfit([i for i, _ in clean_pts], [y for _, y in clean_pts], 1)[0]
+    assert abs(got["c4"][1] - true_m) < abs(ols["c4"] - true_m)
+
+
+def test_theilsen_max_lag_bounds_pairs(spark):
+    from fastselect_spark.featurize import theilsen_trends
+
+    tr = spark.createDataFrame(
+        [("c", i, float(2 * i)) for i in range(20)],
+        "conv_id string, turn_idx int, n_tokens double",
+    )
+    (r,) = theilsen_trends(tr, max_lag=3).collect()
+    # pairs with j-i <= 3: 19 + 18 + 17 = 54
+    assert r.n_pairs == 19 + 18 + 17
+    assert r.ts_slope == 2.0 and r.ts_intercept == 0.0

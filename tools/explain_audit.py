@@ -755,6 +755,18 @@ def main() -> int:
         "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p,
     )
 
+    # 39. Theil-Sen: the pair generation is a conv_id-co-partitioned
+    # equi-join (SortMergeJoin/ShuffledHashJoin), never a nested loop —
+    # the O(L^2) blowup is bounded per key, not global
+    from fastselect_spark.featurize import theilsen_trends
+
+    ts39 = theilsen_trends(feat.select("conv_id", "turn_idx", "n_tokens"))
+    p = plan_of(ts39)
+    failures += not check(
+        "theilsen: co-partitioned pair join, no nested loop",
+        "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p,
+    )
+
     print(f"\n{'ALL CHECKS PASS' if not failures else f'{failures} CHECK(S) FAILED'}")
     return 1 if failures else 0
 
