@@ -2767,6 +2767,95 @@ GROUP BY p.token, p.exact_cnt
 """
 
 
+def _q_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-leakage screen (selection/leakage.py): per-feature
+    MI(f_t, label_t) vs MI(f_t, label_{t+1}) from ONE melted contingency
+    aggregation; a PLANTED look-ahead feature (a copy of the next turn's
+    label) must flag while the honest role/token codes must not — the
+    north rule's zero-leakage requirement as a runnable audit."""
+    from pyspark.sql import Window
+
+    from fastselect_spark.selection import leakage_audit_df
+
+    tr = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    base = tr.select(
+        "conv_id",
+        "turn_idx",
+        F.col("tool").isNotNull().cast("int").alias("y"),
+        F.expr(
+            "CASE role WHEN 'user' THEN 0 WHEN 'assistant' THEN 1 ELSE 2 END"
+        ).alias("f_role"),
+        F.least(
+            F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1,
+            F.lit(30),
+        ).cast("int").alias("f_ntok"),
+    ).withColumn(
+        "f_leaky", F.lead(F.col("y")).over(w)
+    )
+    out = leakage_audit_df(base, ["f_ntok", "f_leaky", "f_role"], "y")
+    return out.select(
+        "feature",
+        F.round("mi_now_bits", 6).alias("mi_now_bits"),
+        F.round("mi_future_bits", 6).alias("mi_future_bits"),
+        (
+            F.round("mi_future_bits", 6)
+            > F.lit(1.2) * F.round("mi_now_bits", 6)
+        ).cast("int").alias("flagged"),
+    )
+
+
+_LEAKAGE_ORACLE = f"""
+WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+b0 AS (
+    SELECT conv_id, turn_idx,
+           CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END AS y,
+           CASE role WHEN 'user' THEN 0 WHEN 'assistant' THEN 1 ELSE 2 END
+               AS f_role,
+           LEAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1, 30)
+               AS f_ntok
+    FROM transcripts
+),
+b1 AS (
+    SELECT *, LEAD(y) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS yf
+    FROM b0
+),
+b2 AS (SELECT *, yf AS f_leaky FROM b1 WHERE yf IS NOT NULL),
+long AS (
+    SELECT 'f_leaky' AS feature, f_leaky AS v, y AS yn, yf FROM b2
+    UNION ALL SELECT 'f_ntok', f_ntok, y, yf FROM b2
+    UNION ALL SELECT 'f_role', f_role, y, yf FROM b2
+),
+jn AS (SELECT feature, v, yn, CAST(COUNT(*) AS DOUBLE) AS c FROM long GROUP BY 1, 2, 3),
+tn AS (SELECT feature, SUM(c) AS n FROM jn GROUP BY 1),
+pxn AS (SELECT feature, v, SUM(c) AS cx FROM jn GROUP BY 1, 2),
+pyn AS (SELECT feature, yn, SUM(c) AS cy FROM jn GROUP BY 1, 2),
+min_ AS (
+    SELECT j.feature,
+           SUM((c / n) * LOG2((c / n) / ((cx / n) * (cy / n) + 1e-12))) AS mi
+    FROM jn j JOIN tn USING (feature) JOIN pxn USING (feature, v)
+    JOIN pyn USING (feature, yn)
+    GROUP BY j.feature
+),
+jf AS (SELECT feature, v, yf, CAST(COUNT(*) AS DOUBLE) AS c FROM long GROUP BY 1, 2, 3),
+tf AS (SELECT feature, SUM(c) AS n FROM jf GROUP BY 1),
+pxf AS (SELECT feature, v, SUM(c) AS cx FROM jf GROUP BY 1, 2),
+pyf AS (SELECT feature, yf, SUM(c) AS cy FROM jf GROUP BY 1, 2),
+mif AS (
+    SELECT j.feature,
+           SUM((c / n) * LOG2((c / n) / ((cx / n) * (cy / n) + 1e-12))) AS mi
+    FROM jf j JOIN tf USING (feature) JOIN pxf USING (feature, v)
+    JOIN pyf USING (feature, yf)
+    GROUP BY j.feature
+)
+SELECT a.feature,
+       ROUND(a.mi, 6) AS mi_now_bits,
+       ROUND(b.mi, 6) AS mi_future_bits,
+       CAST(ROUND(b.mi, 6) > 1.2 * ROUND(a.mi, 6) AS INT) AS flagged
+FROM min_ a JOIN mif b USING (feature)
+"""
+
+
 def _q_theilsen_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-conversation token trend (featurize/convagg.py
     theilsen_trends): median-of-pair-slopes + median residual intercept —
@@ -4150,6 +4239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_features": _q_decayed_features,  # recency-weighted accumulators
         "weighted_sample_by_lang": _q_weighted_sample,  # E-S races, no rand()
         "theilsen_trends": _q_theilsen_trends,  # robust median-of-slopes trend
+        "leakage_audit": _q_leakage_audit,  # planted-lookahead MI screen
         "class_rebalance": _q_class_rebalance,
         "corpus_mix_by_source": _q_corpus_mix_by_source,
         "source_quota_cap": _q_source_quota_cap,
@@ -8303,6 +8393,7 @@ def oracle_sql() -> dict[str, str]:
         "decayed_features": _decayed_oracle_sql(),
         "weighted_sample_by_lang": _WEIGHTED_SAMPLE_ORACLE,
         "theilsen_trends": _theilsen_oracle_sql(),
+        "leakage_audit": _LEAKAGE_ORACLE,
         "conversation_features": _FEATURIZE_BASE
         + """
 , ra AS (

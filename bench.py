@@ -551,6 +551,26 @@ def default_mode() -> None:
         t0 = time.perf_counter()
         ops["theilsen_rows"] = theilsen_trends(tr_tr, max_lag=64).count()
         ops["theilsen_sec"] = round(time.perf_counter() - t0, 3)
+        from pyspark.sql import Window as _W
+
+        from fastselect_spark.selection import leakage_audit
+
+        lk = spark.read.parquet(
+            os.path.join(SF_DIR, "events.parquet")
+        ).selectExpr(
+            "CAST(user_id AS STRING) AS conv_id",
+            "CAST(event_id AS INT) AS turn_idx",
+            "CAST(event_type = 'purchase' AS INT) AS y",
+            "CAST(event_id % 5 AS INT) AS f_a",
+            "CAST(LENGTH(event_type) AS INT) AS f_b",
+        ).withColumn(
+            "f_leak",
+            F.lead("y").over(_W.partitionBy("conv_id").orderBy("turn_idx")),
+        )
+        t0 = time.perf_counter()
+        flags = leakage_audit(lk, ["f_a", "f_b", "f_leak"], "y")
+        ops["leakage_audit_flagged"] = sum(r["flagged"] for r in flags)
+        ops["leakage_audit_sec"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         ops["conv_leadlag_rows"] = conversation_leadlag(tr_tr).count()
         ops["conv_leadlag_sec"] = round(time.perf_counter() - t0, 3)

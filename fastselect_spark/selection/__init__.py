@@ -69,3 +69,7 @@ from fastselect_spark.selection.stability import (  # noqa: F401
     stability_topk,
 )
 from fastselect_spark.selection.stump import stump_gain_scores  # noqa: F401
+from fastselect_spark.selection.leakage import (  # noqa: F401
+    leakage_audit,
+    leakage_audit_df,
+)

@@ -446,3 +446,36 @@ def test_kmeans_bin_edges_empty_cluster_relocation(spark):
     # all four bins are non-degenerate: the two relocated centers landed
     # on samples, so no edge collapses onto another
     assert len(np.unique(np.round(exp, 9))) == n_bins + 1
+
+
+def test_leakage_audit_flags_planted_lookahead(spark):
+    """A feature that copies the NEXT turn's label is flagged; an honest
+    contemporaneous feature is not; MI values match a hand replica."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from fastselect_spark.selection import leakage_audit
+
+    import numpy as np
+    rng = np.random.default_rng(23)
+    rows = []
+    for c in range(20):
+        labels = rng.integers(0, 2, size=30)
+        for i in range(30):
+            honest = int(labels[i]) if rng.random() < 0.8 else int(rng.integers(0, 2))
+            leaky = int(labels[i + 1]) if i + 1 < 30 else 0
+            rows.append((f"c{c}", i, int(labels[i]), honest, leaky))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, y int, f_honest int, f_leaky int"
+    )
+    out = {r["feature"]: r for r in leakage_audit(df, ["f_honest", "f_leaky"], "y")}
+    assert out["f_leaky"]["flagged"] == 1
+    assert out["f_honest"]["flagged"] == 0
+    # the leaky feature literally IS label_{t+1}: future-MI ~ H(y) >> now-MI
+    assert out["f_leaky"]["mi_future_bits"] > 0.9
+    assert out["f_leaky"]["mi_now_bits"] < 0.1
+    # honest feature: now-MI strong, future-MI near zero (iid labels)
+    assert out["f_honest"]["mi_now_bits"] > 0.5
+    assert out["f_honest"]["mi_future_bits"] < 0.1
