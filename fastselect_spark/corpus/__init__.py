@@ -24,6 +24,9 @@ from fastselect_spark.corpus.sketches import (
     countmin_sketch,
     hll_distinct,
     hll_distinct_sql,
+    hll_estimate_from_registers,
+    hll_merge,
+    hll_register_rows,
 )
 from fastselect_spark.corpus.sampling import (
     cap_per_source,
@@ -43,6 +46,9 @@ __all__ = [
     "countmin_sketch",
     "hll_distinct",
     "hll_distinct_sql",
+    "hll_estimate_from_registers",
+    "hll_merge",
+    "hll_register_rows",
     "contrastive_pairs",
     "contamination_hits",
     "decontaminate",

@@ -240,3 +240,19 @@ def countmin_lookup(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_estimate")
     )
+
+
+def hll_merge(
+    regs_a: DataFrame, regs_b: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge two HLL register tables (``group_cols + (__idx, __m)``,
+    same p): per-register max — the property that makes the sketch
+    distributable: shard-local register tables from any partitioning
+    union-merge into the exact registers of the combined data, so a
+    1000-executor ingest folds per-shard sketches without re-reading
+    rows. Feed the result to :func:`hll_estimate_from_registers`."""
+    return (
+        regs_a.unionByName(regs_b)
+        .groupBy(*group_cols, "__idx")
+        .agg(F.max("__m").alias("__m"))
+    )

@@ -645,3 +645,35 @@ def test_prefix_filter_finds_pairs_the_df_cap_drops(spark):
     got = prefix_filter_jaccard_pairs(df, threshold=0.9).collect()
     assert len(got) == 30 * 29 // 2  # all identical pairs found, J = 1.0
     assert all(r.jaccard == 1.0 for r in got)
+
+
+def test_hll_merge_equals_combined(spark):
+    """Shard-local register tables merge (per-register max) into exactly
+    the combined data's registers — the mergeability that makes the
+    sketch distributable."""
+    from fastselect_spark.corpus import (
+        hll_distinct,
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_register_rows,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("g", f"v{i}") for i in range(900)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    half_a = df.where(F.md5("v").substr(1, 1) < "8")
+    half_b = df.subtract(half_a)
+
+    def regs(d):
+        return (
+            hll_register_rows(d, ["g"], "v", 7)
+            .groupBy("g", "__idx")
+            .agg(F.max("__rho").alias("__m"))
+        )
+
+    merged = hll_estimate_from_registers(
+        hll_merge(regs(half_a), regs(half_b), ["g"]), ["g"], 7
+    ).collect()[0]
+    whole = hll_distinct(df, ["g"], "v", p=7).collect()[0]
+    assert merged.registers_hit == whole.registers_hit
+    assert merged.hll_estimate == whole.hll_estimate  # bit-identical
