@@ -2616,6 +2616,71 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits(corpus, bench, shingle_k=3)
 
 
+def _q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination screen (corpus/decontaminate.py
+    bloom_contamination_hits): the planted benchmark is compressed to a
+    4096-bit set (3 salted-md5 positions per shingle); a corpus shingle
+    hits when ALL its positions are set — one-sided error, so the screen
+    never misses true contamination and the fixed-size bit set replaces
+    the full benchmark shingle broadcast at 100 TB. The small bit space
+    deliberately yields some false positives at this SF so the contract
+    exercises the bloom semantics, not just the exact overlap."""
+    from fastselect_spark.corpus import bloom_contamination_hits
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    return bloom_contamination_hits(
+        corpus, bench, shingle_k=3, m_bits=16384, k_hashes=3
+    )
+
+
+_BLOOM_DECON_ORACLE = """
+WITH norm AS (
+    SELECT doc_id,
+           STRING_SPLIT(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, UNNEST(toks) AS tok, UNNEST(RANGE(1, LEN(toks) + 1)) AS pos
+    FROM norm
+),
+sh AS (
+    SELECT doc_id,
+           tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+bench AS (SELECT DISTINCT shingle FROM shd WHERE doc_id % 37 = 0),
+bits AS (
+    SELECT DISTINCT
+           CAST('0x' || substr(md5(CAST(j AS STRING) || ':' || shingle), 1, 15)
+                AS BIGINT) % 16384 AS bpos
+    FROM bench, (SELECT UNNEST([0, 1, 2]) AS j) js
+),
+corp AS (SELECT doc_id, shingle FROM shd WHERE doc_id % 37 <> 0),
+tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM corp GROUP BY 1),
+probe AS (
+    SELECT doc_id, shingle,
+           CAST('0x' || substr(md5(CAST(j AS STRING) || ':' || shingle), 1, 15)
+                AS BIGINT) % 16384 AS bpos
+    FROM corp, (SELECT UNNEST([0, 1, 2]) AS j) js
+),
+msh AS (
+    SELECT doc_id, shingle
+    FROM probe JOIN bits USING (bpos)
+    GROUP BY doc_id, shingle HAVING COUNT(*) = 3
+),
+hit AS (SELECT doc_id, COUNT(*) AS n_hit FROM msh GROUP BY 1)
+SELECT h.doc_id,
+       CAST(t.n_sh AS BIGINT) AS n_shingles,
+       CAST(h.n_hit AS BIGINT) AS n_hit_shingles,
+       CAST(1 AS INT) AS flagged
+FROM hit h JOIN tot t ON h.doc_id = t.doc_id
+"""
+
+
 def _q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 split on the shared key hash — reproducible,
     repartition-stable, consistent across derived tables."""
@@ -4230,6 +4295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,  # pairs -> CC -> clusters
         "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
         "decontaminate": _q_decontaminate,  # broadcast n-gram overlap vs planted benchmark
+        "bloom_decontaminate": _q_bloom_decontaminate,  # fixed-size bit-set screen
         "train_val_test_split": _q_train_val_test_split,  # deterministic 80/10/10
         "corpus_sample": _q_corpus_sample,
         "table_profile": _q_table_profile,
@@ -7515,6 +7581,7 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN m2 USING (doc_id)
         LEFT JOIN m3 USING (doc_id)
         """,
+        "bloom_decontaminate": _BLOOM_DECON_ORACLE,
         "decontaminate": """
         WITH norm AS (
             SELECT doc_id,

@@ -633,6 +633,16 @@ def default_mode() -> None:
             wdocs, 100, "w", group_cols=["lang"], seed=7
         ).count()
         ops["weighted_sample_sec"] = round(time.perf_counter() - t0, 3)
+        from fastselect_spark.corpus import bloom_contamination_hits
+
+        t0 = time.perf_counter()
+        ops["bloom_decon_rows"] = bloom_contamination_hits(
+            docs.where(F.col("doc_id") % 37 != 0),
+            docs.where(F.col("doc_id") % 37 == 0),
+            m_bits=1 << 16,
+            k_hashes=3,
+        ).count()
+        ops["bloom_decon_sec"] = round(time.perf_counter() - t0, 3)
         toks = docs.select(
             F.explode(F.split(F.col("text"), " ")).alias("token")
         ).where(F.col("token") != "")

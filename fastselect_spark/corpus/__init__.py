@@ -4,6 +4,7 @@ from fastselect_spark.corpus.classifier import (
     train_quality_classifier_numpy,
 )
 from fastselect_spark.corpus.decontaminate import (
+    bloom_contamination_hits,
     novelty_scores,
     contamination_hits,
     decontaminate,
@@ -50,6 +51,7 @@ __all__ = [
     "hll_merge",
     "hll_register_rows",
     "contrastive_pairs",
+    "bloom_contamination_hits",
     "contamination_hits",
     "decontaminate",
     "deterministic_sample",

@@ -130,3 +130,78 @@ def novelty_scores(
             - n_seen.cast("double") / F.col("n_shingles").cast("double")
         ).alias("novelty"),
     )
+
+
+def bloom_contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    shingle_k: int = 3,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter variant of :func:`contamination_hits`: the benchmark
+    side is compressed to a FIXED-size bit set (``k_hashes`` salted-md5
+    positions per shingle modulo ``m_bits``) instead of its full distinct
+    shingle table. A corpus shingle counts as a hit when ALL of its k
+    positions are set — one-sided error: every true overlap is found,
+    plus a bounded false-positive rate ~(1 - e^{-kn/m})^k, so the screen
+    never MISSES contamination; flagged docs go to the exact check.
+
+    Why at 100 TB: a billion-shingle benchmark's distinct-shingle
+    broadcast is tens of GB; the bit set is m_bits/8 bytes regardless
+    (128 KiB at the default), so the corpus-side scan stays one
+    broadcast-join pass whatever the benchmark grows to. The position
+    table IS the bit set (distinct ints < m_bits) — the packed-bitarray
+    form is an executor-local representation of the same set, so the
+    semantics (and the DuckDB oracle) are exactly this join.
+
+    Returns (doc_id, n_shingles, n_hit_shingles, flagged int) — counts
+    are over the doc's DISTINCT shingles; upper-bounds the exact
+    ``contamination_hits`` counts."""
+    if m_bits < 2 or k_hashes < 1:
+        raise ValueError(f"need m_bits >= 2, k_hashes >= 1; got {m_bits}, {k_hashes}")
+    bench_text = bench_text_col or text_col
+    bench_sh = benchmark.select(
+        F.explode(_shingles(F.col(bench_text), shingle_k)).alias("shingle")
+    ).distinct()
+    pos_exprs = [
+        F.expr(
+            f"CAST(conv(substring(md5(CONCAT('{j}:', shingle)), 1, 15), 16, 10)"
+            f" AS BIGINT) % {m_bits}"
+        ).alias("pos")
+        for j in range(k_hashes)
+    ]
+    bits = (
+        bench_sh.select(F.explode(F.array(*[e for e in pos_exprs])).alias("pos"))
+        .distinct()
+    )
+    inv = corpus.select(
+        F.col(id_col),
+        F.size(_shingles(F.col(text_col), shingle_k)).alias("n_shingles"),
+        F.explode(_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    )
+    probe = inv.select(
+        id_col,
+        "n_shingles",
+        "shingle",
+        F.posexplode(F.array(*[e for e in pos_exprs])).alias("__j", "pos"),
+    )
+    matched = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy(id_col, "n_shingles", "shingle")
+        .agg(F.count(F.lit(1)).alias("__k_hit"))
+        .where(F.col("__k_hit") == k_hashes)
+    )
+    return (
+        matched.groupBy(id_col, "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
+        .select(
+            id_col,
+            "n_shingles",
+            "n_hit_shingles",
+            F.lit(1).alias("flagged"),
+        )
+    )

@@ -677,3 +677,41 @@ def test_hll_merge_equals_combined(spark):
     whole = hll_distinct(df, ["g"], "v", p=7).collect()[0]
     assert merged.registers_hit == whole.registers_hit
     assert merged.hll_estimate == whole.hll_estimate  # bit-identical
+
+
+def test_bloom_contamination_superset_and_exact_at_large_m(spark):
+    """One-sided error: bloom hits are a superset of exact hits; with a
+    huge bit space (no collisions) the counts match exactly."""
+    from fastselect_spark.corpus import bloom_contamination_hits, contamination_hits
+
+    corpus = spark.createDataFrame(
+        [(i, f"unique text number {i} with words w{i}a w{i}b w{i}c") for i in range(40)]
+        + [(100, "the secret benchmark passage appears here verbatim today"),
+           (101, "prefix junk then the secret benchmark passage appears here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "the secret benchmark passage appears here verbatim")],
+        "bid long, text string",
+    )
+    exact = {
+        r.doc_id: r.n_hit_shingles
+        for r in contamination_hits(corpus, bench).collect()
+    }
+    big = {
+        r.doc_id: r.n_hit_shingles
+        for r in bloom_contamination_hits(
+            corpus, bench, m_bits=1 << 30, k_hashes=3
+        ).collect()
+    }
+    assert big == exact  # no collisions at 2^30 bits
+    assert set(exact) == {100, 101}
+    small = {
+        r.doc_id: r.n_hit_shingles
+        for r in bloom_contamination_hits(
+            corpus, bench, m_bits=64, k_hashes=2
+        ).collect()
+    }
+    # every true hit found (never misses), counts only ever inflate
+    for d, c in exact.items():
+        assert small.get(d, 0) >= c
