@@ -43,7 +43,13 @@ def contamination_hits(
             F.explode(_shingles(F.col(bench_text), shingle_k)).alias("shingle")
         ).distinct()
     )
-    # per-doc distinct shingles; n_shingles rides the explode (narrow int)
+    # per-doc distinct shingles; n_shingles rides the explode (narrow int).
+    # ensure_parallelism: a single-file corpus otherwise runs the whole
+    # shingle explode as ONE task (round-3 lesson; measured 5.7s -> <1s
+    # for the sf0.1 scan)
+    from fastselect_spark.dedup.minhash import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
     inv = corpus.select(
         F.col(id_col),
         F.size(_shingles(F.col(text_col), shingle_k)).alias("n_shingles"),
@@ -163,8 +169,10 @@ def bloom_contamination_hits(
     ``contamination_hits`` counts."""
     if m_bits < 2 or k_hashes < 1:
         raise ValueError(f"need m_bits >= 2, k_hashes >= 1; got {m_bits}, {k_hashes}")
+    from fastselect_spark.dedup.minhash import ensure_parallelism
+
     bench_text = bench_text_col or text_col
-    bench_sh = benchmark.select(
+    bench_sh = ensure_parallelism(benchmark).select(
         F.explode(_shingles(F.col(bench_text), shingle_k)).alias("shingle")
     ).distinct()
     pos_exprs = [
@@ -174,30 +182,39 @@ def bloom_contamination_hits(
         ).alias("pos")
         for j in range(k_hashes)
     ]
+    # materialize the bit set ONCE: each broadcast build is a different
+    # projection of this frame, so without the checkpoint the bench
+    # shingle+hash+distinct plan re-executes per semi-join (only identical
+    # Exchanges are reused)
     bits = (
         bench_sh.select(F.explode(F.array(*[e for e in pos_exprs])).alias("pos"))
         .distinct()
+        .localCheckpoint()
     )
-    inv = corpus.select(
+    inv = ensure_parallelism(corpus).select(
         F.col(id_col),
         F.size(_shingles(F.col(text_col), shingle_k)).alias("n_shingles"),
         F.explode(_shingles(F.col(text_col), shingle_k)).alias("shingle"),
     )
+    # "all k positions set" as k successive BROADCAST LEFT SEMI joins —
+    # the probe stream is filtered in place, never re-grouped by the
+    # shingle string (the first cut grouped (doc, shingle) over a k-row
+    # posexplode: an extra wide-string exchange that measured ~9x the
+    # exact variant at sf0.1; the semi-join chain removes it)
     probe = inv.select(
         id_col,
         "n_shingles",
-        "shingle",
-        F.posexplode(F.array(*[e for e in pos_exprs])).alias("__j", "pos"),
+        *[e.alias(f"__p{j}") for j, e in enumerate(pos_exprs)],
     )
-    matched = (
-        probe.join(F.broadcast(bits), "pos")
-        .groupBy(id_col, "n_shingles", "shingle")
-        .agg(F.count(F.lit(1)).alias("__k_hit"))
-        .where(F.col("__k_hit") == k_hashes)
-    )
+    for j in range(k_hashes):
+        side = bits.select(F.col("pos").alias(f"__p{j}"))
+        probe = probe.join(F.broadcast(side), f"__p{j}", "left_semi")
     return (
-        matched.groupBy(id_col, "n_shingles")
-        .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
+        probe.groupBy(id_col)
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.count(F.lit(1)).alias("n_hit_shingles"),
+        )
         .select(
             id_col,
             "n_shingles",
