@@ -3413,6 +3413,115 @@ def _streaming_hll_oracle_sql() -> str:
     )
 
 
+def _q_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bounded-state frequency: per-2-minute-window count-min
+    counters maintained by ONE streaming sum-agg (state = windows x 3 x
+    512 longs regardless of key cardinality), then the corpus's top-10
+    exact tokens probed through the SHARED batch lookup — stream + lookup
+    == batch per-window sketch by construction (the oracle)."""
+    from fastselect_spark.corpus import countmin_lookup
+    from fastselect_spark.streaming import streaming_countmin_registers
+
+    path = _staged_documents_stream_path(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("ts", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    regs = streaming_countmin_registers(
+        stream, "token", depth=3, width=512, window="2 minutes"
+    )
+    res = _run_available_now(spark, regs, "fs_stream_cm", mode="complete")
+    toks = (
+        _streamable_documents(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    top = (
+        toks.groupBy("token")
+        .count()
+        .orderBy(F.col("count").desc(), "token")
+        .limit(10)
+        .select("token")
+    )
+    # probe grid: windows x top tokens — both driver-tiny (5 windows, 10
+    # tokens at sf0.01); built driver-side (a crossJoin of the memory-sink
+    # frame trips a Spark 4 hybrid-analyzer internal error)
+    win_vals = [r.window_start for r in res.select("window_start").distinct().collect()]
+    top_vals = [r.token for r in top.collect()]
+    probes = spark.createDataFrame(
+        [(w, t) for w in win_vals for t in top_vals],
+        "window_start timestamp, token string",
+    )
+    # composite lookup: melt each probe into its depth bucket rows and
+    # min over matching counters within ITS window (the batch
+    # countmin_lookup math, window-tagged)
+    melted = probes.select(
+        "window_start",
+        "token",
+        *[
+            F.expr(
+                "CAST(conv(substring(md5(CONCAT('"
+                + str(j)
+                + ":', CAST(token AS STRING))), 1, 15), 16, 10) AS BIGINT) % 512"
+            ).alias(f"__b{j}")
+            for j in range(3)
+        ],
+    ).selectExpr(
+        "window_start",
+        "token",
+        "stack(3, 0, __b0, 1, __b1, 2, __b2) AS (row, bucket)",
+    )
+    joined = melted.join(res, ["window_start", "row", "bucket"], "left")
+    out = joined.groupBy("window_start", "token").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_estimate")
+    )
+    return out
+
+
+_STREAMING_CM_ORACLE = """
+WITH base AS (
+    SELECT TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL '1 second' AS ts,
+           t.token
+    FROM documents d, UNNEST(STRING_SPLIT(d.text, ' ')) AS t(token)
+    WHERE t.token <> ''
+),
+wb AS (
+    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 120) * 120) AS TIMESTAMP)
+               AS window_start, token
+    FROM base
+),
+cells AS (
+    SELECT window_start, j AS row,
+           CAST('0x' || substr(md5(CAST(j AS STRING) || ':' || token), 1, 15)
+                AS BIGINT) % 512 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM wb, (SELECT UNNEST([0, 1, 2]) AS j) js
+    GROUP BY 1, 2, 3
+),
+top AS (
+    SELECT token FROM (
+        SELECT token, COUNT(*) AS c FROM base GROUP BY 1
+    ) ORDER BY c DESC, token LIMIT 10
+),
+probes AS (
+    SELECT w.window_start, t.token, js.j AS row,
+           CAST('0x' || substr(md5(CAST(js.j AS STRING) || ':' || t.token), 1, 15)
+                AS BIGINT) % 512 AS bucket
+    FROM (SELECT DISTINCT window_start FROM wb) w, top t,
+         (SELECT UNNEST([0, 1, 2]) AS j) js
+)
+SELECT p.window_start, p.token,
+       CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cm_estimate
+FROM probes p
+LEFT JOIN cells c
+  ON p.window_start = c.window_start AND p.row = c.row AND p.bucket = c.bucket
+GROUP BY p.window_start, p.token
+"""
+
+
 def _q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time quality filtering: the C4/Gopher keep-rule chain
     (corpus/filtering.py) is a stateless JVM projection + predicate, so
@@ -4317,6 +4426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_category_drift": _q_streaming_category_drift,  # chi2 mix drift
         "streaming_quantiles": _q_streaming_quantiles,  # oracle = batch quantile_cont
         "streaming_hll_distinct": _q_streaming_hll,  # bounded-state windowed distinct
+        "streaming_countmin": _q_streaming_countmin,  # bounded-state windowed frequency
         "role_transitions": _q_role_transitions,  # corpus role Markov matrix
         "streaming_token_rates": _q_streaming_token_rates,
         "streaming_sliding_rates": _q_streaming_sliding_rates,
@@ -8901,6 +9011,7 @@ FROM ra
     # stream registers + batch fold == batch per-window HLL (identical
     # register projection by construction, corpus/sketches.py)
     out["streaming_hll_distinct"] = _streaming_hll_oracle_sql()
+    out["streaming_countmin"] = _STREAMING_CM_ORACLE
     out["streaming_quantiles"] = r"""
     WITH base AS (
         SELECT doc_id,

@@ -31,5 +31,6 @@ from fastselect_spark.streaming.trends import (  # noqa: F401
 )
 from fastselect_spark.streaming.sketches import (  # noqa: F401
     hll_estimate_from_window_registers,
+    streaming_countmin_registers,
     streaming_hll_registers,
 )

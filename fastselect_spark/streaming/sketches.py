@@ -65,3 +65,48 @@ def hll_estimate_from_window_registers(
     """Finalize a (window_start, group...) register table into per-window
     distinct estimates — the same fold the batch path uses."""
     return hll_estimate_from_registers(regs, ["window_start", *group_cols], p)
+
+
+def streaming_countmin_registers(
+    stream: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    window: str = "5 minutes",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(window_start, row, bucket, cnt): per-window count-min counter
+    table maintained by ONE streaming sum-aggregation — counters merge
+    ADDITIVELY across micro-batches, so the state is exactly
+    windows x depth x width longs however many keys stream through (the
+    bounded-state frequency companion of :func:`streaming_hll_registers`).
+    Estimates come from the batch :func:`fastselect_spark.corpus.
+    countmin_lookup` over the sink — identical math by construction."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got {depth}x{width}")
+    if watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
+    buckets = [
+        F.expr(
+            f"CAST(conv(substring(md5(CONCAT('{j}:', CAST({key_col} AS STRING))),"
+            f" 1, 15), 16, 10) AS BIGINT) % {width}"
+        ).alias(f"__b{j}")
+        for j in range(depth)
+    ]
+    wexpr = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    wide = stream.where(F.col(key_col).isNotNull()).select(
+        ts_col, *buckets, wexpr.alias("__w")
+    )
+    stack = ", ".join(f"{j}, __b{j}" for j in range(depth))
+    melted = wide.selectExpr(
+        ts_col, f"stack({depth}, {stack}) AS (row, bucket)", "__w"
+    )
+    return (
+        melted.groupBy(F.window(ts_col, window), "row", "bucket")
+        .agg(F.sum("__w").alias("cnt"))
+        .select(F.col("window.start").alias("window_start"), "row", "bucket", "cnt")
+    )

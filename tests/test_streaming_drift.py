@@ -212,3 +212,76 @@ def test_streaming_hll_registers_equal_batch(spark):
         hit, est = exp[r["window_start"]]
         assert r["registers_hit"] == hit
         assert r["hll_estimate"] == est  # bit-identical
+
+
+def test_streaming_countmin_registers_equal_batch(spark):
+    """Two-wave availableNow counter maintenance == the batch sketch per
+    window slice (additive merge), and lookups through the batch
+    countmin_lookup return exact counts at collision-free width."""
+    from pyspark.sql import functions as F
+
+    from fastselect_spark.corpus import countmin_lookup, countmin_sketch
+    from fastselect_spark.streaming import streaming_countmin_registers
+
+    rng = np.random.default_rng(37)
+    n = 500
+    rows = pd.DataFrame(
+        {
+            "ts": (
+                pd.to_datetime("2024-03-01")
+                + pd.to_timedelta(rng.choice(900, n, replace=False), unit="s")
+            ).astype("datetime64[us]"),
+            "k": [f"key{int(x)}" for x in rng.integers(0, 40, n)],
+        }
+    )
+    root = tempfile.mkdtemp(prefix="cm_stream_")
+    for w in (0, 1):
+        rows[rows.index % 2 == w].to_parquet(f"{root}/wave{w}.parquet", index=False)
+        os.utime(f"{root}/wave{w}.parquet", (1e9 + w, 1e9 + w))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    regs = streaming_countmin_registers(
+        stream, "k", depth=3, width=2048, window="5 minutes"
+    )
+    ckpt = tempfile.mkdtemp(prefix="cm_ckpt_")
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("cm_stream_regs")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.table("cm_stream_regs")
+
+    batch = spark.createDataFrame(rows).withColumn(
+        "window_start",
+        F.timestamp_seconds((F.unix_timestamp("ts") / 300).cast("long") * 300),
+    )
+    for ws in [r.window_start for r in batch.select("window_start").distinct().collect()]:
+        cells_stream = {
+            (r.row, r.bucket): r.cnt
+            for r in got.where(F.col("window_start") == ws).collect()
+        }
+        sl = batch.where(F.col("window_start") == ws)
+        cells_batch = {
+            (r.row, r.bucket): r.cnt
+            for r in countmin_sketch(sl, "k", depth=3, width=2048).collect()
+        }
+        assert cells_stream == cells_batch
+        # exact counts through the shared lookup at collision-free width
+        keys = sl.select("k").distinct()
+        exact = {r.k: r["count"] for r in sl.groupBy("k").count().collect()}
+        est = {
+            r.k: r.cm_estimate
+            for r in countmin_lookup(
+                got.where(F.col("window_start") == ws).drop("window_start"),
+                keys, "k", depth=3, width=2048,
+            ).collect()
+        }
+        assert est == exact
