@@ -2974,6 +2974,79 @@ def _theilsen_oracle_sql() -> str:
         """
 
 
+def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (similarity/fusion.py rrf_fuse): per-lang
+    pools fuse a length ranking with a 'tok1' term-frequency ranking —
+    scale-free rank merging for heterogeneous retrievers (BM25 + cosine
+    at scale). Top-20 per ranking per pool; two lists, so the fused sum
+    is an order-free two-term IEEE addition."""
+    from pyspark.sql import Window
+
+    from fastselect_spark.similarity import rrf_fuse
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    a = docs.select(
+        "lang", "doc_id", F.length("text").cast("double").alias("score")
+    )
+    b = docs.select(
+        "lang",
+        "doc_id",
+        F.expr("CAST(SIZE(FILTER(SPLIT(text, ' '), t -> t = 'tok1')) AS DOUBLE)")
+        .alias("score"),
+    )
+
+    def top20(df):
+        w = Window.partitionBy("lang").orderBy(
+            F.col("score").desc(), F.col("doc_id")
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= 20)
+            .drop("__rn")
+        )
+
+    out = rrf_fuse([top20(a), top20(b)], query_col="lang", k=60)
+    return out.select(
+        "lang",
+        "doc_id",
+        "n_lists",
+        F.round("rrf_score", 6).alias("rrf_score"),
+    )
+
+
+_RRF_ORACLE = """
+WITH a AS (
+    SELECT lang, doc_id, CAST(LENGTH(text) AS DOUBLE) AS score FROM documents
+),
+b AS (
+    SELECT lang, doc_id,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t = 'tok1'))
+                AS DOUBLE) AS score
+    FROM documents
+),
+ra AS (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rn
+    FROM a
+),
+rb AS (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rn
+    FROM b
+),
+u AS (
+    SELECT lang, doc_id, 1.0 / CAST(60 + rn AS DOUBLE) AS c FROM ra WHERE rn <= 20
+    UNION ALL
+    SELECT lang, doc_id, 1.0 / CAST(60 + rn AS DOUBLE) AS c FROM rb WHERE rn <= 20
+)
+SELECT lang, doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lists,
+       ROUND(SUM(c), 6) AS rrf_score
+FROM u GROUP BY lang, doc_id
+"""
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement (corpus/
     sampling.py weighted_sample): per-language Efraimidis-Spirakis
@@ -4413,6 +4486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_token_counts": _q_countmin_tokens,  # fixed-state frequency sketch
         "decayed_features": _q_decayed_features,  # recency-weighted accumulators
         "weighted_sample_by_lang": _q_weighted_sample,  # E-S races, no rand()
+        "rrf_fusion": _q_rrf_fusion,  # scale-free multi-retriever rank merge
         "theilsen_trends": _q_theilsen_trends,  # robust median-of-slopes trend
         "leakage_audit": _q_leakage_audit,  # planted-lookahead MI screen
         "class_rebalance": _q_class_rebalance,
@@ -8569,6 +8643,7 @@ def oracle_sql() -> dict[str, str]:
         "countmin_token_counts": _COUNTMIN_ORACLE,
         "decayed_features": _decayed_oracle_sql(),
         "weighted_sample_by_lang": _WEIGHTED_SAMPLE_ORACLE,
+        "rrf_fusion": _RRF_ORACLE,
         "theilsen_trends": _theilsen_oracle_sql(),
         "leakage_audit": _LEAKAGE_ORACLE,
         "conversation_features": _FEATURIZE_BASE

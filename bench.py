@@ -635,6 +635,21 @@ def default_mode() -> None:
         ops["weighted_sample_sec"] = round(time.perf_counter() - t0, 3)
         from fastselect_spark.corpus import bloom_contamination_hits
 
+        from fastselect_spark.similarity import rrf_fuse
+
+        ra = docs.select(
+            "lang", "doc_id", F.length("text").cast("double").alias("score")
+        )
+        rb = docs.select(
+            "lang",
+            "doc_id",
+            F.expr(
+                "CAST(SIZE(FILTER(SPLIT(text, ' '), t -> t = 'tok1')) AS DOUBLE)"
+            ).alias("score"),
+        )
+        t0 = time.perf_counter()
+        ops["rrf_rows"] = rrf_fuse([ra, rb], query_col="lang").count()
+        ops["rrf_fusion_sec"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         ops["bloom_decon_rows"] = bloom_contamination_hits(
             docs.where(F.col("doc_id") % 37 != 0),

@@ -715,3 +715,34 @@ def test_bloom_contamination_superset_and_exact_at_large_m(spark):
     # every true hit found (never misses), counts only ever inflate
     for d, c in exact.items():
         assert small.get(d, 0) >= c
+
+
+def test_rrf_fuse_python_replica(spark):
+    from fastselect_spark.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q1", 1, 9.0), ("q1", 2, 5.0), ("q1", 3, 1.0), ("q2", 1, 2.0)],
+        "q string, doc_id long, score double",
+    )
+    b = spark.createDataFrame(
+        [("q1", 2, 0.9), ("q1", 4, 0.8), ("q2", 1, 0.5)],
+        "q string, doc_id long, score double",
+    )
+    got = {
+        (r.q, r.doc_id): (r.n_lists, r.rrf_score)
+        for r in rrf_fuse([a, b], query_col="q", k=60).collect()
+    }
+    # q1: a ranks 1,2,3 -> rn 1,2,3 ; b ranks 2,4 -> rn 1,2
+    assert got[("q1", 1)] == (1, 1 / 61)
+    assert got[("q1", 2)] == (2, 1 / 62 + 1 / 61)
+    assert got[("q1", 3)] == (1, 1 / 63)
+    assert got[("q1", 4)] == (1, 1 / 62)
+    assert got[("q2", 1)] == (2, 1 / 61 + 1 / 61)
+    # weights scale contributions; global mode requires explicit opt-in
+    w = {
+        (r.q, r.doc_id): r.rrf_score
+        for r in rrf_fuse([a, b], query_col="q", weights=[2.0, 1.0]).collect()
+    }
+    assert w[("q1", 2)] == 2 / 62 + 1 / 61
+    with pytest.raises(ValueError):
+        rrf_fuse([a, b])
