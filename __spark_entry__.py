@@ -217,6 +217,36 @@ def _q_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_asof(spark, sf_dir, "pandas")
 
 
+def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join with a staleness bound (featurize/asof.py
+    asof_join_tolerance — pd.merge_asof(tolerance) parity): session stats
+    older than 600s at the probing turn come back NULL. The matched row
+    rides the as-of window as ONE struct, so a genuinely-NULL field is
+    never back-filled from an older session (the scd2_lookup lesson)."""
+    from fastselect_spark.featurize import asof_join_tolerance
+
+    feat = (
+        featurize_transcripts(_transcripts(spark, sf_dir))
+        .select("conv_id", "turn_idx", "ts", "session_id", "n_tokens")
+        .persist()
+    )
+    right = feat.groupBy("conv_id", "session_id").agg(
+        F.max("ts").alias("ts"),
+        F.round(F.avg("n_tokens"), 6).alias("sess_avg_tokens"),
+        F.count(F.lit(1)).cast("long").alias("sess_n_turns"),
+    )
+    joined = asof_join_tolerance(
+        feat.select("conv_id", "turn_idx", "ts"),
+        right.select("conv_id", "ts", "sess_avg_tokens", "sess_n_turns"),
+        tolerance_s=600.0,
+    )
+    out = joined.select(
+        "conv_id", "turn_idx", "sess_avg_tokens_asof", "sess_n_turns_asof"
+    ).localCheckpoint()
+    feat.unpersist()
+    return out
+
+
 def _q_chi2_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, "lineitem")
     m = spark.sql(_LINEITEM_CODES_SQL)
@@ -4366,6 +4396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill_last_tool": _q_backfill_last_tool,
         "lag_lead": _q_lag_lead,
         "asof_session_stats": _q_asof_session_stats,
+        "asof_tolerance": _q_asof_tolerance,  # staleness-bounded point-in-time join
         "asof_salted": _q_asof_salted,
         "asof_pandas": _q_asof_pandas,
         "chi2_scores": _q_chi2_scores,
@@ -5613,6 +5644,25 @@ _ASOF_ORACLE = (
 SELECT f.conv_id, f.turn_idx,
        s.sess_avg_tokens AS sess_avg_tokens_asof,
        s.sess_n_turns    AS sess_n_turns_asof
+FROM feat f ASOF LEFT JOIN sess s
+    ON f.conv_id = s.conv_id AND f.ts >= s.ts
+"""
+)
+
+_ASOF_TOLERANCE_ORACLE = (
+    _FEATURIZE_BASE
+    + """
+, sess AS (
+    SELECT conv_id, session_id, MAX(ts) AS ts,
+           ROUND(AVG(n_tokens), 6) AS sess_avg_tokens,
+           CAST(COUNT(*) AS BIGINT) AS sess_n_turns
+    FROM feat GROUP BY conv_id, session_id
+)
+SELECT f.conv_id, f.turn_idx,
+       CASE WHEN FLOOR(EPOCH(f.ts)) - FLOOR(EPOCH(s.ts)) <= 600
+            THEN s.sess_avg_tokens END AS sess_avg_tokens_asof,
+       CASE WHEN FLOOR(EPOCH(f.ts)) - FLOOR(EPOCH(s.ts)) <= 600
+            THEN s.sess_n_turns END AS sess_n_turns_asof
 FROM feat f ASOF LEFT JOIN sess s
     ON f.conv_id = s.conv_id AND f.ts >= s.ts
 """
@@ -7521,6 +7571,7 @@ def oracle_sql() -> dict[str, str]:
         WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
         """,
         "asof_session_stats": _ASOF_ORACLE,
+        "asof_tolerance": _ASOF_TOLERANCE_ORACLE,
         "asof_salted": _ASOF_ORACLE,
         "asof_pandas": _ASOF_ORACLE,
         "lang_id": _LANG_ID_ORACLE,

@@ -9,7 +9,10 @@ from fastselect_spark.featurize.windows import (  # noqa: F401
     add_turn_gap,
     featurize_transcripts,
 )
-from fastselect_spark.featurize.asof import asof_join  # noqa: F401
+from fastselect_spark.featurize.asof import (  # noqa: F401
+    asof_join,
+    asof_join_tolerance,
+)
 from fastselect_spark.featurize.encoding import (  # noqa: F401
     count_encode_expanding,
     frequency_encode,

@@ -274,3 +274,91 @@ def _asof_pandas(
         .applyInPandas(lambda l, r: merge(l, r), schema=out_schema)
         .select(*left_cols, *[f"{c}{suffix}" for c in value_cols])
     )
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    tolerance_s: float,
+    on: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    strategy: str = "window",
+    allow_exact_matches: bool = True,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join with a staleness bound (``pd.merge_asof(tolerance=...)``
+    parity): a matched feature row older than ``tolerance_s`` seconds is
+    treated as NO match — its value columns come back NULL. The freshness
+    guard a feature store needs: without it, a conversation silent for a
+    week happily serves week-old session features to today's turn.
+
+    Built as a wrapper over :func:`asof_join`, not a fork: the value
+    columns AND the matched right timestamp ride the as-of window as ONE
+    struct (the scd2_lookup lesson — per-column ``last(ignorenulls)``
+    carry would back-fill NULL fields from older rows), then the age
+    filter nulls out stale matches. Same one-key-exchange plan, all
+    three strategies available."""
+    if tolerance_s < 0:
+        raise ValueError(f"tolerance_s must be >= 0, got {tolerance_s}")
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, right_ts)]
+
+    def _age(rts_col):
+        # driver parquet loads ts as TIMESTAMP_NTZ — treat both flavors
+        # as wall-clock; otherwise a numeric event-time axis subtracts
+        # directly (same units as tolerance_s)
+        if isinstance(
+            left.schema[left_ts].dataType,
+            (T.TimestampType, T.TimestampNTZType),
+        ):
+            return F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(rts_col)
+        return F.col(left_ts).cast("double") - rts_col.cast("double")
+
+    if strategy == "pandas":
+        # merge_asof matches whole rows atomically, so no struct carry is
+        # needed (and pandas' struct conversion rejects NaN-for-missing);
+        # ride the matched right_ts as a plain duplicated column instead
+        packed = right.withColumn("__rts", F.col(right_ts))
+        joined = asof_join(
+            left,
+            packed,
+            on=on,
+            left_ts=left_ts,
+            right_ts=right_ts,
+            value_cols=[*value_cols, "__rts"],
+            strategy=strategy,
+            allow_exact_matches=allow_exact_matches,
+            suffix=suffix,
+        )
+        fresh = _age(F.col(f"__rts{suffix}")) <= F.lit(float(tolerance_s))
+        out = joined
+        for c in value_cols:
+            out = out.withColumn(f"{c}{suffix}", F.when(fresh, F.col(f"{c}{suffix}")))
+        return out.drop(f"__rts{suffix}")
+
+    packed = right.withColumn(
+        "__asof_row",
+        F.struct(
+            *[F.col(c) for c in value_cols],
+            F.col(right_ts).alias("__rts"),
+        ),
+    )
+    joined = asof_join(
+        left,
+        packed,
+        on=on,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        value_cols=["__asof_row"],
+        strategy=strategy,
+        allow_exact_matches=allow_exact_matches,
+        suffix=suffix,
+    )
+    row = f"__asof_row{suffix}"
+    fresh = _age(F.col(f"{row}.__rts")) <= F.lit(float(tolerance_s))
+    out = joined
+    for c in value_cols:
+        out = out.withColumn(f"{c}{suffix}", F.when(fresh, F.col(f"{row}.{c}")))
+    return out.drop(row)

@@ -175,3 +175,63 @@ def test_salted_slices_split_hot_key(spark):
     exp = exp.sort_values("probe").reset_index(drop=True)
     v1, v2 = res["val_asof"].astype(float), exp["val_asof"].astype(float)
     assert ((v1.isna() & v2.isna()) | (v1 == v2)).all()
+
+
+def test_asof_tolerance_matches_merge_asof(spark):
+    """asof_join_tolerance == pd.merge_asof(tolerance=...) on a random
+    fixture, across all three strategies."""
+    import numpy as np
+    import pandas as pd
+
+    from fastselect_spark.featurize import asof_join_tolerance
+
+    rng = np.random.default_rng(41)
+    base = pd.Timestamp("2026-02-01")
+    lrows, rrows = [], []
+    for c in range(6):
+        for t in sorted(rng.choice(2000, 25, replace=False)):
+            lrows.append((f"c{c}", (base + pd.Timedelta(seconds=int(t))).to_pydatetime()))
+        for t in sorted(rng.choice(2000, 8, replace=False)):
+            rrows.append((f"c{c}", (base + pd.Timedelta(seconds=int(t))).to_pydatetime(), float(rng.integers(0, 100))))
+    left = spark.createDataFrame(lrows, "conv_id string, ts timestamp")
+    right = spark.createDataFrame(rrows, "conv_id string, ts timestamp, v double")
+    lp = pd.DataFrame(lrows, columns=["conv_id", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["conv_id", "ts", "v"]).sort_values("ts")
+    exp = pd.merge_asof(
+        lp, rp, on="ts", by="conv_id",
+        tolerance=pd.Timedelta(seconds=300), direction="backward",
+    )
+    expmap = {
+        (r.conv_id, pd.Timestamp(r.ts)): None if pd.isna(r.v) else r.v
+        for r in exp.itertuples()
+    }
+    for strategy in ("window", "salted_window", "pandas"):
+        got = {
+            (r.conv_id, pd.Timestamp(r.ts)): r.v_asof
+            for r in asof_join_tolerance(
+                left, right, 300.0, strategy=strategy
+            ).collect()
+        }
+        assert got == expmap, strategy
+
+
+def test_asof_tolerance_nullable_payload_not_backfilled(spark):
+    """A NULL field in the freshest match stays NULL (struct carry), and a
+    stale match nulls ALL value columns."""
+    from fastselect_spark.featurize import asof_join_tolerance
+
+    left = spark.createDataFrame(
+        [("c", 100), ("c", 500)], "conv_id string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("c", 50, 1.0, "x"), ("c", 90, None, "y")],
+        "conv_id string, ts long, a double, b string",
+    )
+    got = {
+        r.ts: (r.a_asof, r.b_asof)
+        for r in asof_join_tolerance(left, right, 50.0).collect()
+    }
+    # ts=100: freshest is ts=90 (age 10 <= 50): a is GENUINELY NULL, b='y'
+    assert got[100] == (None, "y")
+    # ts=500: freshest is ts=90 (age 410 > 50): everything nulled
+    assert got[500] == (None, None)
