@@ -3516,6 +3516,52 @@ def _streaming_hll_oracle_sql() -> str:
     )
 
 
+def _q_streaming_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming HLL (4-minute windows, 2-minute slide):
+    each row feeds TWO overlapping register sets; the oracle enumerates
+    the window starts per row and recomputes every window's batch HLL —
+    stream + shared fold == batch per overlapping window."""
+    from fastselect_spark.streaming import (
+        hll_estimate_from_window_registers,
+        streaming_hll_registers,
+    )
+
+    path = _staged_documents_stream_path(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("ts", "text")
+    )
+    regs = streaming_hll_registers(
+        stream, [], "text", p=8, window="4 minutes", slide="2 minutes"
+    )
+    res = _run_available_now(spark, regs, "fs_stream_hll_slide", mode="complete")
+    est = hll_estimate_from_window_registers(res, [], p=8)
+    return est.select(
+        "window_start",
+        "registers_hit",
+        F.round("hll_estimate", 6).alias("hll_estimate"),
+    )
+
+
+def _streaming_hll_sliding_oracle_sql() -> str:
+    from fastselect_spark.corpus import hll_distinct_sql
+
+    src = (
+        "SELECT CAST(TO_TIMESTAMP((FLOOR(EPOCH(TIMESTAMP '2026-01-01 00:00:00'"
+        " + doc_id * INTERVAL '1 second') / 120) - j) * 120) AS TIMESTAMP)"
+        " AS window_start, text"
+        " FROM documents, (SELECT UNNEST([0, 1]) AS j) js"
+    )
+    inner = hll_distinct_sql(src, ["window_start"], "text", p=8)
+    return (
+        "SELECT window_start, registers_hit,"
+        " ROUND(hll_estimate, 6) AS hll_estimate"
+        f" FROM ({inner}) t"
+    )
+
+
 def _q_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming bounded-state frequency: per-2-minute-window count-min
     counters maintained by ONE streaming sum-agg (state = windows x 3 x
@@ -4532,6 +4578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quantiles": _q_streaming_quantiles,  # oracle = batch quantile_cont
         "streaming_hll_distinct": _q_streaming_hll,  # bounded-state windowed distinct
         "streaming_countmin": _q_streaming_countmin,  # bounded-state windowed frequency
+        "streaming_hll_sliding": _q_streaming_hll_sliding,  # overlapping-window distinct
         "role_transitions": _q_role_transitions,  # corpus role Markov matrix
         "streaming_token_rates": _q_streaming_token_rates,
         "streaming_sliding_rates": _q_streaming_sliding_rates,
@@ -9138,6 +9185,7 @@ FROM ra
     # register projection by construction, corpus/sketches.py)
     out["streaming_hll_distinct"] = _streaming_hll_oracle_sql()
     out["streaming_countmin"] = _STREAMING_CM_ORACLE
+    out["streaming_hll_sliding"] = _streaming_hll_sliding_oracle_sql()
     out["streaming_quantiles"] = r"""
     WITH base AS (
         SELECT doc_id,

@@ -43,14 +43,19 @@ def streaming_hll_registers(
     window: str = "5 minutes",
     ts_col: str = "ts",
     watermark: str | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
     """(window_start, group_cols..., __idx, __m): the per-window HLL
-    register table, maintained by one streaming max-aggregation."""
+    register table, maintained by one streaming max-aggregation. Pass
+    ``slide`` for OVERLAPPING windows (each row feeds window/slide
+    register sets — state scales by the overlap factor, still bounded
+    and row-count-independent)."""
     if watermark is not None:
         stream = stream.withWatermark(ts_col, watermark)
     rows = hll_register_rows(stream, [ts_col, *group_cols], value_col, p)
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     return (
-        rows.groupBy(F.window(ts_col, window), *group_cols, "__idx")
+        rows.groupBy(win, *group_cols, "__idx")
         .agg(F.max("__rho").alias("__m"))
         .select(
             F.col("window.start").alias("window_start"), *group_cols,
