@@ -3004,6 +3004,43 @@ def _theilsen_oracle_sql() -> str:
         """
 
 
+def _q_pool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-level embedding centroids (similarity/fusion.py
+    pool_embeddings): posexplode -> ONE (group, dim) combine-side agg ->
+    tiny per-group re-assembly — never a collect_list of whole vectors.
+    Emitted long-form (group, dim, mean) for the value gate; float32
+    elements are cast to double on both engines."""
+    from fastselect_spark.similarity import pool_embeddings
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings").select(
+        F.pmod(F.col("vec_id"), F.lit(40)).cast("long").alias("grp"),
+        "embedding",
+    )
+    pooled = pool_embeddings(emb, ["grp"])
+    return pooled.select(
+        "grp", "n_vecs", F.posexplode("pooled").alias("dim", "v")
+    ).select("grp", "n_vecs", "dim", F.round("v", 6).alias("v"))
+
+
+_POOL_EMB_ORACLE = """
+WITH ex AS (
+    SELECT vec_id % 40 AS grp,
+           UNNEST(RANGE(0, LEN(embedding))) AS dim,
+           CAST(UNNEST(embedding) AS DOUBLE) AS v
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+),
+per AS (
+    SELECT grp, dim, AVG(v) AS m, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ex GROUP BY 1, 2
+)
+SELECT CAST(grp AS BIGINT) AS grp, n AS n_vecs, CAST(dim AS INT) AS dim,
+       ROUND(m, 6) AS v
+FROM per
+"""
+
+
 def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion (similarity/fusion.py rrf_fuse): per-lang
     pools fuse a length ranking with a 'tok1' term-frequency ranking —
@@ -4564,6 +4601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_features": _q_decayed_features,  # recency-weighted accumulators
         "weighted_sample_by_lang": _q_weighted_sample,  # E-S races, no rand()
         "rrf_fusion": _q_rrf_fusion,  # scale-free multi-retriever rank merge
+        "pool_embeddings": _q_pool_embeddings,  # group centroids, no vector collect
         "theilsen_trends": _q_theilsen_trends,  # robust median-of-slopes trend
         "leakage_audit": _q_leakage_audit,  # planted-lookahead MI screen
         "class_rebalance": _q_class_rebalance,
@@ -8742,6 +8780,7 @@ def oracle_sql() -> dict[str, str]:
         "decayed_features": _decayed_oracle_sql(),
         "weighted_sample_by_lang": _WEIGHTED_SAMPLE_ORACLE,
         "rrf_fusion": _RRF_ORACLE,
+        "pool_embeddings": _POOL_EMB_ORACLE,
         "theilsen_trends": _theilsen_oracle_sql(),
         "leakage_audit": _LEAKAGE_ORACLE,
         "conversation_features": _FEATURIZE_BASE

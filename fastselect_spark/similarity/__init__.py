@@ -17,7 +17,10 @@ from fastselect_spark.similarity.pca import (  # noqa: F401
     train_pca_numpy,
 )
 from fastselect_spark.similarity.mmr import mmr_rerank, pool_pair_sims  # noqa: F401
-from fastselect_spark.similarity.fusion import rrf_fuse  # noqa: F401
+from fastselect_spark.similarity.fusion import (  # noqa: F401
+    pool_embeddings,
+    rrf_fuse,
+)
 from fastselect_spark.similarity.mmr import embedding_health  # noqa: F401
 from fastselect_spark.similarity.quantize import (  # noqa: F401
     sq8_topk,

@@ -75,3 +75,47 @@ def rrf_fuse(
             F.sum("__rrf").alias("rrf_score"),
         )
     )
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str = "embedding",
+    mode: str = "mean",
+) -> DataFrame:
+    """Pool per-row embedding vectors into one vector per group —
+    ``group_cols + (n_vecs long, pooled array<double>)`` — the standard
+    conversation/document-set representation (mean of turn embeddings)
+    that feeds ANN / SemDeDup / MMR at the coarser granularity.
+
+    ``mode``: 'mean' (centroid) or 'max' (per-dimension max pool).
+
+    Scale shape: posexplode -> ONE (group, dim) map-side-combining
+    aggregation -> one tiny per-group re-assembly (array_sort of
+    (dim, value) structs) — never a collect_list of whole vectors, so
+    skewed groups cost rows, not memory. NULL vectors are skipped."""
+    if mode not in ("mean", "max"):
+        raise ValueError(f"mode must be 'mean' or 'max', got {mode}")
+    agg_fn = F.avg if mode == "mean" else F.max
+    exploded = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(*group_cols, F.posexplode(vec_col).alias("dim", "__v"))
+        .withColumn("__v", F.col("__v").cast("double"))
+    )
+    per_dim = exploded.groupBy(*group_cols, "dim").agg(
+        agg_fn("__v").alias("__p"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        per_dim.groupBy(*group_cols)
+        .agg(
+            F.max("__n").alias("n_vecs"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("__p")))
+            ).alias("__s"),
+        )
+        .select(
+            *group_cols,
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.expr("transform(__s, x -> x.__p)").alias("pooled"),
+        )
+    )

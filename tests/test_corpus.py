@@ -746,3 +746,30 @@ def test_rrf_fuse_python_replica(spark):
     assert w[("q1", 2)] == 2 / 62 + 1 / 61
     with pytest.raises(ValueError):
         rrf_fuse([a, b])
+
+
+def test_pool_embeddings_numpy_parity(spark):
+    import numpy as np
+
+    from fastselect_spark.similarity import pool_embeddings
+
+    rng = np.random.default_rng(43)
+    rows = [
+        (f"g{i % 5}", [float(x) for x in rng.normal(0, 1, 8)]) for i in range(40)
+    ]
+    rows.append(("g0", None))  # null vector skipped
+    df = spark.createDataFrame(rows, "grp string, embedding array<double>")
+    got = {
+        r.grp: (r.n_vecs, r.pooled)
+        for r in pool_embeddings(df, ["grp"]).collect()
+    }
+    gmax = {
+        r.grp: r.pooled
+        for r in pool_embeddings(df, ["grp"], mode="max").collect()
+    }
+    for g in {f"g{i}" for i in range(5)}:
+        vecs = np.array([v for gg, v in rows if gg == g and v is not None])
+        n, pooled = got[g]
+        assert n == len(vecs)
+        assert np.allclose(pooled, vecs.mean(axis=0), atol=1e-12)
+        assert np.allclose(gmax[g], vecs.max(axis=0), atol=0)
