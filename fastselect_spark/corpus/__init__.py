@@ -22,6 +22,7 @@ from fastselect_spark.corpus.pairs import contrastive_pairs, sft_pairs
 from fastselect_spark.corpus.profile import profile_drift, table_profile
 from fastselect_spark.corpus.sketches import (
     countmin_lookup,
+    countmin_merge,
     countmin_sketch,
     hll_distinct,
     hll_distinct_sql,
@@ -44,6 +45,7 @@ __all__ = [
     "calibration_report",
     "cap_per_source",
     "countmin_lookup",
+    "countmin_merge",
     "countmin_sketch",
     "hll_distinct",
     "hll_distinct_sql",

@@ -256,3 +256,15 @@ def hll_merge(
         .groupBy(*group_cols, "__idx")
         .agg(F.max("__m").alias("__m"))
     )
+
+
+def countmin_merge(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Merge two count-min sketches built with the same (depth, width):
+    per-cell SUM — the additive counterpart of :func:`hll_merge`, so
+    shard-local sketches from any partitioning fold into exactly the
+    combined stream's counters without re-reading rows."""
+    return (
+        sketch_a.unionByName(sketch_b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -773,3 +773,26 @@ def test_pool_embeddings_numpy_parity(spark):
         assert n == len(vecs)
         assert np.allclose(pooled, vecs.mean(axis=0), atol=1e-12)
         assert np.allclose(gmax[g], vecs.max(axis=0), atol=0)
+
+
+def test_countmin_merge_equals_combined(spark):
+    from pyspark.sql import functions as F
+
+    from fastselect_spark.corpus import countmin_merge, countmin_sketch
+
+    rows = [(f"k{i % 30}",) for i in range(600)]
+    df = spark.createDataFrame(rows, "k string")
+    a = df.where(F.col("k").substr(2, 1).cast("int") % 2 == 0)
+    b = df.where(F.col("k").substr(2, 1).cast("int") % 2 != 0)
+    merged = {
+        (r.row, r.bucket): r.cnt
+        for r in countmin_merge(
+            countmin_sketch(a, "k", depth=3, width=256),
+            countmin_sketch(b, "k", depth=3, width=256),
+        ).collect()
+    }
+    whole = {
+        (r.row, r.bucket): r.cnt
+        for r in countmin_sketch(df, "k", depth=3, width=256).collect()
+    }
+    assert merged == whole

@@ -285,3 +285,81 @@ def test_streaming_countmin_registers_equal_batch(spark):
             ).collect()
         }
         assert est == exact
+
+
+def test_streaming_hll_append_mode_finalizes_windows(spark):
+    """With a watermark, the register stream runs APPEND mode: windows
+    finalize (emit once) when the watermark passes — the bounded-state
+    production configuration — and the finalized registers still equal
+    the batch sketch for those windows."""
+    from pyspark.sql import functions as F
+
+    from fastselect_spark.corpus import hll_distinct
+    from fastselect_spark.streaming import (
+        hll_estimate_from_window_registers,
+        streaming_hll_registers,
+    )
+
+    rng = np.random.default_rng(47)
+    early = pd.DataFrame(
+        {
+            "ts": (
+                pd.to_datetime("2024-03-01")
+                + pd.to_timedelta(rng.choice(600, 200, replace=False), unit="s")
+            ).astype("datetime64[us]"),
+            "v": [f"u{int(x)}" for x in rng.integers(0, 80, 200)],
+        }
+    )
+    # a far-future spacer advances the watermark past the early windows
+    late = pd.DataFrame(
+        {
+            "ts": pd.Series([pd.Timestamp("2024-03-01 02:00:00")]).astype(
+                "datetime64[us]"
+            ),
+            "v": ["spacer"],
+        }
+    )
+    root = tempfile.mkdtemp(prefix="hll_append_")
+    early.to_parquet(f"{root}/wave0.parquet", index=False)
+    late.to_parquet(f"{root}/wave1.parquet", index=False)
+    os.utime(f"{root}/wave0.parquet", (1e9, 1e9))
+    os.utime(f"{root}/wave1.parquet", (1e9 + 1, 1e9 + 1))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    regs = streaming_hll_registers(
+        stream, [], "v", p=6, window="5 minutes", watermark="10 seconds"
+    )
+    ckpt = tempfile.mkdtemp(prefix="hll_append_ckpt_")
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_append_regs")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = hll_estimate_from_window_registers(
+        spark.table("hll_append_regs"), [], p=6
+    ).toPandas()
+    # the early (finalized) windows match batch exactly
+    batch = spark.createDataFrame(early).withColumn(
+        "window_start",
+        F.timestamp_seconds((F.unix_timestamp("ts") / 300).cast("long") * 300),
+    )
+    exp = {
+        r["window_start"]: (r["registers_hit"], r["hll_estimate"])
+        for _, r in hll_distinct(batch, ["window_start"], "v", p=6)
+        .toPandas()
+        .iterrows()
+    }
+    finalized = {
+        r["window_start"]: (r["registers_hit"], r["hll_estimate"])
+        for _, r in got.iterrows()
+        if pd.Timestamp(r["window_start"]) < pd.Timestamp("2024-03-01 01:00:00")
+    }
+    assert finalized == exp  # every early window emitted, bit-equal to batch
