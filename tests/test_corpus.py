@@ -796,3 +796,37 @@ def test_countmin_merge_equals_combined(spark):
         for r in countmin_sketch(df, "k", depth=3, width=256).collect()
     }
     assert merged == whole
+
+
+def test_sketch_and_sample_edge_inputs(spark):
+    """Edge hardening for the round-5 additions: short docs fall back to
+    the whole-text shingle, bad sketch params raise contract errors, and
+    weighted_sample with n > group size returns the whole group."""
+    import pytest as _pt
+
+    from fastselect_spark.corpus import (
+        countmin_sketch,
+        hll_distinct,
+        weighted_sample,
+    )
+    from fastselect_spark.dedup import prefix_filter_jaccard_pairs
+
+    # docs shorter than the shingle width: _shingles falls back to the
+    # normalized whole text — identical shorts still pair at J=1
+    df = spark.createDataFrame(
+        [(1, "hi"), (2, "hi"), (3, "yo")], "doc_id long, text string"
+    )
+    got = prefix_filter_jaccard_pairs(df, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 1.0)]
+
+    with _pt.raises(ValueError):
+        hll_distinct(df, ["doc_id"], "text", p=2)
+    with _pt.raises(ValueError):
+        countmin_sketch(df, "text", depth=0)
+    with _pt.raises(ValueError):
+        weighted_sample(df, 0, "doc_id")
+
+    small = spark.createDataFrame(
+        [(1, "g", 2.0), (2, "g", 3.0)], "doc_id long, grp string, w double"
+    )
+    assert weighted_sample(small, 10, "w", group_cols=["grp"]).count() == 2

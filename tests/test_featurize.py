@@ -518,3 +518,32 @@ def test_theilsen_max_lag_bounds_pairs(spark):
     # pairs with j-i <= 3: 19 + 18 + 17 = 54
     assert r.n_pairs == 19 + 18 + 17
     assert r.ts_slope == 2.0 and r.ts_intercept == 0.0
+
+
+def test_decay_and_scd2_edge_inputs(spark):
+    """Edge hardening: decay params validated; single-turn conversations;
+    scd2_lookup with value_cols defaulting and empty dim."""
+    import pytest as _pt
+
+    from fastselect_spark.featurize import (
+        scd2_lookup,
+        time_decayed_lastk,
+        turn_decayed_sum,
+    )
+
+    tr = spark.createDataFrame(
+        [("c", 0, 5.0)], "conv_id string, turn_idx int, x double"
+    )
+    with _pt.raises(ValueError):
+        turn_decayed_sum(tr, "x", decay=1.5)
+    with _pt.raises(ValueError):
+        time_decayed_lastk(tr, "x", k=0)
+    (r,) = turn_decayed_sum(tr, "x", 0.5).collect()
+    assert r.x_decay == 5.0  # single turn: accumulator == value
+
+    dim = spark.createDataFrame(
+        [], "k string, valid_from long, valid_to long, v string, is_current int"
+    )
+    probes = spark.createDataFrame([("a", 1)], "k string, at long")
+    (row,) = scd2_lookup(probes, dim, ["k"], "at").collect()
+    assert row.v_dim is None  # empty dimension -> NULL attach, probe kept
