@@ -2951,6 +2951,51 @@ FROM min_ a JOIN mif b USING (feature)
 """
 
 
+def _q_conversation_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-integrity report (featurize/convagg.py
+    conversation_integrity) over transcripts with PLANTED defects: every
+    turn_idx=5 row is re-delivered 400s earlier — a duplicate index, an
+    out-of-order timestamp, and a same-role repeat per conversation. One
+    conv_id window pass + one agg; exact integers; the window orders by
+    (turn_idx, ts) so the planted duplicates scan deterministically."""
+    from fastselect_spark.featurize import conversation_integrity
+
+    base = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "role", "ts")
+    dup = base.where(F.col("turn_idx") == 5).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.expr("ts - INTERVAL 400 SECONDS").alias("ts"),
+    )
+    return conversation_integrity(base.unionByName(dup))
+
+
+_INTEGRITY_ORACLE = f"""
+WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+u AS (
+    SELECT conv_id, turn_idx, role, ts FROM transcripts
+    UNION ALL
+    SELECT conv_id, turn_idx, role, ts - INTERVAL 400 SECOND
+    FROM transcripts WHERE turn_idx = 5
+),
+f AS (
+    SELECT conv_id, turn_idx,
+           CASE WHEN FLOOR(EPOCH(ts)) < FLOOR(EPOCH(LAG(ts) OVER w))
+                THEN 1 ELSE 0 END AS tsv,
+           CASE WHEN role = LAG(role) OVER w THEN 1 ELSE 0 END AS rr
+    FROM u WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(COUNT(DISTINCT turn_idx) AS BIGINT) AS n_distinct_turn_idx,
+       CAST(MAX(turn_idx) - MIN(turn_idx) + 1 - COUNT(DISTINCT turn_idx)
+            AS BIGINT) AS idx_gaps,
+       CAST(SUM(tsv) AS BIGINT) AS ts_violations,
+       CAST(SUM(rr) AS BIGINT) AS role_repeats
+FROM f GROUP BY conv_id
+"""
+
+
 def _q_theilsen_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-conversation token trend (featurize/convagg.py
     theilsen_trends): median-of-pair-slopes + median residual intercept —
@@ -4603,6 +4648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": _q_rrf_fusion,  # scale-free multi-retriever rank merge
         "pool_embeddings": _q_pool_embeddings,  # group centroids, no vector collect
         "theilsen_trends": _q_theilsen_trends,  # robust median-of-slopes trend
+        "conversation_integrity": _q_conversation_integrity,  # ingestion validation
         "leakage_audit": _q_leakage_audit,  # planted-lookahead MI screen
         "class_rebalance": _q_class_rebalance,
         "corpus_mix_by_source": _q_corpus_mix_by_source,
@@ -8782,6 +8828,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion": _RRF_ORACLE,
         "pool_embeddings": _POOL_EMB_ORACLE,
         "theilsen_trends": _theilsen_oracle_sql(),
+        "conversation_integrity": _INTEGRITY_ORACLE,
         "leakage_audit": _LEAKAGE_ORACLE,
         "conversation_features": _FEATURIZE_BASE
         + """

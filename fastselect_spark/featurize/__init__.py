@@ -33,6 +33,7 @@ from fastselect_spark.featurize.splits import (  # noqa: F401
 from fastselect_spark.featurize.resample import resample_grid  # noqa: F401
 from fastselect_spark.featurize.convagg import (  # noqa: F401
     conversation_features,
+    conversation_integrity,
     session_features,
     conversation_leadlag,
     conversation_trends,

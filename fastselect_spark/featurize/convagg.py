@@ -11,7 +11,7 @@ conditional count per role of the fixed transcript role alphabet
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 ROLES = ("user", "assistant", "tool")
@@ -381,4 +381,51 @@ def theilsen_trends(
     )
     return resid.select(
         F.col("__c").alias(conv_col), "n_pairs", "ts_slope", "ts_intercept"
+    )
+
+
+def conversation_integrity(
+    tr: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    role_col: str = "role",
+) -> DataFrame:
+    """Per-conversation ingestion-integrity report — the validation pass a
+    transcripts pipeline runs before featurizing, since every window
+    operator in this engine assumes (conv_id, turn_idx) is a clean,
+    time-ordered spine:
+
+    - ``n_turns`` / ``n_distinct_turn_idx`` — duplicates when they differ;
+    - ``idx_gaps`` — missing turn indices (span minus distinct count);
+    - ``ts_violations`` — rows whose timestamp moves BACKWARD in turn
+      order (out-of-order delivery that an as-of join would silently
+      mis-serve);
+    - ``role_repeats`` — consecutive same-role turns (collapsed-message
+      artifacts).
+
+    ONE window pass sharing the conv_id exchange + one aggregation; all
+    outputs exact integers. The window orders by (order_col, ts_col) so
+    duplicate turn indices — exactly what this report detects — still
+    scan in a deterministic order (the lineitem tie lesson)."""
+    w = Window.partitionBy(conv_col).orderBy(order_col, ts_col)
+    flagged = tr.select(
+        conv_col,
+        order_col,
+        F.when(
+            F.unix_timestamp(ts_col) < F.unix_timestamp(F.lag(ts_col).over(w)),
+            1,
+        ).otherwise(0).alias("__ts_viol"),
+        F.when(F.col(role_col) == F.lag(role_col).over(w), 1)
+        .otherwise(0)
+        .alias("__role_rep"),
+    )
+    return flagged.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.countDistinct(order_col).cast("long").alias("n_distinct_turn_idx"),
+        (
+            F.max(order_col) - F.min(order_col) + 1 - F.countDistinct(order_col)
+        ).cast("long").alias("idx_gaps"),
+        F.sum("__ts_viol").cast("long").alias("ts_violations"),
+        F.sum("__role_rep").cast("long").alias("role_repeats"),
     )

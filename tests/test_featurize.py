@@ -547,3 +547,33 @@ def test_decay_and_scd2_edge_inputs(spark):
     probes = spark.createDataFrame([("a", 1)], "k string, at long")
     (row,) = scd2_lookup(probes, dim, ["k"], "at").collect()
     assert row.v_dim is None  # empty dimension -> NULL attach, probe kept
+
+
+def test_conversation_integrity_planted_defects(spark):
+    from fastselect_spark.featurize import conversation_integrity
+
+    base = 1_767_225_600
+    rows = [
+        # clean conv: contiguous, monotone, alternating
+        ("ok", 0, "user", base + 0), ("ok", 1, "assistant", base + 10),
+        ("ok", 2, "user", base + 20),
+        # broken conv: dup idx 1, gap (no idx 3), ts backwards at idx 4,
+        # role repeat at idx 1-dup
+        ("bad", 0, "user", base + 0), ("bad", 1, "assistant", base + 10),
+        ("bad", 1, "assistant", base + 11), ("bad", 2, "user", base + 20),
+        ("bad", 4, "assistant", base + 5),
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, es long"
+    ).withColumn("ts", F.timestamp_seconds(F.col("es")))
+    got = {
+        r.conv_id: (
+            r.n_turns, r.n_distinct_turn_idx, r.idx_gaps,
+            r.ts_violations, r.role_repeats,
+        )
+        for r in conversation_integrity(tr).collect()
+    }
+    assert got["ok"] == (3, 3, 0, 0, 0)
+    # bad: 5 rows, 4 distinct idx, span 0..4 -> 1 gap, 1 ts backwards,
+    # 1 consecutive same-role pair
+    assert got["bad"] == (5, 4, 1, 1, 1)
