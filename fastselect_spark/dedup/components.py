@@ -31,6 +31,63 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Edge-count gate for the driver union-find fast path: below this many
+# (undirected) input pairs the component computation is driver-finalize
+# work (one Arrow collect + linear union-find), not cluster work — the
+# same bounded-driver discipline as the mRMR/MDR greedy loops. 2M pairs
+# is ~100-200 MB of id columns on the driver; above it, the distributed
+# min-label/star path runs unchanged.
+DRIVER_EDGE_CAP = 2_000_000
+
+
+def _components_driver(
+    pairs: DataFrame, id_a: str, id_b: str
+) -> DataFrame:
+    """(doc_id, comp) via driver-side union-find over the collected pair
+    list — bit-identical to min-label propagation's fixpoint (comp = min
+    id reachable through the pair graph) by construction. Arrow transfer
+    both ways; only called under DRIVER_EDGE_CAP."""
+    from pyspark.sql import types as T
+
+    pdf = pairs.select(id_a, id_b).toPandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while True:
+            p = parent.get(root)
+            if p is None or p == root:
+                break
+            root = p
+        while x != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf[id_a].tolist(), pdf[id_b].tolist()):
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        # the smaller id becomes the root, so the root IS the component label
+        if ra < rb:
+            parent[rb] = ra
+        else:
+            parent[ra] = rb
+
+    nodes = set(pdf[id_a].tolist()) | set(pdf[id_b].tolist())
+    out = [(n, find(n)) for n in nodes]
+    id_type = pairs.schema[id_a].dataType
+    schema = T.StructType(
+        [T.StructField("doc_id", id_type), T.StructField("comp", id_type)]
+    )
+    spark = pairs.sparkSession
+    if not out:
+        return spark.createDataFrame([], schema=schema)
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=["doc_id", "comp"]), schema=schema
+    )
+
 
 def connected_components_star(
     pairs: DataFrame,
@@ -132,17 +189,33 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     star_fallback: bool = True,
+    driver_edge_cap: int | None = DRIVER_EDGE_CAP,
 ) -> DataFrame:
     """(doc_id, component) for every node in ``pairs``; component = min id
     reachable through the pair graph. If max_iter rounds of min-label
     propagation don't reach the fixpoint (component diameter > max_iter),
     falls back to the diameter-independent large-star/small-star algorithm
     (:func:`connected_components_star`) — or warns and returns the
-    partial labels when ``star_fallback=False``."""
+    partial labels when ``star_fallback=False``.
+
+    Small graphs (≤ ``driver_edge_cap`` pairs — the normal case: verified
+    near-dup pair lists are bounded candidates, not the corpus) skip the
+    per-round join jobs entirely and run union-find on the driver — same
+    (doc_id, min-reachable-id) result, one collect instead of
+    O(diameter) Spark jobs. ``driver_edge_cap=None`` forces the
+    distributed path."""
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    if driver_edge_cap is not None:
+        # one count on the (persisted) edge list gates the fast path; the
+        # distributed loop below reads the same cache, so the count is
+        # never wasted work
+        if edges.count() <= 2 * driver_edge_cap:
+            out = _components_driver(edges, "src", "dst")
+            edges.unpersist()
+            return out
     # per-round labels are eagerly localCheckpoint'd: persist alone leaves
     # the logical plan compounding ~2x per round (a full 25-round run OOMs
     # the JVM just EXPLAINING round 25's plan — measured); truncation keeps

@@ -211,9 +211,13 @@ def verify_candidate_pairs(
         .distinct()
     )
     cand_docs = df.select(id_col, text_col).join(cand_ids, id_col, "left_semi")
+    # localCheckpoint: sh feeds BOTH the id_a and id_b fetch joins below,
+    # and two DIFFERENT projections of one frame each re-execute its whole
+    # plan per join side (round-5 lesson) — without this the semi-join +
+    # shingling of the candidate docs runs twice.
     sh = cand_docs.select(
         F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("shingles")
-    )
+    ).localCheckpoint()
     cand = cand.join(
         sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
         "id_a",

@@ -15,6 +15,35 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+# app ids whose Python workers have already been pre-spawned (getOrCreate
+# may hand back an existing, already-warm session)
+_WARMED_APPS: set[str] = set()
+
+
+def _warm_python_workers(spark: SparkSession) -> None:
+    """Pre-spawn one Python worker per core with a trivial Arrow round-trip.
+
+    The first Python task of a session pays worker fork + Arrow serializer
+    init (measured ~3-6 s on 32 cores — the repo's "Python-worker cold
+    start" lesson), which otherwise lands inside whatever operator happens
+    to run first. Doing it at session-creation time amortizes it the same
+    way a long-lived production session does; no data is touched or cached.
+    Disable with FASTSELECT_WARM_WORKERS=0 (e.g. for JVM-only workloads).
+    """
+    if os.environ.get("FASTSELECT_WARM_WORKERS", "1") == "0":
+        return
+    app_id = spark.sparkContext.applicationId
+    if app_id in _WARMED_APPS:
+        return
+    _WARMED_APPS.add(app_id)
+    n = max(2, spark.sparkContext.defaultParallelism)
+    try:
+        spark.range(0, n, 1, n).mapInPandas(
+            lambda it: it, schema="id long"
+        ).write.format("noop").mode("overwrite").save()
+    except Exception:  # pragma: no cover — warm-up must never break startup
+        pass
+
 
 def get_spark(
     app_name: str = "fastselect_spark",
@@ -64,4 +93,6 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _warm_python_workers(spark)
+    return spark

@@ -703,7 +703,9 @@ def test_connected_components_max_iter_warns(spark):
     )
     with _w.catch_warnings(record=True) as rec:
         _w.simplefilter("always")
-        connected_components(pairs, max_iter=2, star_fallback=False).count()
+        connected_components(
+            pairs, max_iter=2, star_fallback=False, driver_edge_cap=None
+        ).count()
     assert any("did not converge" in str(r.message) for r in rec)
 
 
@@ -749,10 +751,34 @@ def test_connected_components_long_chain_fallback(spark):
     )
     with _w.catch_warnings(record=True) as rec:
         _w.simplefilter("always")
-        comp = connected_components(pairs).toPandas()
+        comp = connected_components(pairs, driver_edge_cap=None).toPandas()
     assert any("falling back" in str(r.message) for r in rec)
     assert len(comp) == 500
     assert (comp["comp"] == 0).all()
+
+
+def test_connected_components_driver_path_matches_distributed(spark):
+    """The driver union-find fast path (round-6 optimization) must return
+    exactly the distributed min-label rows — mixed components, a chain,
+    a triangle, string ids, and duplicate/reversed pairs."""
+    from fastselect_spark.dedup import connected_components
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),       # triangle
+        ("d", "e"), ("e", "f"), ("f", "g"),       # chain
+        ("x", "y"), ("y", "x"),                   # duplicate/reversed
+        ("lone1", "lone2"),
+    ]
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    fast = (
+        connected_components(pairs)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    slow = (
+        connected_components(pairs, driver_edge_cap=None)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert fast.equals(slow)
 
 
 def test_mi_cube_rejects_unsafe_codes(spark):
