@@ -22,6 +22,7 @@ LSH path — a query touches nprobe/n_cells of the corpus.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -31,11 +32,84 @@ from pyspark.sql import functions as F
 
 from fastselect_spark.selection._agg import tree_reduce_ndarrays
 
+# Plan-size gate for the driver-side Lloyd fast path: when the (possibly
+# train_sample-bounded) training frame is estimated under this many bytes,
+# ONE Arrow collect + a NumPy loop replaces max_iter distributed jobs —
+# each Lloyd iteration is otherwise a full job whose ~0.5 s launch floor
+# dominates at small/sampled scale (measured 10.2 s for 20 iterations over
+# a 1 MB embeddings table). The emulation reproduces the distributed
+# reduction's partition-ordered partial sums exactly (see
+# _lloyd_driver), so centroids are bit-identical. At 100 TB the gate
+# falls through to the unchanged distributed loop unless train_sample
+# bounds the scan (which is the documented scale mode anyway).
+DRIVER_TRAIN_BYTES = int(
+    os.environ.get("FASTSELECT_KMEANS_DRIVER_BYTES", str(256 << 20))
+)
+
 
 def _normalize(M: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(M, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return M / norms
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a frame (py4j hands back an int — the
+    round-3 lesson); 'unknown' maps to a huge number so gates fail safe."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover — estimation must never break the op
+        return 1 << 62
+
+
+def _lloyd_driver(
+    train: DataFrame,
+    centroids: np.ndarray,
+    emb_col: str,
+    max_iter: int,
+    tol: float,
+) -> np.ndarray:
+    """Driver-side replica of the distributed Lloyd loop, bit-identical by
+    construction: rows are collected ONCE with their scan partition id;
+    each iteration accumulates per-partition (sum, count) with the same
+    np.add.at/bincount kernel over rows in partition order, and merges the
+    partials in ascending-partition order exactly as the tree reduction's
+    direct-collect path does (first partial assigns, later partials add)."""
+    pdf = train.select(
+        F.spark_partition_id().alias("__pid"), F.col(emb_col).alias("__e")
+    ).toPandas()
+    if pdf.empty:
+        # mirrors the distributed path, which raises on a dict with no "s"
+        raise KeyError("s")
+    V = _normalize(np.stack(pdf["__e"].to_numpy()).astype(np.float64))
+    pids = pdf["__pid"].to_numpy()
+    # toPandas preserves partition order, so pids are non-decreasing;
+    # slice boundaries give the per-partition row ranges
+    bounds = [0, *(np.flatnonzero(np.diff(pids)) + 1).tolist(), len(pids)]
+    for _ in range(max_iter):
+        C = centroids
+        s_tot = None
+        cnt_tot = None
+        for i in range(len(bounds) - 1):
+            Vp = V[bounds[i] : bounds[i + 1]]
+            cell = np.argmax(Vp @ C.T, axis=1)
+            s = np.zeros_like(C)
+            np.add.at(s, cell, Vp)
+            cnt = np.bincount(cell, minlength=len(C)).astype(np.int64)
+            if s_tot is None:
+                s_tot, cnt_tot = s, cnt
+            else:
+                s_tot += s
+                cnt_tot += cnt
+        new = np.where(
+            cnt_tot[:, None] > 0, s_tot / np.maximum(cnt_tot, 1)[:, None], C
+        )
+        new = _normalize(new)
+        shift = float(((new - centroids) ** 2).sum())
+        centroids = new
+        if shift <= tol:
+            break
+    return centroids
 
 
 def train_ivf_centroids(
@@ -46,13 +120,19 @@ def train_ivf_centroids(
     max_iter: int = 20,
     tol: float = 1e-4,
     train_sample: int | None = None,
+    driver_train_bytes: int | None = None,
 ) -> np.ndarray:
     """Unit-normalized (n_cells, dim) centroid matrix via distributed
     spherical k-means. ``train_sample`` bounds the training scan at scale
     with a deterministic key-hash Bernoulli sample of ~train_sample rows
     (corpus/sampling.py) — a row-local filter, NOT ``orderBy().limit()``,
     which Spark executes by funneling the whole scan through a single
-    partition (the round-3 finding)."""
+    partition (the round-3 finding).
+
+    When the training frame's estimated size is under
+    ``driver_train_bytes`` (default DRIVER_TRAIN_BYTES; 0 disables), the
+    Lloyd loop runs on the driver over one Arrow collect — bit-identical
+    centroids (see _lloyd_driver) without max_iter job launches."""
     seed_rows = (
         # TakeOrderedAndProject: per-partition partial top-N merged on the
         # driver — distributed, collects only n_cells rows
@@ -73,6 +153,10 @@ def train_ivf_centroids(
                 key_col=id_col,
                 seed=0,
             ).select(emb_col)
+
+    cap = DRIVER_TRAIN_BYTES if driver_train_bytes is None else driver_train_bytes
+    if cap and _plan_size_bytes(train) <= cap:
+        return _lloyd_driver(train, centroids, emb_col, max_iter, tol)
 
     for _ in range(max_iter):
         C = centroids  # captured by value in the closure below

@@ -757,6 +757,21 @@ def test_connected_components_long_chain_fallback(spark):
     assert (comp["comp"] == 0).all()
 
 
+def test_lloyd_driver_path_bit_identical(spark):
+    """The driver-side Lloyd fast path (round-6 optimization) must produce
+    BIT-identical centroids to the distributed tree-reduced loop — the
+    declared IVF/kmeans/SQ8 oracles embed these centroids as literals."""
+    import numpy as np
+
+    from fastselect_spark.similarity import train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for n_cells in (4, 8):
+        fast = train_ivf_centroids(emb, n_cells=n_cells)
+        slow = train_ivf_centroids(emb, n_cells=n_cells, driver_train_bytes=0)
+        assert np.array_equal(fast, slow)
+
+
 def test_connected_components_driver_path_matches_distributed(spark):
     """The driver union-find fast path (round-6 optimization) must return
     exactly the distributed min-label rows — mixed components, a chain,
