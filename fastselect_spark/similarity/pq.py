@@ -34,7 +34,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fastselect_spark.selection._agg import tree_reduce_ndarrays
-from fastselect_spark.similarity.ivf import _normalize
+from fastselect_spark.similarity.ivf import (
+    DRIVER_TRAIN_BYTES,
+    _normalize,
+    _plan_size_bytes,
+)
 
 
 def _split(V: np.ndarray, m: int) -> np.ndarray:
@@ -97,6 +101,47 @@ def train_pq_codebooks(
             ).select(emb_col)
 
     dsub = dim // m
+    # Small/sampled training frames run the Lloyd loop on the driver over
+    # ONE Arrow collect — bit-identical codebooks (same per-partition
+    # np.add.at/bincount kernel, partials merged in ascending-partition
+    # order like the tree reduction's direct-collect path); each
+    # distributed iteration otherwise pays a full job launch (the
+    # train_ivf_centroids round-6 lesson).
+    if DRIVER_TRAIN_BYTES and _plan_size_bytes(train) <= DRIVER_TRAIN_BYTES:
+        pdf = train.select(
+            F.spark_partition_id().alias("__pid"), F.col(emb_col).alias("__e")
+        ).toPandas()
+        if not pdf.empty:
+            V_all = _normalize(np.stack(pdf["__e"].to_numpy()).astype(np.float64))
+            pids = pdf["__pid"].to_numpy()
+            bounds = [0, *(np.flatnonzero(np.diff(pids)) + 1).tolist(), len(pids)]
+            for _ in range(max_iter):
+                s_tot = cnt_tot = None
+                for i in range(len(bounds) - 1):
+                    Vp = V_all[bounds[i] : bounds[i + 1]]
+                    S = _split(Vp, m)
+                    codes = _assign_codes(S, C)
+                    s_acc = np.zeros_like(C)
+                    cnt = np.zeros((m, k), dtype=np.int64)
+                    for s in range(m):
+                        np.add.at(s_acc[s], codes[:, s], S[s])
+                        cnt[s] += np.bincount(codes[:, s], minlength=k)
+                    if s_tot is None:
+                        s_tot, cnt_tot = s_acc, cnt
+                    else:
+                        s_tot += s_acc
+                        cnt_tot += cnt
+                new = np.where(
+                    cnt_tot[:, :, None] > 0,
+                    s_tot / np.maximum(cnt_tot, 1)[:, :, None],
+                    C,
+                )
+                shift = float(((new - C) ** 2).sum())
+                C = new
+                if shift <= tol:
+                    break
+            return C
+
     for _ in range(max_iter):
         CB = C
 

@@ -772,6 +772,23 @@ def test_lloyd_driver_path_bit_identical(spark):
         assert np.array_equal(fast, slow)
 
 
+def test_pq_driver_path_bit_identical(spark, monkeypatch):
+    """train_pq_codebooks' driver fast path must match the distributed
+    tree-reduced loop bit-for-bit (codebook literals feed the PQ oracles)."""
+    import numpy as np
+
+    import fastselect_spark.similarity.ivf as ivfmod
+    import fastselect_spark.similarity.pq as pqmod
+    from fastselect_spark.similarity.pq import train_pq_codebooks
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fast = train_pq_codebooks(emb, m=8, k=8)
+    monkeypatch.setattr(ivfmod, "DRIVER_TRAIN_BYTES", 0)
+    monkeypatch.setattr(pqmod, "DRIVER_TRAIN_BYTES", 0)
+    slow = train_pq_codebooks(emb, m=8, k=8)
+    assert np.array_equal(fast, slow)
+
+
 def test_connected_components_driver_path_matches_distributed(spark):
     """The driver union-find fast path (round-6 optimization) must return
     exactly the distributed min-label rows — mixed components, a chain,
