@@ -61,7 +61,14 @@ def _rep_tables(
     tagged = base.select(
         F.explode(F.array(entry(seed), entry(seed + 1))).alias("e")
     ).select("e.tag", "e.bucket", "e.s")
-    reps = tagged.groupBy("tag", "bucket").agg(F.min("s").alias("s"))
+    # localCheckpoint: the two tag-split projections below are EACH built
+    # into a broadcast relation, and two different projections of one frame
+    # re-execute its whole plan per broadcast (round-5 lesson) — without
+    # this the corpus scan + min-struct reduction runs twice. The frame is
+    # 2 x n_buckets rows.
+    reps = (
+        tagged.groupBy("tag", "bucket").agg(F.min("s").alias("s")).localCheckpoint()
+    )
 
     def split(tag: int, suffix: str) -> DataFrame:
         return reps.where(F.col("tag") == tag).select(

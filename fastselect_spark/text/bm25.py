@@ -15,11 +15,12 @@ Scale shape (the plan you want at 100 TB):
   the query terms — a tiny fraction of the corpus);
 - per-doc length rides along with each posting row (an int), so no
   corpus-wide join is needed to score;
-- document frequencies form a |vocabulary|-row frame that is
-  broadcast-joined back onto the postings;
-- the query-term table is broadcast; scoring aggregates on
-  ``(query_id, doc_id)`` over candidate postings only; top-k is a
-  per-query window over the candidates.
+- document frequencies form a |vocabulary|-row aggregate collected to the
+  driver and folded back as literal per-term idf expressions (the idf
+  "join" and the query-term "join" are constant-folded CASE/explode
+  projections — both tables are driver-known, so no broadcast builds);
+- scoring aggregates on ``(query_id, doc_id)`` over candidate postings
+  only; top-k is a per-query window over the candidates.
 
 Determinism contract: ranking orders by the score ROUNDED to
 ``round_decimals`` (then doc_id) so cross-engine float ulp noise cannot
@@ -54,8 +55,6 @@ def _bm25_scored(
     branch-point postings handle (callers must unpersist it). Split out
     so tools/explain_audit.py can inspect the join plan before
     ``bm25_topk`` checkpoints it away."""
-    spark = docs.sparkSession
-
     # corpus side: tokens + per-doc length (narrow)
     toked = docs.select(
         F.col(id_col), _tokens(text_col).alias("__toks")
@@ -66,13 +65,12 @@ def _bm25_scored(
         F.count(F.lit(1)), F.avg("dl")
     ).first()
 
-    # query-term table (set semantics per query); tiny -> broadcast
+    # query-term list (set semantics per query); driver-side by definition
     qterms = [
         (qid, t)
         for qid, qtext in queries
         for t in sorted(set(qtext.lower().split()))
     ]
-    qdf = spark.createDataFrame(qterms, schema="query_id long, term string")
     vocab = sorted({t for _, t in qterms})
 
     # postings: explode, filter to query vocabulary BEFORE the shuffle,
@@ -87,19 +85,61 @@ def _bm25_scored(
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     ).persist()
 
-    # document frequency per term: |vocab|-row frame, broadcast back
-    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = dfreq.withColumn(
-        "idf",
-        F.log(
+    # document frequency per term: a |vocab|-row aggregate COLLECTED to the
+    # driver (this also fills the postings cache), then folded back in as
+    # literal per-term CASE expressions — both the idf table and the
+    # query-term table are driver-known, so joining them cost two
+    # broadcast-relation builds (a Spark job each) for what constant
+    # folding does for free (13 -> ~5 jobs). The idf expression tree
+    # mirrors the joined version exactly (same double ops on the same
+    # values, evaluated by the same JVM log), and the query-id explode
+    # emits exactly the rows the qdf inner join did, so scores are
+    # bit-identical.
+    df_of = {
+        r["term"]: int(r["df"])
+        for r in postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+
+    def _idf_lit(df_val: int):
+        return F.log(
             F.lit(1.0)
-            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        ),
-    )
+            + (F.lit(float(n_docs)) - F.lit(float(df_val)) + 0.5)
+            / (F.lit(float(df_val)) + 0.5)
+        )
+
+    idf_expr = None
+    qids_expr = None
+    for t in vocab:
+        if t not in df_of:  # term matches no document: no postings rows
+            continue
+        cond = F.col("term") == t
+        branch_idf = _idf_lit(df_of[t])
+        branch_qids = F.array(*[F.lit(qid) for qid, tt in qterms if tt == t])
+        idf_expr = (
+            F.when(cond, branch_idf)
+            if idf_expr is None
+            else idf_expr.when(cond, branch_idf)
+        )
+        qids_expr = (
+            F.when(cond, branch_qids)
+            if qids_expr is None
+            else qids_expr.when(cond, branch_qids)
+        )
+    if idf_expr is None:  # no query term occurs in the corpus
+        idf_expr = F.lit(None).cast("double")
+        qids_expr = F.lit(None).cast("array<bigint>")
 
     contrib = (
-        postings.join(F.broadcast(idf), "term")
-        .join(F.broadcast(qdf), "term")
+        postings.withColumn("idf", idf_expr)
+        .select(
+            id_col,
+            "tf",
+            "dl",
+            "idf",
+            F.explode(qids_expr).alias("query_id"),
+        )
         .withColumn(
             "contrib",
             F.col("idf")

@@ -289,8 +289,10 @@ def main() -> int:
     )
 
     # 15. BM25: vocabulary filter sits below the postings aggregate, the
-    # idf/query joins broadcast, and BOTH consumers of the postings branch
-    # read the persisted handle instead of re-running the corpus explode
+    # idf/query-id attachment is JOIN-FREE (driver-collected df counts
+    # folded back as literal CASE/explode projections — round 6), and the
+    # scoring plan reads the persisted postings handle instead of
+    # re-running the corpus explode
     from fastselect_spark.text.bm25 import _bm25_scored
 
     scored, postings = _bm25_scored(
@@ -299,16 +301,14 @@ def main() -> int:
     p = plan_of(scored, execute=True)
     postings.unpersist()
     failures += not check(
-        "bm25 joins broadcast + postings branch-point cached",
-        # AQE prints broadcast stages by reference, so the cached postings
-        # show as ONE InMemoryTableScan; the single FileScan (inside the
-        # InMemoryRelation definition) proves the corpus explode is not
-        # re-run per branch
-        "BroadcastHashJoin" in p
-        and "SortMergeJoin" not in p
+        "bm25 join-free scoring + postings branch-point cached",
+        "Join" not in p  # no BroadcastHashJoin/SortMergeJoin at all
         and "InMemoryTableScan" in p
+        # the ONE FileScan sits inside the cached postings' definition:
+        # the scoring side never re-reads the corpus
         and len(re.findall(r"FileScan", p)) == 1
-        and re.search(r"Filter .*term#\d+ IN \(", p) is not None,
+        and "CASE WHEN" in p
+        and re.search(r"Filter term#\d+ IN \(", p) is not None,
     )
 
     # 16. perplexity scoring is one broadcast Arrow scan; the only
