@@ -349,8 +349,13 @@ def weighted_sample(
     ).cast("long")
     u = (h + F.lit(1)).cast("double") / F.lit(float(2**60))
     race = -F.log(u) / F.col(weight_col).cast("double")
+    # NULL sampling keys must be DROPPED, not raced: their race key is
+    # NULL and Spark sorts NULLS FIRST ascending, so a NULL-key row would
+    # deterministically win every top-n (round-5 ADVICE fix).
     cand = df.where(
-        F.col(weight_col).isNotNull() & (F.col(weight_col).cast("double") > 0)
+        F.col(key_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col).cast("double") > 0)
     ).withColumn("__race", race)
     if group_cols:
         w = Window.partitionBy(*group_cols).orderBy("__race", key_col)

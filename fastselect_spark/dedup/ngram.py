@@ -187,8 +187,15 @@ def prefix_filter_jaccard_pairs(
         .withColumn("__rk", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
         .where(
+            # the 1e-9 guard keeps a float product like 0.07*100 =
+            # 7.000000000000001 from ceiling UP past the true integer and
+            # shortening the prefix (which could drop J == threshold
+            # boundary pairs); erring a token longer only adds candidates,
+            # which exact verification removes (round-5 ADVICE fix)
             F.col("__rk")
-            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+            <= F.col("__n")
+            - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
+            + 1
         )
         .select(id_col, "shingle")
     )

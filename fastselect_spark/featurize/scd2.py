@@ -103,6 +103,12 @@ def scd2_lookup(
         p = probes.withColumn(key, F.when(~null_any, canon))
         d = dim.withColumn(key, F.when(~null_any, canon))
         drop_key = [key]
+    # NULL-key dimension rows can never match under SQL join semantics, but
+    # Window.partitionBy GROUPS null keys, so a NULL-key probe would see
+    # them (round-5 ADVICE fix): drop them from the dimension side — the
+    # NULL-key probes then find no interval and get NULL values, as
+    # documented.
+    d = d.where(F.col(key).isNotNull())
     # Carry the WHOLE interval row as one struct: the as-of window carries
     # each value column independently with last(..., ignorenulls=True), so a
     # legitimately-NULL field (the open interval's valid_to, or a NULL

@@ -96,13 +96,28 @@ def stability_topk(
         .persist()
     )
     # the fold-pair grid is F² (tiny): build it driver-side rather than
-    # planning a nested-loop join
-    fold_vals = sorted(
-        r["__fold"] for r in top.select("__fold").distinct().collect()
-    )
+    # planning a nested-loop join. Per-fold ACTUAL selected-set sizes ride
+    # along: a fold's score table can hold fewer than k features, and the
+    # fixed 2k−r / k denominators silently overstate overlap then
+    # (round-5 ADVICE fix) — with every fold full the values are
+    # bit-identical to the fixed-k formulas.
+    size_of = {
+        r["__fold"]: int(r["__n"])
+        for r in top.groupBy("__fold").agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    fold_vals = sorted(size_of)
+    pair_rows = []
+    for i, a in enumerate(fold_vals):
+        for b in fold_vals[i + 1 :]:
+            ka, kb = float(size_of[a]), float(size_of[b])
+            exp_ab = ka * kb / p_cnt  # Kuncheva chance term ka·kb/p
+            denom = min(ka, kb) - exp_ab
+            pair_rows.append(
+                (a, b, size_of[a] + size_of[b], exp_ab, denom if denom != 0.0 else None)
+            )
     pairs = scores.sparkSession.createDataFrame(
-        [(a, b) for i, a in enumerate(fold_vals) for b in fold_vals[i + 1 :]],
-        schema="fold_a int, fold_b int",
+        pair_rows,
+        schema="fold_a int, fold_b int, __sz long, __exp double, __den double",
     )
     inter = (
         top.alias("a")
@@ -116,21 +131,15 @@ def stability_topk(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
-    kk = float(k)
-    exp = kk * kk / p_cnt  # Kuncheva chance term k²/p
     r = F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
-    kunch = (
-        (r - F.lit(exp)) / F.lit(kk - exp)
-        if kk - exp != 0.0
-        else F.lit(None).cast("double")
-    )
+    kunch = (r - F.col("__exp")) / F.col("__den")  # NULL __den -> NULL
     out = (
         pairs.join(F.broadcast(inter), ["fold_a", "fold_b"], "left")
         .select(
             "fold_a",
             "fold_b",
             F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
-            (r / (F.lit(2.0 * kk) - r)).alias("jaccard"),
+            (r / (F.col("__sz").cast("double") - r)).alias("jaccard"),
             kunch.alias("kuncheva"),
         )
     )

@@ -49,9 +49,14 @@ def pool_pair_sims(
     ids = pool_df.select(
         F.col("neighbor_id").alias(id_col)
     ).distinct()
+    # localCheckpoint: the id_a/id_b embedding attachments below are two
+    # DIFFERENT projections of this frame, and each one is built into its
+    # own broadcast relation — without materialization the corpus
+    # semi-join scan runs once per side (round-5 lesson). Bounded by the
+    # pool-id set.
     emb = corpus.join(F.broadcast(ids), id_col, "left_semi").select(
         F.col(id_col).alias("__id"), F.col(emb_col).alias("__e")
-    )
+    ).localCheckpoint()
     a = pool_df.select("query_id", F.col("neighbor_id").alias("id_a"))
     b = pool_df.select("query_id", F.col("neighbor_id").alias("id_b"))
     pairs = a.join(b, "query_id").where(F.col("id_a") < F.col("id_b"))

@@ -609,6 +609,27 @@ def test_weighted_sample_excludes_bad_weights(spark):
     assert got == [0]
 
 
+def test_weighted_sample_drops_null_keys(spark):
+    """A NULL key_col row must be DROPPED, not race (its NULL race key
+    sorts first ascending and would deterministically win — round-5
+    ADVICE fix), in both grouped and ungrouped paths."""
+    from fastselect_spark.corpus import weighted_sample
+
+    df = spark.createDataFrame(
+        [(None, "en", 100.0), (1, "en", 100.0), (2, "en", 1.0)],
+        "doc_id long, lang string, w double",
+    )
+    got = {r.doc_id for r in weighted_sample(df, 1, "w", key_col="doc_id").collect()}
+    assert None not in got and len(got) == 1
+    got_g = {
+        r.doc_id
+        for r in weighted_sample(
+            df, 1, "w", key_col="doc_id", group_cols=["lang"]
+        ).collect()
+    }
+    assert None not in got_g and len(got_g) == 1
+
+
 def test_prefix_filter_jaccard_equals_uncapped_exact(spark):
     """Prefix filtering returns EXACTLY the uncapped inverted-index result
     (no df cap, no dropped pairs) on a corpus with hot + rare shingles."""

@@ -461,6 +461,37 @@ def test_scd2_lookup_multi_key_and_gap(spark):
     }
 
 
+def test_scd2_lookup_null_key_probe_gets_null(spark):
+    """A probe with a NULL key component must match NOTHING (SQL join
+    semantics) even when the dimension has NULL-keyed rows —
+    Window.partitionBy groups NULLs, so the NULL-key dim rows must be
+    filtered out (round-5 ADVICE fix). Single-key path likewise."""
+    from fastselect_spark.featurize import scd2_lookup
+
+    dim = spark.createDataFrame(
+        [(None, "x", 10, None, "leak", 1), ("a", "x", 10, None, "v1", 1)],
+        "k1 string, k2 string, valid_from long, valid_to long, v string, is_current int",
+    )
+    probes = spark.createDataFrame(
+        [(None, "x", 15), ("a", "x", 15)], "k1 string, k2 string, at long"
+    )
+    got = {
+        (r.k1, r.at): r.v_dim
+        for r in scd2_lookup(probes, dim, ["k1", "k2"], "at").collect()
+    }
+    assert got == {(None, 15): None, ("a", 15): "v1"}
+    dim1 = spark.createDataFrame(
+        [(None, 10, None, "leak", 1), ("a", 10, None, "v1", 1)],
+        "k string, valid_from long, valid_to long, v string, is_current int",
+    )
+    probes1 = spark.createDataFrame([(None, 15), ("a", 15)], "k string, at long")
+    got1 = {
+        (r.k, r.at): r.v_dim
+        for r in scd2_lookup(probes1, dim1, ["k"], "at").collect()
+    }
+    assert got1 == {(None, 15): None, ("a", 15): "v1"}
+
+
 def test_theilsen_trends_numpy_parity_and_robustness(spark):
     import numpy as np
 

@@ -337,6 +337,26 @@ def test_chi2_fold_scores_matches_per_fold_chi2(spark):
             assert got[(f, f"f{i}")] == pytest.approx(float(s), rel=1e-12)
 
 
+def test_stability_short_fold_uses_actual_sizes(spark):
+    """When a fold's score table holds fewer than k features, overlap
+    metrics must use the ACTUAL set sizes (|A|+|B|−r Jaccard denominator,
+    per-pair Kuncheva correction — round-5 ADVICE fix)."""
+    from fastselect_spark.selection import stability_topk
+
+    # fold 0 has 3 features, fold 1 only 1; k=2 -> sizes (2, 1)
+    rows = [
+        (0, "a", 3.0), (0, "b", 2.0), (0, "c", 1.0),
+        (1, "a", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "fold int, feature string, score double")
+    r = stability_topk(df, k=2).collect()[0]
+    # A = {a, b}, B = {a}; r = 1 -> jaccard = 1 / (2 + 1 - 1) = 0.5
+    assert r["n_common"] == 1
+    assert abs(r["jaccard"] - 0.5) < 1e-12
+    # kuncheva: exp = 2*1/3, denom = min(2,1) - exp = 1/3 -> (1 - 2/3)/(1/3) = 1
+    assert abs(r["kuncheva"] - 1.0) < 1e-12
+
+
 def test_stability_kuncheva_k_equals_p_is_null(spark):
     from fastselect_spark.selection import stability_topk
 
