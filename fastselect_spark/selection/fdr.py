@@ -51,6 +51,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _fdr_bh_driver(spark, base: DataFrame, a: float) -> DataFrame:
+    """Driver replica of the two-pass BH kernel for small inputs — same
+    sort order (p asc, feature asc; pandas str comparison equals Spark's
+    binary UTF-8 order), same ``m*p/rank`` / ``a*rank/m`` operand order
+    and dtypes, exact-min suffix accumulation."""
+    pdf = base.toPandas()
+    m = len(pdf)
+    schema = (
+        "feature string, p_value double, rank long, "
+        "p_adj double, p_bonf double, selected int"
+    )
+    if m == 0:
+        return spark.createDataFrame([], schema=schema)
+    pdf = pdf.sort_values(["p", "feature"], kind="stable").reset_index(drop=True)
+    p = pdf["p"].to_numpy(dtype=np.float64)
+    rank = np.arange(1, m + 1, dtype=np.int64)
+    q = m * p / rank
+    sfx = np.minimum.accumulate(q[::-1])[::-1]
+    cand = p <= a * rank / m
+    thr = p[cand].max() if cand.any() else None
+    out = pd.DataFrame(
+        {
+            "feature": pdf["feature"],
+            "p_value": p,
+            "rank": rank,
+            "p_adj": np.minimum(1.0, sfx),
+            "p_bonf": np.minimum(1.0, float(m) * p),
+            "selected": (
+                (p <= thr).astype(np.int32)
+                if thr is not None
+                else np.zeros(m, dtype=np.int32)
+            ),
+        }
+    )
+    return spark.createDataFrame(out, schema=schema)
+
+
 def fdr_bh(
     df: DataFrame,
     p_col: str = "p_value",
@@ -74,6 +111,16 @@ def fdr_bh(
         F.col(feature_col).cast("string").alias("feature"),
         F.col(p_col).cast("double").alias("p"),
     ).where(F.col(p_col).isNotNull())
+
+    # Small p-value tables skip the two-pass range machinery entirely: one
+    # Arrow collect + the identical NumPy expressions (same operand order,
+    # same dtypes) on the globally-sorted array — the per-partition suffix
+    # min + carry composition is an exact min, so values are bit-identical
+    # to the distributed result (round-6; the CFS-small-path discipline).
+    from fastselect_spark.selection._agg import small_frame
+
+    if small_frame(base, 64 << 20):
+        return _fdr_bh_driver(spark, base, float(alpha))
     if num_partitions:
         base = base.repartitionByRange(num_partitions, "p", "feature")
     else:

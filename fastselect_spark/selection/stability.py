@@ -73,6 +73,50 @@ def chi2_fold_scores(
     )
 
 
+def _stability_topk_driver(
+    scores: DataFrame,
+    k: int,
+    fold_col: str,
+    feature_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Driver replica of stability_topk for small score tables — identical
+    values by construction: top-k per fold ordered by (score desc,
+    feature asc) over the same doubles, r exact integers, and the SAME
+    Python-float exp/denominator terms the distributed path folds in as
+    literals."""
+    pdf = scores.select(
+        F.col(fold_col).alias("f"),
+        F.col(feature_col).alias("x"),
+        F.col(score_col).cast("double").alias("s"),
+    ).toPandas()
+    p_cnt = pdf["x"].nunique()
+    sets: dict = {}
+    for f, grp in pdf.groupby("f", sort=True):
+        ordered = sorted(
+            zip(grp["x"].tolist(), grp["s"].tolist()),
+            key=lambda t: (-t[1], t[0]),
+        )
+        sets[f] = {x for x, _ in ordered[:k]}
+    fold_vals = sorted(sets)
+    rows = []
+    for i, a in enumerate(fold_vals):
+        for b in fold_vals[i + 1 :]:
+            ka, kb = float(len(sets[a])), float(len(sets[b]))
+            r_int = len(sets[a] & sets[b])
+            r = float(r_int)
+            sz = len(sets[a]) + len(sets[b])
+            exp_ab = ka * kb / p_cnt
+            den = min(ka, kb) - exp_ab
+            kunch = (r - exp_ab) / den if den != 0.0 else None
+            rows.append((int(a), int(b), r_int, r / (float(sz) - r), kunch))
+    return scores.sparkSession.createDataFrame(
+        rows,
+        schema="fold_a int, fold_b int, n_common long, "
+        "jaccard double, kuncheva double",
+    )
+
+
 def stability_topk(
     scores: DataFrame,
     k: int,
@@ -84,7 +128,16 @@ def stability_topk(
     table: (fold_a, fold_b, n_common, jaccard, kuncheva) for every
     unordered fold pair (fold_a < fold_b). ``p`` (the feature-universe
     size for Kuncheva's chance correction) is the table's distinct
-    feature count; ``k == p`` makes Kuncheva undefined (NULL)."""
+    feature count; ``k == p`` makes Kuncheva undefined (NULL).
+
+    Small score tables (fold-count × feature-count rows — usually tiny)
+    run entirely on the driver: same ordering (score desc, feature asc),
+    same double arithmetic, one collect instead of ~13 window/join/agg
+    jobs (round-6; the CFS-small-path discipline)."""
+    from fastselect_spark.selection._agg import small_frame
+
+    if small_frame(scores, 32 << 20):
+        return _stability_topk_driver(scores, k, fold_col, feature_col, score_col)
     p_cnt = scores.select(feature_col).distinct().count()
     w = Window.partitionBy(fold_col).orderBy(
         F.desc(score_col), F.asc(feature_col)

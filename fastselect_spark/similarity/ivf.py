@@ -30,6 +30,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fastselect_spark.selection._agg import (
+    plan_size_bytes as _plan_size_bytes,
+)
 from fastselect_spark.selection._agg import tree_reduce_ndarrays
 
 # Plan-size gate for the driver-side Lloyd fast path: when the (possibly
@@ -53,13 +56,6 @@ def _normalize(M: np.ndarray) -> np.ndarray:
     return M / norms
 
 
-def _plan_size_bytes(df: DataFrame) -> int:
-    """Catalyst's size estimate for a frame (py4j hands back an int — the
-    round-3 lesson); 'unknown' maps to a huge number so gates fail safe."""
-    try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:  # pragma: no cover — estimation must never break the op
-        return 1 << 62
 
 
 def _lloyd_driver(

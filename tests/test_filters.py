@@ -255,6 +255,26 @@ def test_fdr_bh_matches_oracle(spark):
     assert sorted(ranks) == list(range(1, m + 1))  # a permutation of 1..m
 
 
+def test_fdr_bh_driver_path_matches_distributed(spark, monkeypatch):
+    """The small-input driver fast path must equal the two-pass
+    range-partitioned kernel row-for-row (exact doubles)."""
+    import fastselect_spark.selection._agg as aggmod
+    from fastselect_spark.selection import fdr_bh
+
+    pv = spark.range(5_000).selectExpr(
+        "CAST(id AS STRING) AS feature",
+        "((id * 2654435761) % 1000003) / 1000003.0 AS p_value",
+    )
+    fast = fdr_bh(pv, num_partitions=8).toPandas().sort_values(
+        "feature"
+    ).reset_index(drop=True)
+    monkeypatch.setattr(aggmod, "small_frame", lambda *_a, **_k: False)
+    slow = fdr_bh(pv, num_partitions=8).toPandas().sort_values(
+        "feature"
+    ).reset_index(drop=True)
+    assert fast.equals(slow)
+
+
 def test_fdr_bh_none_selected(spark):
     from fastselect_spark.selection import fdr_bh
 
@@ -335,6 +355,29 @@ def test_chi2_fold_scores_matches_per_fold_chi2(spark):
         stats, _ = chi2(sub, [f"f{i}" for i in range(5)], "label")
         for i, s in enumerate(stats):
             assert got[(f, f"f{i}")] == pytest.approx(float(s), rel=1e-12)
+
+
+def test_stability_driver_path_matches_distributed(spark, monkeypatch):
+    """The small-table driver fast path must return exactly the distributed
+    window/join rows (values compared exactly — same doubles)."""
+    import fastselect_spark.selection._agg as aggmod
+    from fastselect_spark.selection import stability_topk
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (f, f"x{j}", float(rng.normal()))
+        for f in range(4)
+        for j in range(7)
+    ]
+    df = spark.createDataFrame(rows, "fold int, feature string, score double")
+    fast = stability_topk(df, k=3).toPandas().sort_values(
+        ["fold_a", "fold_b"]
+    ).reset_index(drop=True)
+    monkeypatch.setattr(aggmod, "small_frame", lambda *_a, **_k: False)
+    slow = stability_topk(df, k=3).toPandas().sort_values(
+        ["fold_a", "fold_b"]
+    ).reset_index(drop=True)
+    assert fast.equals(slow)
 
 
 def test_stability_short_fold_uses_actual_sizes(spark):
