@@ -179,13 +179,20 @@ def prefix_filter_jaccard_pairs(
     docs = ensure_parallelism(df).select(
         F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("shingles")
     ).persist()
-    inv = docs.select(id_col, F.explode("shingles").alias("shingle"))
+    # __n (the doc's distinct-shingle count) is size(shingles) computed
+    # BEFORE the explode — a scan-side projection instead of a second
+    # unordered COUNT window on the id exchange (round-6 trim; the
+    # shingle array is distinct by construction so the values are equal)
+    inv = docs.select(
+        id_col,
+        F.size("shingles").alias("__n"),
+        F.explode("shingles").alias("shingle"),
+    )
     dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy(id_col).orderBy("__df", "shingle")
     pre = (
         inv.join(dfreq, "shingle")
         .withColumn("__rk", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
         .where(
             # the 1e-9 guard keeps a float product like 0.07*100 =
             # 7.000000000000001 from ceiling UP past the true integer and

@@ -41,6 +41,34 @@ def _warm_python_workers(spark: SparkSession) -> None:
         spark.range(0, n, 1, n).mapInPandas(
             lambda it: it, schema="id long"
         ).write.format("noop").mode("overwrite").save()
+        # One tiny JVM job exercising the expression/operator classes the
+        # engine's hot paths use (hash/regex/string/array expressions, a
+        # window, a hash aggregate): their first evaluation pays ~2 s of
+        # class-loading + JIT (measured: the first fingerprint projection
+        # of a session costs 1.9 s, the second 0.17 s). 256 rows — data
+        # cost is nil; the warmed machinery is data-independent.
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as _F
+
+        df = spark.range(0, 256, 1, 4).select(
+            "id", _F.md5(_F.concat_ws(":", _F.col("id").cast("string"))).alias("h")
+        )
+        df = df.select(
+            "id",
+            "h",
+            _F.explode(
+                _F.array_distinct(
+                    _F.split(_F.regexp_replace(_F.lower("h"), r"\s+", " "), "a")
+                )
+            ).alias("tok"),
+            _F.conv(_F.substring("h", 1, 15), 16, 10).cast("long").alias("c"),
+            _F.xxhash64("h").alias("x"),
+        )
+        w = _W.partitionBy(_F.pmod("id", _F.lit(4))).orderBy("c")
+        df = df.withColumn("rn", _F.row_number().over(w)).where(_F.col("rn") <= 8)
+        df.groupBy("tok").agg(
+            _F.count(_F.lit(1)).alias("n"), _F.min("c").alias("m")
+        ).write.format("noop").mode("overwrite").save()
     except Exception:  # pragma: no cover — warm-up must never break startup
         pass
 
