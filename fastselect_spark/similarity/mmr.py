@@ -43,26 +43,55 @@ def pool_pair_sims(
     emb_col: str = "embedding",
 ) -> DataFrame:
     """(query_id, id_a, id_b, sim) — rounded cosine between every
-    unordered pair of a query's pool members. The embedding fetch is a
-    broadcast semi-join of the bounded pool-id set; the pair fan-out is
-    pool² per query."""
-    ids = pool_df.select(
-        F.col("neighbor_id").alias(id_col)
-    ).distinct()
-    # localCheckpoint: the id_a/id_b embedding attachments below are two
-    # DIFFERENT projections of this frame, and each one is built into its
-    # own broadcast relation — without materialization the corpus
-    # semi-join scan runs once per side (round-5 lesson). Bounded by the
-    # pool-id set.
-    emb = corpus.join(F.broadcast(ids), id_col, "left_semi").select(
-        F.col(id_col).alias("__id"), F.col(emb_col).alias("__e")
-    ).localCheckpoint()
-    a = pool_df.select("query_id", F.col("neighbor_id").alias("id_a"))
-    b = pool_df.select("query_id", F.col("neighbor_id").alias("id_b"))
-    pairs = a.join(b, "query_id").where(F.col("id_a") < F.col("id_b"))
-    ea = F.broadcast(emb.select(F.col("__id").alias("id_a"), F.col("__e").alias("e_a")))
-    eb = F.broadcast(emb.select(F.col("__id").alias("id_b"), F.col("__e").alias("e_b")))
-    j = pairs.join(ea, "id_a").join(eb, "id_b")
+    unordered pair of a query's pool members.
+
+    The pool is bounded by parameters (pool × |queries| ids), so the pair
+    table is DRIVER-built: one broadcast semi-join collects the pool
+    embeddings, the unordered pairs are enumerated in Python, and the
+    SAME Catalyst dot/norm/round expressions evaluate over the resulting
+    LocalTableScan — bit-identical sims (same expression tree, same
+    element types) without the former per-side broadcast builds of the
+    embedding fetch join (round-6; each build re-ran the corpus
+    semi-join)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    ids = pool_df.select(F.col("neighbor_id").alias(id_col)).distinct()
+    emb_pdf = (
+        corpus.join(F.broadcast(ids), id_col, "left_semi")
+        .select(F.col(id_col).alias("__id"), F.col(emb_col).alias("__e"))
+        .toPandas()
+    )
+    e_of = dict(zip(emb_pdf["__id"].tolist(), emb_pdf["__e"].tolist()))
+    by_q: dict = {}
+    for r in pool_df.select("query_id", "neighbor_id").collect():
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    rows = []
+    for q in by_q:
+        members = by_q[q]
+        for i, a_id in enumerate(members):
+            for b_id in members[i + 1 :]:
+                lo, hi = (a_id, b_id) if a_id < b_id else (b_id, a_id)
+                rows.append((q, lo, hi, e_of[lo], e_of[hi]))
+    q_t = pool_df.schema["query_id"].dataType
+    id_t = pool_df.schema["neighbor_id"].dataType
+    e_t = corpus.schema[emb_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("query_id", q_t),
+            T.StructField("id_a", id_t),
+            T.StructField("id_b", id_t),
+            T.StructField("e_a", e_t),
+            T.StructField("e_b", e_t),
+        ]
+    )
+    j = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["query_id", "id_a", "id_b", "e_a", "e_b"])
+        if rows
+        else [],
+        schema=schema,
+    )
     sim = _dot(F.col("e_a"), F.col("e_b")) / (
         F.sqrt(_dot(F.col("e_a"), F.col("e_a")))
         * F.sqrt(_dot(F.col("e_b"), F.col("e_b")))
