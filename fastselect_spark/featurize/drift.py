@@ -142,6 +142,27 @@ def ks_statistics(
         F.sum((F.col("__g") == 0).cast("long")).alias("c0"),
         F.sum((F.col("__g") == 1).cast("long")).alias("c1"),
     )
+
+    # Small inputs: collect the distinct-value count table once and run the
+    # identical cumsum/gap arithmetic in NumPy — same integer counts, same
+    # cum/float(n) quotients, exact max, so the ks values are bit-identical
+    # to the two-pass kernel (round-6; the fdr_bh small-path discipline).
+    from fastselect_spark.selection._agg import plan_size_bytes
+
+    if (plan_size_bytes(ref) + plan_size_bytes(cur)) <= (64 << 20):
+        pdf = counts.toPandas().sort_values(["feature", "v"], kind="stable")
+        feats, ks_vals = [], []
+        for k, grp in pdf.groupby("feature", sort=True):
+            cum0 = grp["c0"].to_numpy(dtype=np.int64).cumsum()
+            cum1 = grp["c1"].to_numpy(dtype=np.int64).cumsum()
+            n0 = max(int(cum0[-1]), 1)
+            n1 = max(int(cum1[-1]), 1)
+            d = np.abs(cum0 / float(n0) - cum1 / float(n1))
+            feats.append(str(k))
+            ks_vals.append(float(d.max()))
+        return spark.createDataFrame(
+            list(zip(feats, ks_vals)), schema="feature string, ks double"
+        )
     if num_partitions:
         rng = counts.repartitionByRange(num_partitions, "feature", "v")
     else:

@@ -29,10 +29,44 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark import TaskContext
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _average_ranks_driver(
+    spark, base: DataFrame, key_col: str, value_col: str, id_col: str
+) -> DataFrame:
+    """Driver replica of the two-pass ranking: sort by (key, value), rank
+    1-based within key, tie groups (exact-equality runs; NaN never equals
+    NaN, matching the distributed kernel's ==-based grouping) share
+    ``first_rank + (size-1)/2.0``."""
+    schema = f"{key_col} string, {id_col} string, rank double"
+    pdf = base.toPandas()
+    if pdf.empty:
+        return spark.createDataFrame([], schema=schema)
+    pdf = pdf.sort_values([key_col, value_col], kind="stable").reset_index(
+        drop=True
+    )
+    keys = pdf[key_col].to_numpy()
+    vals = pdf[value_col].to_numpy(dtype=np.float64)
+    n = len(pdf)
+    idx = np.arange(n, dtype=np.int64)
+    kchange = keys[1:] != keys[:-1]
+    krun = np.concatenate([[0], np.cumsum(kchange)])
+    key_start = idx[np.concatenate([[True], kchange])]
+    rn = idx - key_start[krun] + 1  # 1-based row number within key
+    same = (~kchange) & (vals[1:] == vals[:-1])  # NaN breaks ties, as ==
+    grp = np.concatenate([[0], np.cumsum(~same)])
+    sizes = np.bincount(grp)
+    first_rn = rn[np.concatenate([[True], ~same])]
+    rank = first_rn[grp] + (sizes[grp] - 1) / 2.0
+    out = pd.DataFrame(
+        {key_col: pdf[key_col], id_col: pdf[id_col], "rank": rank}
+    )
+    return spark.createDataFrame(out, schema=schema)
 
 
 def average_ranks_long(
@@ -48,6 +82,16 @@ def average_ranks_long(
     base = melted.select(key_col, value_col, id_col).where(
         F.col(value_col).isNotNull()
     )
+
+    # Small inputs: one Arrow collect + a vectorized NumPy ranking with the
+    # IDENTICAL tie-average arithmetic (first-rank int64 + (size-1)/2.0) —
+    # bit-identical ranks, no range exchange / two mapInPandas passes
+    # (round-6; shared by quantile_normalize, auc_scores and the
+    # correlation family).
+    from fastselect_spark.selection._agg import plan_size_bytes
+
+    if plan_size_bytes(base) <= (64 << 20):
+        return _average_ranks_driver(spark, base, key_col, value_col, id_col)
     if num_partitions:
         base = base.repartitionByRange(num_partitions, key_col, value_col)
     else:
@@ -158,6 +202,8 @@ def _rank_block(
             end < n and keys[end] == keys[start] and vals[end] == vals[start]
         ):
             end += 1
+        if end == start:  # NaN value: never ==-equal, rank as a singleton
+            end = start + 1
         rank[start:end] = rn[start] + (end - start - 1) / 2.0
         start = end
     return pd.DataFrame(

@@ -4,6 +4,60 @@ carry across Arrow batch boundaries, and the Spearman replica."""
 
 from __future__ import annotations
 
+def test_average_ranks_driver_path_matches_distributed(spark, monkeypatch):
+    """The small-input driver ranking (round-6) must equal the
+    range-partitioned two-pass kernel row-for-row, ties and all."""
+    import numpy as np
+
+    import fastselect_spark.selection._agg as aggmod
+    from fastselect_spark.selection.rank import average_ranks_long
+
+    rng = np.random.default_rng(23)
+    rows = [
+        (f"f{j % 3}", float(rng.integers(0, 20)), str(i))
+        for i, j in enumerate(rng.integers(0, 3, 500))
+    ]
+    melted = spark.createDataFrame(rows, "feature string, value double, id string")
+    key = lambda r: (r["feature"], r["id"])  # noqa: E731
+    fast = sorted(
+        ((r["feature"], r["id"]), r["rank"])
+        for r in average_ranks_long(melted, num_partitions=8).collect()
+    )
+    monkeypatch.setattr(aggmod, "plan_size_bytes", lambda _df: 1 << 62)
+    slow = sorted(
+        ((r["feature"], r["id"]), r["rank"])
+        for r in average_ranks_long(melted, num_partitions=8).collect()
+    )
+    assert fast == slow
+
+
+def test_ks_driver_path_matches_distributed(spark, monkeypatch):
+    """ks_statistics' small-input path must equal the two-pass kernel."""
+    import numpy as np
+
+    import fastselect_spark.selection._agg as aggmod
+    from fastselect_spark.featurize import ks_statistics
+
+    rng = np.random.default_rng(29)
+    d0 = spark.createDataFrame(
+        [(float(v), float(v) * 2) for v in rng.integers(0, 50, 400)],
+        "a double, b double",
+    )
+    d1 = spark.createDataFrame(
+        [(float(v) + 3.0, float(v)) for v in rng.integers(0, 50, 300)],
+        "a double, b double",
+    )
+    fast = sorted(
+        (r["feature"], r["ks"])
+        for r in ks_statistics(d0, d1, ["a", "b"], num_partitions=8).collect()
+    )
+    monkeypatch.setattr(aggmod, "plan_size_bytes", lambda _df: 1 << 62)
+    slow = sorted(
+        (r["feature"], r["ks"])
+        for r in ks_statistics(d0, d1, ["a", "b"], num_partitions=8).collect()
+    )
+    assert fast == slow
+
 import numpy as np
 import pandas as pd
 import pytest
