@@ -50,10 +50,22 @@ def contamination_hits(
     from fastselect_spark.dedup.minhash import ensure_parallelism
 
     corpus = ensure_parallelism(corpus)
-    inv = corpus.select(
-        F.col(id_col),
-        F.size(_shingles(F.col(text_col), shingle_k)).alias("n_shingles"),
-        F.explode(_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    # STAGE the shingle array and its size BELOW the explode (the bm25
+    # `dl` shape): with size() and explode() over the raw expression in
+    # ONE select, Catalyst placed size(+ the full shingling) in the
+    # projection ABOVE the Generate — recomputing the entire shingle
+    # expression PER EXPLODED TOKEN ROW (measured 15-25x on a bare scan).
+    # Computing n_shingles in the Generate's CHILD carries one int per
+    # exploded row instead (carrying the array itself through the
+    # Generate copies it per row — O(tokens²) bytes).
+    inv = (
+        corpus.select(
+            F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("__sh")
+        )
+        .select(F.col(id_col), F.size("__sh").alias("n_shingles"), "__sh")
+        .select(
+            F.col(id_col), "n_shingles", F.explode("__sh").alias("shingle")
+        )
     )
     hits = (
         inv.join(F.broadcast(bench_shingles), "shingle")
@@ -191,10 +203,18 @@ def bloom_contamination_hits(
         .distinct()
         .localCheckpoint()
     )
-    inv = ensure_parallelism(corpus).select(
-        F.col(id_col),
-        F.size(_shingles(F.col(text_col), shingle_k)).alias("n_shingles"),
-        F.explode(_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    # staged array + size below the explode — see contamination_hits:
+    # size()+explode() over the raw expression recomputes the whole
+    # shingling per exploded row otherwise
+    inv = (
+        ensure_parallelism(corpus)
+        .select(
+            F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("__sh")
+        )
+        .select(F.col(id_col), F.size("__sh").alias("n_shingles"), "__sh")
+        .select(
+            F.col(id_col), "n_shingles", F.explode("__sh").alias("shingle")
+        )
     )
     # "all k positions set" as k successive BROADCAST LEFT SEMI joins —
     # the probe stream is filtered in place, never re-grouped by the
