@@ -87,10 +87,13 @@ def average_ranks_long(
     # IDENTICAL tie-average arithmetic (first-rank int64 + (size-1)/2.0) —
     # bit-identical ranks, no range exchange / two mapInPandas passes
     # (round-6; shared by quantile_normalize, auc_scores and the
-    # correlation family).
+    # correlation family). Gate is 8 MB: the ranked OUTPUT is as large as
+    # the input, so unlike the scalar-result fast paths the collect +
+    # rebuild round-trip stops paying quickly (measured: spearman's
+    # 1.6M-row melt was 4.9 s distributed vs 8.4 s collected).
     from fastselect_spark.selection._agg import plan_size_bytes
 
-    if plan_size_bytes(base) <= (64 << 20):
+    if plan_size_bytes(base) <= (8 << 20):
         return _average_ranks_driver(spark, base, key_col, value_col, id_col)
     if num_partitions:
         base = base.repartitionByRange(num_partitions, key_col, value_col)
