@@ -68,8 +68,16 @@ def chi2_fold_scores(
         else:
             stats = chi2_stats_from_observed(obs, freqs, float(freqs.sum()))
         out += [(fold, c, float(s)) for c, s in zip(feature_cols, stats)]
+    # pandas (Arrow) createDataFrame yields a LocalRelation with EXACT
+    # size stats, so downstream small-input gates (stability_topk) decide
+    # from the estimate instead of paying a probe job; a plain list lands
+    # as a stats-less LogicalRDD (round-6). No None values here, so the
+    # NaN-vs-NULL Arrow hazard does not apply.
+    import pandas as pd_
+
+    pdf_out = pd_.DataFrame(out, columns=[fold_col, "feature", "score"])
     return df.sparkSession.createDataFrame(
-        out, schema=f"{fold_col} int, feature string, score double"
+        pdf_out, schema=f"{fold_col} int, feature string, score double"
     )
 
 
